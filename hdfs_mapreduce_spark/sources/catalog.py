@@ -1,0 +1,106 @@
+"""Catalog: the Spark-side replacement for the reference's DFS file verbs.
+
+The reference exposes a flat file namespace with PUT / GET / ls / rm verbs
+(dfs/client/actions.go, dfs/controller/controller.go:144-228) and a
+controller-held file index rebuilt from heartbeats
+(dfs/controller/fileIndex.go:85-124). Here a "file" is a Parquet-backed
+DataFrame and the namespace is the Spark catalog: ``ls`` →
+``spark.catalog.listTables()``, ``rm`` → ``DROP TABLE`` / FS delete, PUT/GET →
+``spark.read`` / ``df.write``. Chunking (256 KiB, dfs/common/constants.go:12)
+and 3x replication (dfs/storageNode/storageNode.go:188-220) are delegated to
+the storage layer (HDFS block size / dfs.replication), so none of that
+machinery is re-implemented.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver-provided star schema (TESTDATA.md); one parquet file per table.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects outright (PARQUET_TYPE_ILLEGAL). Footer-only read — cheap."""
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table. Column pruning + predicate pushdown happen at the
+    FileSourceScan as long as callers select/filter declaratively.
+
+    TIMESTAMP(NANOS) columns (which Spark cannot natively read) are read as
+    nanosecond longs and converted to microsecond timestamps with exact
+    integer division — the same floor-truncation DuckDB applies, so oracle
+    comparisons stay bit-identical.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` works directly —
+    the ``ls``-visible namespace of the new engine."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def ingest_text(spark: SparkSession, path: str) -> DataFrame:
+    """Reference ingest path: a text file becomes (one line per row), the
+    chunked-upload equivalent (dfs/client/chunkinator.go:35-112 splits at
+    newline-aligned 256 KiB boundaries; Spark split planning does the same job
+    at spark.sql.files.maxPartitionBytes granularity)."""
+    return spark.read.text(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Sink: replaces the reference's per-reducer output files + re-upload
+    (dfs/compute_engine/context.go:162-186, storageNode.go:499-522) with a
+    single partitioned-Parquet write."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,25 @@
+from hdfs_mapreduce_spark.operators.dedup import (
+    exact_dedup,
+    minhash_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from hdfs_mapreduce_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_lsh,
+    cosine_pairs,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signatures",
+    "minhash_pairs",
+    "simhash_signatures",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "cosine_pairs",
+]

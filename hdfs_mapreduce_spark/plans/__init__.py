@@ -1,3 +1,21 @@
-from hdfs_mapreduce_spark.plans.relational import ORACLE_SQL, QUERIES
+from hdfs_mapreduce_spark.plans import (
+    dedup_plans,
+    relational,
+    similarity_plans,
+    text_plans,
+)
+
+QUERIES = {
+    **relational.QUERIES,
+    **text_plans.QUERIES,
+    **dedup_plans.QUERIES,
+    **similarity_plans.QUERIES,
+}
+ORACLE_SQL = {
+    **relational.ORACLE_SQL,
+    **text_plans.ORACLE_SQL,
+    **dedup_plans.ORACLE_SQL,
+    **similarity_plans.ORACLE_SQL,
+}
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

@@ -1,0 +1,202 @@
+"""Dedup queries over the documents table, with DuckDB oracle twins.
+
+The SQL is generated from the same permutation parameters, shingle size,
+band layout, and thresholds as operators/dedup.py — signatures are integer
+arithmetic end-to-end, so oracle matches are exact, not approximate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hdfs_mapreduce_spark.functions.hashing import MERSENNE_31, h56_sql
+from hdfs_mapreduce_spark.operators.dedup import (
+    HAMMING_MAX,
+    N_BANDS,
+    N_PERM,
+    PERMS,
+    ROWS_PER_BAND,
+    SHINGLE_K,
+    SIMHASH_BITS,
+    SIMHASH_BYTES,
+    exact_dedup,
+    minhash_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from hdfs_mapreduce_spark.sources.catalog import load_table
+
+MINHASH_THRESHOLD = 0.5
+NGRAM_THRESHOLD = 0.5
+
+# ---- shared DuckDB fragments -------------------------------------------------
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+_SHINGLE_PARTS = " || ' ' || ".join(f"toks[i+{j}]" for j in range(SHINGLE_K))
+_SHINGLES = (
+    f"CASE WHEN len(toks) >= {SHINGLE_K} THEN "
+    f"list_transform(generate_series(1, len(toks) - {SHINGLE_K - 1}), "
+    f"i -> {_SHINGLE_PARTS}) "
+    "ELSE [array_to_string(toks, ' ')] END"
+)
+_SH = f"list_distinct(list_transform({_SHINGLES}, s -> {h56_sql('s')}))"
+
+
+def _mh_sql(i: int) -> str:
+    a, b = PERMS[i]
+    return (
+        f"list_min(list_transform(sh, x -> "
+        f"({a} * (x % {MERSENNE_31}) + {b}) % {MERSENNE_31}))"
+    )
+
+
+_BASE_CTE = f"""
+    base AS (
+        SELECT doc, sh,
+               {', '.join(f'{_mh_sql(i)} AS mh{i}' for i in range(N_PERM))}
+        FROM (SELECT doc_id AS doc, {_SH} AS sh
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+              WHERE len(toks) >= 1) s
+    )
+"""
+
+
+def _band_key_sql(b: int) -> str:
+    cols = [f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)]
+    return " || ':' || ".join(cols)
+
+
+_BANDS_CTE = "bands AS (" + " UNION ALL ".join(
+    f"SELECT doc, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM base"
+    for b in range(N_BANDS)
+) + ")"
+
+
+# ---- queries -------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text")
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
+
+
+def dedup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs, "doc_id", "text")
+
+
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", HAMMING_MAX)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_THRESHOLD)
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_sigs": dedup_minhash_sigs,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_simhash_sigs": dedup_simhash_sigs,
+    "dedup_simhash_pairs": dedup_simhash_pairs,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+}
+
+_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_SIG = " + ".join(
+    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+_SIMHASH_CTE = f"""
+    tok AS (SELECT doc_id AS doc, unnest({_TOKS}) AS token FROM documents),
+    hashed AS (SELECT doc, {h56_sql('token')} AS h FROM tok),
+    votes AS (SELECT doc, {_SIMHASH_VOTES} FROM hashed GROUP BY doc),
+    sigs AS (SELECT doc, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes)
+"""
+_SIMHASH_BANDS = "simbands AS (" + " UNION ALL ".join(
+    f"SELECT doc, simhash, {b} AS band_idx, (simhash >> {8 * b}) & 255 AS band_key FROM sigs"
+    for b in range(SIMHASH_BYTES)
+) + ")"
+
+ORACLE_SQL = {
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """,
+    "dedup_minhash_sigs": f"""
+        WITH {_BASE_CTE}
+        SELECT doc AS doc_id,
+               {', '.join(f'mh{i}' for i in range(N_PERM))}
+        FROM base ORDER BY doc_id
+    """,
+    "dedup_minhash_pairs": f"""
+        WITH {_BASE_CTE},
+        {_BANDS_CTE},
+        cand AS (
+            SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc < r.doc
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(a.sh || b.sh)) AS jaccard
+            FROM cand c
+            JOIN base a ON a.doc = c.doc_a
+            JOIN base b ON b.doc = c.doc_b
+        ) WHERE jaccard >= {MINHASH_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_simhash_sigs": f"""
+        WITH {_SIMHASH_CTE}
+        SELECT doc, simhash FROM sigs ORDER BY doc
+    """,
+    "dedup_simhash_pairs": f"""
+        WITH {_SIMHASH_CTE},
+        {_SIMHASH_BANDS}
+        SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b,
+               bit_count(xor(l.simhash, r.simhash)) AS hamming
+        FROM simbands l JOIN simbands r
+          ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+         AND l.doc < r.doc
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= {HAMMING_MAX}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sets AS (
+            SELECT doc_id AS doc, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= 1
+        ),
+        sizes AS (SELECT doc, len(sh) AS sz FROM sets),
+        inv AS (SELECT doc, unnest(sh) AS h FROM sets),
+        shared AS (
+            SELECT l.doc AS doc_a, r.doc AS doc_b, COUNT(*) AS shared
+            FROM inv l JOIN inv r ON l.h = r.h AND l.doc < r.doc
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT s.doc_a, s.doc_b,
+                   CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) AS jaccard
+            FROM shared s
+            JOIN sizes sa ON sa.doc = s.doc_a
+            JOIN sizes sb ON sb.doc = s.doc_b
+        ) WHERE jaccard >= {NGRAM_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+}

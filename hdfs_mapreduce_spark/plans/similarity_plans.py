@@ -1,0 +1,105 @@
+"""Similarity-search queries over the embeddings table, with DuckDB oracles.
+
+The cosine expression in SQL mirrors the Spark expression shape exactly
+(sequential left-fold in index order, all-double) so the floating-point
+results are bit-identical, not merely close.
+
+``ann_lsh`` has no SQL oracle (multi-probe LSH bucketing is genuinely
+procedural); the driver records a rows-only check and tests/test_similarity.py
+checks its recall against the brute-force baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hdfs_mapreduce_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_lsh,
+    cosine_pairs,
+)
+from hdfs_mapreduce_spark.sources.catalog import load_table
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+TOP_K = 10
+PAIR_THRESHOLD = 0.4
+
+# dot(a,b) with the same fold order as Spark's aggregate(zip_with(...)).
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+    "(acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), "
+    "(acc, v) -> acc + v))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"({_DOT.format(a=a, b=b)} / "
+        f"({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+    )
+
+
+def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_bruteforce(emb, QUERY_IDS, TOP_K)
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, QUERY_IDS, TOP_K)
+
+
+def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, PAIR_THRESHOLD)
+
+
+QUERIES = {
+    "ann_bruteforce": ann_bruteforce,
+    "ann_lsh": ann_lsh,
+    "dedup_embedding_pairs": dedup_embedding_pairs,
+}
+
+_IDS = ", ".join(str(i) for i in QUERY_IDS)
+
+ORACLE_SQL = {
+    "ann_bruteforce": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+            WHERE vec_id IN ({_IDS})
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_cos('q.qvec', 'e.embedding')} AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    # ann_lsh: intentionally no oracle (procedural multi-probe LSH).
+    # cos_sim is rounded to 6 decimals on BOTH sides: the Spark operator runs
+    # a BLAS matmul (pairwise summation) while this SQL folds sequentially —
+    # they agree at 6 decimals, not at the last ulp.
+    "dedup_embedding_pairs": f"""
+        SELECT vec_a, vec_b, cos_sim FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round({_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ) WHERE cos_sim >= {PAIR_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
+}

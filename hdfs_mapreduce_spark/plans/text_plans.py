@@ -1,0 +1,150 @@
+"""Text-analysis queries over the documents table, with DuckDB oracle twins.
+
+The SQL strings are *generated from the same constants* (stopword lists,
+priority order, moduli) as the Column expressions in functions/text.py, so
+the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_mapreduce_spark.functions.hashing import ROLL_MOD, h56_sql
+from hdfs_mapreduce_spark.functions.text import (
+    LANG_PRIORITY,
+    STOPWORDS,
+    alpha_ratio,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from hdfs_mapreduce_spark.sources.catalog import load_table
+
+# ---- shared SQL fragments (DuckDB) -----------------------------------------
+_TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+_NTOK = f"len({_TOKS})"
+
+
+def _sw_count_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"t -> t <> '' AND list_contains([{words}], t)))"
+    )
+
+
+_ALPHA = (
+    "(CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE)"
+    " / length(text) ELSE 0.0 END)"
+)
+_PUNCT = (
+    "(CASE WHEN length(text) > 0 THEN "
+    "CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)"
+    " / length(text) ELSE 0.0 END)"
+)
+_SWRATIO = (
+    f"(CASE WHEN {_NTOK} > 0 THEN CAST({_sw_count_sql('en')} AS DOUBLE) / {_NTOK} "
+    "ELSE 0.0 END)"
+)
+_QUALITY = (
+    f"(0.4 * least({_NTOK} / 20.0, 1.0) + 0.4 * {_ALPHA} "
+    f"+ 0.2 * least({_SWRATIO} * 5.0, 1.0))"
+)
+
+
+def _langid_sql() -> str:
+    score = {lang: _sw_count_sql(lang) for lang in LANG_PRIORITY}
+    cases = []
+    for lang in LANG_PRIORITY:
+        conds = [f"{score[lang]} > 0"]
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            op = ">" if LANG_PRIORITY.index(other) < LANG_PRIORITY.index(lang) else ">="
+            conds.append(f"{score[lang]} {op} {score[other]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    cjk = "length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))"
+    return (
+        f"CASE WHEN length(text) > 0 AND CAST({cjk} AS DOUBLE)/length(text) > 0.3 "
+        f"THEN 'zh' {' '.join(cases)} ELSE 'und' END"
+    )
+
+
+_FP = (
+    f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    f"list_transform({_TOKS}, t -> {h56_sql('t')})), "
+    f"(acc, x) -> (acc * 31 + x) % {ROLL_MOD})"
+)
+
+
+# ---- queries ----------------------------------------------------------------
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char statistics — one narrow projection, one pass,
+    no shuffle; at 100 TB this is a pure map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        alpha_ratio(t).alias("alpha_ratio"),
+        punct_ratio(t).alias("punct_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID + distribution: per-language document counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document (integer
+    arithmetic → exact oracle parity)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLE_SQL = {
+    "text_stats": f"""
+        SELECT doc_id, {_NTOK} AS n_tokens, {_ALPHA} AS alpha_ratio,
+               {_PUNCT} AS punct_ratio, {_SWRATIO} AS stopword_ratio
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality": f"""
+        SELECT doc_id, {_QUALITY} AS quality FROM documents ORDER BY doc_id
+    """,
+    "text_langid": f"""
+        SELECT {_langid_sql()} AS lang_pred, COUNT(*) AS n_docs
+        FROM documents GROUP BY 1 ORDER BY lang_pred
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id, {_FP} AS fp FROM documents ORDER BY doc_id
+    """,
+}

@@ -12,6 +12,10 @@ from tests.oracle import assert_matches_oracle
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, ddb, name):
     df = QUERIES[name](spark, SF_CORRECTNESS)
+    if name not in ORACLE_SQL:
+        # Non-SQL-expressible op: rows-only check (mirrors the driver).
+        df.collect()
+        return
     assert_matches_oracle(df, ddb, ORACLE_SQL[name], name)
 
 

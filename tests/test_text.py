@@ -1,0 +1,50 @@
+"""Unit tests for text-analysis functions on crafted fixtures (the synthetic
+documents table is all English-ish, so language ID needs real multilingual
+rows to prove itself)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdfs_mapreduce_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+FIXTURE = [
+    ("the cat sat on the mat and it is warm", "en"),
+    ("der hund ist nicht mit der katze und ich", "de"),
+    ("le chat est dans la maison et il est pour les", "fr"),
+    ("el perro no es un gato que se fue por los", "es"),
+    ("这是一个中文句子没有空格但是很长", "zh"),
+    ("", "und"),
+    ("zzz qqq xxx", "und"),
+]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(FIXTURE, "text string, expected string")
+    rows = df.select("expected", lang_id(F.col("text")).alias("got")).collect()
+    for r in rows:
+        assert r["got"] == r["expected"], f"{r['expected']} misdetected as {r['got']}"
+
+
+def test_token_count_and_quality_bounds(spark):
+    df = spark.createDataFrame([(t,) for t, _ in FIXTURE], "text string")
+    rows = df.select(
+        token_count(F.col("text")).alias("n"),
+        quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert rows[0]["n"] == 10
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("c b a",), ("a b c",)], "text string"
+    )
+    fps = [r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[2]  # identical text → identical fingerprint
+    assert fps[0] != fps[1]  # reordered tokens → different fingerprint

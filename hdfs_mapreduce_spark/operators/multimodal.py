@@ -1,0 +1,136 @@
+"""Multimodal column support: image/audio/video as opaque binary columns with
+typed metadata, processed by Arrow-batched pandas functions.
+
+Design (the part that must be right at 100 TB):
+* payloads are ``BinaryType`` columns riding next to a ``StructType`` metadata
+  column (mime, n_bytes, sha256) — content-addressable, pruneable: queries
+  that only need metadata never deserialize payload bytes, and Parquet stores
+  the binary column separately so column pruning skips it entirely;
+* per-batch processing via ``mapInPandas`` — Arrow moves binary columns
+  zero-copy into pandas ``bytes`` objects, the UDF sees a whole batch
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps batch memory:
+  payload_size × batch_rows must fit the executor);
+* the actual codecs (PIL/ffmpeg/librosa) are NOT in this container — decode
+  functions are stubbed: ``decode_payload`` raises ``NotImplementedError``
+  unless handed ``fake_decoder``, a clearly-marked deterministic fake that
+  derives a fixed-shape feature vector from the payload bytes. The Spark-side
+  plumbing — schema, partitioning, UDF signature, batch shape — is real and
+  tested either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PAYLOAD_SCHEMA = (
+    "id long, payload binary, "
+    "meta struct<mime: string, n_bytes: long, sha256: string>"
+)
+
+FEATURE_DIM = 16
+
+
+def attach_payload(
+    df: DataFrame, id_col: str, content_col: str, mime: str = "text/plain"
+) -> DataFrame:
+    """Turn a content column into the canonical multimodal shape:
+    (id, payload binary, meta struct). For real media the payload would come
+    off object storage; here text bytes stand in — the column types and
+    everything downstream are exactly the real shapes."""
+    payload = F.encode(F.col(content_col), "UTF-8")
+    return df.select(
+        F.col(id_col).alias("id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def payload_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only scan: never touches payload bytes (column pruning —
+    check .explain ReadSchema when the source is Parquet)."""
+    return df.select(
+        "id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    ).orderBy("id")
+
+
+def content_dedup(df: DataFrame) -> DataFrame:
+    """Content-addressed exact dedup over payload hashes — binary twin of
+    operators.dedup.exact_dedup."""
+    return (
+        df.groupBy(F.col("meta.sha256").alias("content_hash"))
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+def fake_decoder(payload: bytes) -> list[float]:
+    """DETERMINISTIC FAKE decoder (image/audio libs absent in this
+    environment): derives FEATURE_DIM floats in [0,1) from a rolling byte
+    hash. Stands in for "decode + feature-extract"; swap for a real codec in
+    production. Marked fake on purpose — do not interpret outputs."""
+    feats = []
+    acc = 2166136261
+    for i in range(FEATURE_DIM):
+        for b in payload[i::FEATURE_DIM] or b"\x00":
+            acc = (acc ^ b) * 16777619 % (1 << 32)
+        feats.append((acc % 10_000) / 10_000.0)
+    return feats
+
+
+def decode_payload(
+    df: DataFrame,
+    decoder: Callable[[bytes], list[float]] | None = None,
+    batch_size_hint: int | None = None,
+) -> DataFrame:
+    """Decode/feature-extract each payload via mapInPandas (Arrow-batched:
+    one Python call per batch, not per row). With no ``decoder`` this raises
+    NotImplementedError at execution time — the real codec isn't installed;
+    pass ``fake_decoder`` for plumbing tests."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if decoder is None:
+                raise NotImplementedError(
+                    "no media codec installed in this environment; pass "
+                    "decoder=fake_decoder for a deterministic stand-in"
+                )
+            yield pd.DataFrame(
+                {
+                    "id": batch["id"],
+                    "features": [decoder(p) for p in batch["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema="id long, features array<double>")
+
+
+def frame_sample(
+    df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Video-style frame sampling on the byte stream: emit up to
+    ``max_frames`` fixed-stride slices per payload as (id, frame_idx, frame).
+    A UDTF-shaped mapInPandas (0..n output rows per input) — the same batch
+    shape a real ffmpeg frame sampler would use."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload in zip(batch["id"], batch["payload"]):
+                for fi in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    ids.append(rid)
+                    idxs.append(fi)
+                    frames.append(payload[fi * every_n_bytes : (fi + 1) * every_n_bytes])
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.mapInPandas(run, schema="id long, frame_idx int, frame binary")

@@ -1,5 +1,6 @@
 from hdfs_mapreduce_spark.plans import (
     dedup_plans,
+    pipeline_plans,
     relational,
     similarity_plans,
     text_plans,
@@ -10,12 +11,14 @@ QUERIES = {
     **text_plans.QUERIES,
     **dedup_plans.QUERIES,
     **similarity_plans.QUERIES,
+    **pipeline_plans.QUERIES,
 }
 ORACLE_SQL = {
     **relational.ORACLE_SQL,
     **text_plans.ORACLE_SQL,
     **dedup_plans.ORACLE_SQL,
     **similarity_plans.ORACLE_SQL,
+    **pipeline_plans.ORACLE_SQL,
 }
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

@@ -1,0 +1,66 @@
+"""Structured Streaming: the streaming windowed agg must equal its batch twin
+(availableNow trigger over the same parquet)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from hdfs_mapreduce_spark.streaming.events import (
+    sessionize,
+    stream_windowed_event_stats,
+    windowed_event_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_equals_batch(spark):
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    batch_rows = windowed_event_stats(spark, SF).collect()
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch_rows
+    }
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_windowed_event_stats(spark, SF, checkpoint_dir=ckpt)
+            .format("memory")
+            .queryName("windowed_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM windowed_stream").collect()
+    }
+    # Append mode emits a window only once the watermark passes its end —
+    # windows newer than (max_ts - 1h watermark) stay in state when the
+    # stream drains. Closed windows must match batch exactly.
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    closed = {
+        k: v
+        for k, v in batch.items()
+        if k[0] + timedelta(hours=1) <= max_ts - timedelta(hours=1)
+    }
+    assert stream == closed
+    assert len(closed) > 100
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 0)),
+        (2, 10, datetime(2024, 1, 1, 0, 10)),  # same session (10 min gap)
+        (3, 10, datetime(2024, 1, 1, 1, 0)),  # new session (50 min gap)
+        (4, 20, datetime(2024, 1, 1, 0, 0)),  # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["event_id"]: r["session_seq"] for r in sessionize(df, 30).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 1}

@@ -1,0 +1,74 @@
+"""As-of (point-in-time) join — a core operator the reference lacks and Spark
+has no built-in for.
+
+``as_of_join(left, right, ...)`` attaches, to every left row, the most recent
+right row for the same key with right.time <= left.time.
+
+Implementation is the scale-correct union + forward-fill formulation, NOT a
+range join: a ``t <= T`` theta-join explodes quadratically per key, while this
+plan is one union, one shuffle on the key, one window sort:
+
+    union(left-tagged, right-tagged)
+      → Window.partitionBy(key).orderBy(time, side, tiebreak)
+      → last_value(right_cols, ignoreNulls) forward-fill
+      → keep left rows
+
+Right rows sort *before* left rows at equal time (side 0 < 1), so ties are
+inclusive (right at exactly left.time is visible). With multiple right rows
+at the same (key, time), the tiebreak column decides deterministically —
+which also makes the DuckDB oracle (same window formulation) hash-exact,
+something DuckDB's native ASOF JOIN wouldn't guarantee under ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    value_cols: list[str],
+    right_tiebreak: str,
+) -> DataFrame:
+    """Columns of the result: all of ``left`` plus ``value_cols`` (nullable —
+    null when no right row precedes the left row)."""
+    lcols = left.columns
+    l = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+    )
+    r = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.col(right_tiebreak).cast("long").alias("__tb"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__side"), F.col("__tb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+    )

@@ -174,6 +174,105 @@ def q10b_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q11: semi join (complement of Q8) ----------------------------------------
+def q11_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# --- Q12: ROLLUP subtotals ------------------------------------------------------
+def q12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+# --- Q13: CUBE ------------------------------------------------------------------
+def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    small = events.select(
+        "event_type", F.pmod("user_id", F.lit(2)).cast("int").alias("user_bucket"), "value"
+    )
+    return (
+        small.cube("event_type", "user_bucket")
+        .agg(F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(),
+            F.col("user_bucket").asc_nulls_first(),
+        )
+    )
+
+
+# --- Q14: UNION ALL + EXCEPT ----------------------------------------------------
+def q14_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op coverage: (event users ∪ALL supplier keys) minus customer keys,
+    deduplicated by EXCEPT."""
+    events = load_table(spark, sf_dir, "events")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    pool = events.select(F.col("user_id").alias("id")).unionAll(
+        supplier.select(F.col("s_suppkey").cast("long").alias("id"))
+    )
+    return (
+        pool.exceptAll(customer.select(F.col("c_custkey").alias("id")))
+        .distinct()
+        .orderBy("id")
+    )
+
+
+# --- Q15: as-of join ------------------------------------------------------------
+def q15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every order: the most recent event of that customer at or before
+    the order date (point-in-time correctness — no future leakage). See
+    operators/asof.py for the union+forward-fill plan shape."""
+    from hdfs_mapreduce_spark.operators.asof import as_of_join
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    out = as_of_join(
+        orders,
+        events,
+        left_key="o_custkey",
+        right_key="user_id",
+        left_time="o_orderdate",
+        right_time="ts",
+        value_cols=["event_id", "event_type", "value"],
+        right_tiebreak="event_id",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value").alias("last_event_value"),
+    ).orderBy("o_orderkey")
+
+
+# --- Q16: approximate distinct (sketch; tolerance-tested, no hash oracle) -------
+def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketches differ across engines by design — FIXTURES.md excludes
+    this from hash matching; tests assert ±5% of the exact count instead."""
+    events = load_table(spark, sf_dir, "events")
+    return events.agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_u")
+    )
+
+
 QUERIES = {
     "q1_wordcount": q1_wordcount,
     "q2_filter_project": q2_filter_project,
@@ -186,6 +285,12 @@ QUERIES = {
     "q9_window_rank": q9_window_rank,
     "q10a_count_distinct": q10a_count_distinct,
     "q10b_intersect": q10b_intersect,
+    "q11_semi_join": q11_semi_join,
+    "q12_rollup": q12_rollup,
+    "q13_cube": q13_cube,
+    "q14_union_except": q14_union_except,
+    "q15_asof_join": q15_asof_join,
+    "q16_approx_distinct": q16_approx_distinct,
 }
 
 ORACLE_SQL = {
@@ -252,4 +357,66 @@ ORACLE_SQL = {
         SELECT c_custkey FROM customer
         ORDER BY user_id
     """,
+    "q11_semi_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "q12_rollup": """
+        SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    "q13_cube": """
+        SELECT event_type, user_bucket, SUM(value) AS sum_value, COUNT(*) AS cnt
+        FROM (SELECT event_type, CAST(user_id % 2 AS INT) AS user_bucket, value
+              FROM events)
+        GROUP BY CUBE(event_type, user_bucket)
+        ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
+    """,
+    "q14_union_except": """
+        SELECT DISTINCT id FROM (
+            SELECT id FROM (
+                SELECT user_id AS id FROM events
+                UNION ALL
+                SELECT CAST(s_suppkey AS BIGINT) AS id FROM supplier
+            )
+            EXCEPT ALL
+            SELECT c_custkey AS id FROM customer
+        ) ORDER BY id
+    """,
+    "q15_asof_join": """
+        WITH l AS (
+            SELECT o_custkey AS k, o_orderdate AS t, 1 AS side,
+                   CAST(NULL AS BIGINT) AS tb,
+                   o_orderkey, o_custkey,
+                   CAST(NULL AS BIGINT) AS v_event_id,
+                   CAST(NULL AS VARCHAR) AS v_event_type,
+                   CAST(NULL AS DOUBLE) AS v_value
+            FROM orders
+        ),
+        r AS (
+            SELECT user_id AS k, ts AS t, 0 AS side, event_id AS tb,
+                   CAST(NULL AS BIGINT) AS o_orderkey,
+                   CAST(NULL AS BIGINT) AS o_custkey,
+                   event_id AS v_event_id, event_type AS v_event_type,
+                   value AS v_value
+            FROM events
+        ),
+        filled AS (
+            SELECT *,
+                   last_value(v_event_id IGNORE NULLS) OVER w AS last_event_id,
+                   last_value(v_event_type IGNORE NULLS) OVER w AS last_event_type,
+                   last_value(v_value IGNORE NULLS) OVER w AS last_event_value
+            FROM (SELECT * FROM l UNION ALL SELECT * FROM r)
+            WINDOW w AS (PARTITION BY k ORDER BY t, side, tb
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT o_orderkey, o_custkey, last_event_id, last_event_type,
+               last_event_value
+        FROM filled WHERE side = 1 ORDER BY o_orderkey
+    """,
+    # q16_approx_distinct: no oracle — sketch results are engine-specific
+    # (FIXTURES.md tolerance protocol; tests/test_relational_extra.py).
 }

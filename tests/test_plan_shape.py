@@ -1,0 +1,98 @@
+"""Physical-plan shape assertions — the 100 TB posture checks.
+
+Correctness tests prove the answers; these prove the *plans* are the ones
+that survive a 1000x scale-up: filters reach the parquet scan, projections
+prune columns, small dims broadcast, aggregates have map-side partials, and
+top-k never materializes a global sort.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from hdfs_mapreduce_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_q2_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(QUERIES["q2_filter_project"](spark, SF))
+    assert "PushedFilters" in plan and "p_size" in plan.split("PushedFilters")[1].split("]")[0]
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    # only the 3 projected columns are read — not the full part schema
+    assert "p_partkey" in read_schema and "p_brand" in read_schema
+    assert "p_retailprice" not in read_schema and "p_name" not in read_schema
+
+
+def test_q7_broadcasts_small_dims(spark):
+    plan = plan_of(QUERIES["q7_join_agg"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # nation (25 rows) must broadcast
+
+
+def test_q6_topk_no_global_sort(spark):
+    plan = plan_of(QUERIES["q6_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan  # per-partition top-k + merge
+
+
+def test_q4_partial_aggregation(spark):
+    plan = plan_of(QUERIES["q4_multi_agg"](spark, SF))
+    # partial (map-side) + final HashAggregate pair — the combiner the
+    # reference never had (SURVEY §2.4)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan or "partial" in plan.lower()
+
+
+def test_q1_wordcount_partial_aggregation(spark):
+    plan = plan_of(QUERIES["q1_wordcount"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q8_anti_join_strategy(spark):
+    plan = plan_of(QUERIES["q8_anti_join"](spark, SF))
+    assert "LeftAnti" in plan
+
+
+def test_metadata_scan_prunes_payload(spark, tmp_path):
+    """multimodal payload_stats over parquet must not read payload bytes."""
+    from hdfs_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        payload_stats,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "payloads.parquet")
+    attach_payload(docs, "doc_id", "text").write.parquet(path)
+    stats = payload_stats(spark.read.parquet(path))
+    plan = plan_of(stats)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "payload" not in read_schema  # binary column pruned
+    assert "meta" in read_schema
+    assert stats.count() == docs.count()
+
+
+def test_text_analysis_stays_jvm_side(spark):
+    """Text analysis is pure Column expressions — no Python evaluation node
+    (BatchEvalPython / ArrowEvalPython / mapInPandas) may appear: one Project
+    straight over the FileScan."""
+    plan = plan_of(QUERIES["text_quality"](spark, SF), mode="simple")
+    assert "Python" not in plan
+    assert "FileScan parquet" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q3_group_avg", "q5_sorted_distinct", "q7_join_agg"]
+)
+def test_aqe_enabled_for_shuffles(spark, name):
+    plan = plan_of(QUERIES[name](spark, SF), mode="simple")
+    assert "AdaptiveSparkPlan" in plan

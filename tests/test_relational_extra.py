@@ -1,0 +1,54 @@
+"""Tolerance test for the approx-distinct sketch (excluded from hash
+matching by FIXTURES.md) and as-of join point-in-time semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from hdfs_mapreduce_spark.plans.relational import q16_approx_distinct
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_approx_distinct_within_tolerance(spark, ddb):
+    approx = q16_approx_distinct(spark, SF_CORRECTNESS).collect()[0]["approx_u"]
+    exact = ddb.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert abs(approx - exact) / exact <= 0.05, (approx, exact)
+
+
+def test_asof_join_semantics(spark):
+    from hdfs_mapreduce_spark.operators.asof import as_of_join
+
+    orders = spark.createDataFrame(
+        [
+            (100, 1, datetime(2024, 1, 10)),  # after e2 → picks e2
+            (101, 1, datetime(2024, 1, 5)),   # exactly at e1 → inclusive
+            (102, 1, datetime(2024, 1, 1)),   # before any event → null
+            (103, 2, datetime(2024, 6, 1)),   # user with no events → null
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 5), 11, "a", 1.0),
+            (1, datetime(2024, 1, 7), 12, "b", 2.0),
+            (1, datetime(2024, 1, 7), 13, "c", 3.0),  # tie → higher event_id wins
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string, value double",
+    )
+    out = {
+        r["o_orderkey"]: (r["event_id"], r["event_type"])
+        for r in as_of_join(
+            orders,
+            events,
+            left_key="o_custkey",
+            right_key="user_id",
+            left_time="o_orderdate",
+            right_time="ts",
+            value_cols=["event_id", "event_type", "value"],
+            right_tiebreak="event_id",
+        ).collect()
+    }
+    assert out[100] == (13, "c")  # latest ts, deterministic tie-break
+    assert out[101] == (11, "a")  # inclusive boundary
+    assert out[102] == (None, None)  # no prior event
+    assert out[103] == (None, None)  # unseen key

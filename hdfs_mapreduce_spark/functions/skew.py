@@ -1,0 +1,63 @@
+"""Skew mitigation: deterministic salting for hot aggregation keys.
+
+At 100 TB a handful of hot keys (empty documents, boilerplate tokens, null
+user ids) concentrate a shuffle partition onto one executor. AQE's skew-join
+splitting handles *joins*; for aggregations the classic fix is two-phase
+salted aggregation:
+
+    groupBy(key, salt) partial-agg   -- spreads a hot key over n_salts tasks
+      → groupBy(key) final-agg       -- recombines the partials
+
+Only algebraic aggregates survive re-aggregation (sum/count/min/max — avg is
+computed as sum/count). The salt is deterministic (hash of a caller-chosen
+distributor column, not rand()), so runs are reproducible and tests can
+assert exact equality with the unsalted plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_ALGEBRAIC = {"sum", "count", "min", "max", "avg"}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    distributor: str | Column,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: ``aggs`` maps output-column → (fn, input-col)
+    with fn in {sum, count, min, max, avg}. ``distributor`` is any column
+    with per-row variety (an id, a timestamp) used to derive the salt."""
+    for fn, _ in aggs.values():
+        if fn not in _ALGEBRAIC:
+            raise ValueError(f"non-algebraic aggregate cannot be salted: {fn}")
+
+    salt = F.pmod(F.xxhash64(distributor), F.lit(n_salts)).alias("__salt")
+
+    partial_cols, final_cols = [], []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            partial_cols.append(F.count(F.lit(1)).alias(f"__p_{out}"))
+            final_cols.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "sum":
+            partial_cols.append(F.sum(col).alias(f"__p_{out}"))
+            final_cols.append(F.sum(f"__p_{out}").alias(out))
+        elif fn == "min":
+            partial_cols.append(F.min(col).alias(f"__p_{out}"))
+            final_cols.append(F.min(f"__p_{out}").alias(out))
+        elif fn == "max":
+            partial_cols.append(F.max(col).alias(f"__p_{out}"))
+            final_cols.append(F.max(f"__p_{out}").alias(out))
+        elif fn == "avg":
+            partial_cols.append(F.sum(col).alias(f"__ps_{out}"))
+            partial_cols.append(F.count(col).alias(f"__pc_{out}"))
+            final_cols.append(
+                (F.sum(f"__ps_{out}") / F.sum(f"__pc_{out}")).alias(out)
+            )
+
+    partial = df.groupBy(*keys, salt).agg(*partial_cols)
+    return partial.groupBy(*keys).agg(*final_cols)

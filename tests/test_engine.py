@@ -1,0 +1,119 @@
+"""Engine facade (PUT/GET/ls/rm/stats/COMPUTE) and skew-salting tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from hdfs_mapreduce_spark.engine import Engine
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    return Engine(spark, str(tmp_path / "warehouse"))
+
+
+def test_put_get_ls_rm_stats(engine, tmp_path):
+    src = tmp_path / "dracula.txt"
+    src.write_text("the quick brown fox\nthe lazy dog\n")
+    engine.put(str(src), "dracula", fmt="text")
+    assert engine.ls() == ["dracula"]
+    df = engine.get("dracula")
+    assert df.count() == 2
+    stats = engine.stats()
+    assert stats["dracula"]["n_files"] >= 1 and stats["dracula"]["n_bytes"] > 0
+    engine.rm("dracula")
+    assert engine.ls() == []
+    with pytest.raises(FileNotFoundError):
+        engine.rm("dracula")
+
+
+def test_put_collision_rejected(engine, tmp_path):
+    src = tmp_path / "f.txt"
+    src.write_text("x\n")
+    engine.put(str(src), "t", fmt="text")
+    with pytest.raises(Exception):  # name collision, like the controller check
+        engine.put(str(src), "t", fmt="text")
+
+
+def test_compute_word_count_end_to_end(engine, tmp_path):
+    """The reference's flagship job through the full verb surface:
+    PUT text → COMPUTE(map, reduce) → output stored as a table → GET."""
+    src = tmp_path / "book.txt"
+    src.write_text("the quick\tbrown fox\nthe  lazy dog\n\nfox\tfox fox\ndog\n")
+
+    def mapper(rec):
+        for tok in rec["value"].replace("\t", " ").split(" "):
+            if tok:
+                yield {"key": tok, "value": 1}
+
+    def reducer(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"token": [key[0]], "cnt": [int(pdf["value"].sum())]})
+
+    engine.put(str(src), "book", fmt="text")
+    out = engine.compute(
+        "book",
+        mapper,
+        reducer,
+        map_schema="key string, value long",
+        reduce_schema="token string, cnt long",
+        output_name="wc",
+    )
+    got = {r["token"]: r["cnt"] for r in out.collect()}
+    assert got == {"the": 2, "quick": 1, "brown": 1, "fox": 4, "lazy": 1, "dog": 2}
+    assert "wc" in engine.ls()
+
+
+def test_salted_aggregate_equals_plain(spark):
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.functions.skew import salted_aggregate
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    plain = {
+        r["event_type"]: (r["n"], r["s"], round(r["a"], 9), r["mn"], r["mx"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.avg("value").alias("a"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["event_type"]: (r["n"], r["s"], round(r["a"], 9), r["mn"], r["mx"])
+        for r in salted_aggregate(
+            events,
+            keys=["event_type"],
+            aggs={
+                "n": ("count", "value"),
+                "s": ("sum", "value"),
+                "a": ("avg", "value"),
+                "mn": ("min", "value"),
+                "mx": ("max", "value"),
+            },
+            distributor="event_id",
+            n_salts=8,
+        ).collect()
+    }
+    # float sums can differ in association order; compare at 9 decimals
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        pn, ps, pa, pmn, pmx = plain[k]
+        sn, ss, sa, smn, smx = salted[k]
+        assert (pn, pmn, pmx) == (sn, smn, smx)
+        assert abs(ps - ss) < 1e-6 and abs(pa - sa) < 1e-9
+
+
+def test_salted_rejects_non_algebraic(spark):
+    from hdfs_mapreduce_spark.functions.skew import salted_aggregate
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    with pytest.raises(ValueError):
+        salted_aggregate(
+            events, ["event_type"], {"m": ("median", "value")}, "event_id"
+        )

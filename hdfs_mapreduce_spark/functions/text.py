@@ -35,6 +35,23 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs that behave
+# identically under Java regex (Spark) and RE2 (DuckDB): leftmost-first
+# alternation, no lookahead. Splits contractions ('s, 'll), letter runs,
+# digit runs, and punctuation runs — the unit a BPE vocabulary would merge
+# from, so len(matches) approximates a BPE token count.
+BPE_REGEX = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokens (array<string>); pure JVM regex, no Python."""
+    return F.regexp_extract_all(col, F.lit(BPE_REGEX), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    return F.size(bpe_tokens(col))
+
+
 def alpha_ratio(col: Column) -> Column:
     """Fraction of characters that are ASCII letters (0 for empty text)."""
     n = F.length(col)

@@ -167,6 +167,94 @@ def ann_topk_lsh(
     )
 
 
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    1. **Train** — ``nlist`` corpus vectors become centroids, chosen by a
+       deterministic multiplicative-hash scramble of the id (spread across the
+       id space, stable across runs). Collected to the driver: nlist × dim
+       doubles, a few KB regardless of corpus size — the same "fit tiny model,
+       broadcast it" shape as KMeans.fit.
+    2. **Assign** — every corpus vector gets its argmax-cosine cell from one
+       Arrow-batched pandas UDF (a single BLAS matmul per batch; the centroid
+       matrix rides along in the UDF closure = a broadcast).
+    3. **Probe** — each query expands to its ``nprobe`` nearest cells and the
+       candidate set is the equi-join on ``cell``: only ~nprobe/nlist of the
+       corpus is scored per query. At 100 TB the corpus is assigned once (or
+       partitioned-on-write by cell) and each query touches nprobe partitions
+       instead of a full scan.
+
+    Approximate; no SQL oracle (rows-only driver check) — recall vs the
+    brute-force baseline is asserted in tests/test_similarity.py.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    # Deterministic "random" sample: Knuth multiplicative scramble of the id.
+    cent_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(
+            ((F.col(id_col) * F.lit(2654435761)) % F.lit(1 << 32)).asc(),
+            F.col(id_col),
+        )
+        .limit(nlist)
+        .collect()
+    )
+    cmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    @F.pandas_udf(IntegerType())
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.values).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.Series(np.argmax(m @ cmat.T, axis=1).astype("int32"))
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.values).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        order = np.argsort(-(m @ cmat.T), kind="stable", axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32") for row in order])
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+    queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+        .orderBy("query_id", "rank")
+    )
+
+
 def cosine_pairs(
     embeddings: DataFrame,
     threshold: float = 0.4,

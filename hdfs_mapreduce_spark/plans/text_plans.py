@@ -12,9 +12,11 @@ from pyspark.sql import functions as F
 
 from hdfs_mapreduce_spark.functions.hashing import ROLL_MOD, h56_sql
 from hdfs_mapreduce_spark.functions.text import (
+    BPE_REGEX,
     LANG_PRIORITY,
     STOPWORDS,
     alpha_ratio,
+    bpe_token_count,
     fingerprint,
     lang_id,
     punct_ratio,
@@ -124,7 +126,23 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document — the tokens-per-doc
+    accounting a training pipeline runs before packing; pure map stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count(t).alias("n_ws_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
+# Same pattern string, with the single-quote doubled for a SQL literal.
+_BPE_SQL = BPE_REGEX.replace("'", "''")
+
 QUERIES = {
+    "text_tokens": text_tokens,
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -132,6 +150,11 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "text_tokens": f"""
+        SELECT doc_id, {_NTOK} AS n_ws_tokens,
+               len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+    """,
     "text_stats": f"""
         SELECT doc_id, {_NTOK} AS n_tokens, {_ALPHA} AS alpha_ratio,
                {_PUNCT} AS punct_ratio, {_SWRATIO} AS stopword_ratio

@@ -26,6 +26,8 @@ are bit-identical and 6-decimal rounding in the driver's hash is safe.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves stringified hints here
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -196,7 +198,6 @@ def ann_topk_ivf(
     brute-force baseline is asserted in tests/test_similarity.py.
     """
     import numpy as np
-    import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType
 
     # Deterministic "random" sample: Knuth multiplicative scramble of the id.

@@ -4,9 +4,10 @@ The cosine expression in SQL mirrors the Spark expression shape exactly
 (sequential left-fold in index order, all-double) so the floating-point
 results are bit-identical, not merely close.
 
-``ann_lsh`` has no SQL oracle (multi-probe LSH bucketing is genuinely
-procedural); the driver records a rows-only check and tests/test_similarity.py
-checks its recall against the brute-force baseline.
+``ann_lsh`` and ``ann_ivf`` have no SQL oracle (multi-probe LSH bucketing
+and IVF coarse quantization are genuinely procedural); the driver records a
+rows-only check and tests/test_similarity.py checks their recall against the
+brute-force baseline.
 """
 
 from __future__ import annotations
@@ -15,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hdfs_mapreduce_spark.operators.similarity import (
     ann_topk_bruteforce,
+    ann_topk_ivf,
     ann_topk_lsh,
     cosine_pairs,
 )
@@ -55,6 +57,11 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, QUERY_IDS, TOP_K)
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(emb, QUERY_IDS, TOP_K)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, PAIR_THRESHOLD)
@@ -63,6 +70,7 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_lsh": ann_lsh,
+    "ann_ivf": ann_ivf,
     "dedup_embedding_pairs": dedup_embedding_pairs,
 }
 

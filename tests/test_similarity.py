@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from hdfs_mapreduce_spark.operators.similarity import (
     ann_topk_bruteforce,
+    ann_topk_ivf,
     ann_topk_lsh,
 )
 
@@ -51,6 +52,47 @@ def test_lsh_recall_on_cluster(spark):
     }
     assert brute <= lsh | brute  # sanity
     assert len(brute & lsh) == len(brute), f"LSH missed {brute - lsh}"
+
+
+def test_ivf_recall_on_cluster(spark):
+    """Near-identical vectors land in the same IVF cell (argmax cosine over
+    shared centroids), so probing recovers the full cluster."""
+    emb = _clustered(spark)
+    brute = {
+        r["neighbor_id"]
+        for r in ann_topk_bruteforce(emb, [0], k=5, id_col="vec_id").collect()
+    }
+    ivf = {
+        r["neighbor_id"]
+        for r in ann_topk_ivf(emb, [0], k=5, nlist=4, nprobe=2).collect()
+    }
+    assert len(brute & ivf) == len(brute), f"IVF missed {brute - ivf}"
+
+
+def test_ivf_is_subset_ranked_consistently(spark):
+    """IVF candidates are a corpus subset; every returned cos_sim must equal
+    the brute-force value for that pair, and recall@10 must clear 0.5 with
+    nprobe=8 of nlist=16 (deterministic fixture, deterministic centroids;
+    uniform-random embeddings are ANN's worst case — no cluster structure —
+    so expected recall is only ~nprobe/nlist)."""
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    brute_rows = ann_topk_bruteforce(emb, [0, 1], k=500).collect()
+    brute = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute_rows}
+    top10 = {
+        q: {r["neighbor_id"] for r in brute_rows if r["query_id"] == q and r["rank"] <= 10}
+        for q in (0, 1)
+    }
+    got: dict[int, set] = {0: set(), 1: set()}
+    for r in ann_topk_ivf(emb, [0, 1], k=10, nprobe=8).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in brute
+        assert abs(brute[key] - r["cos_sim"]) < 1e-12
+        got[r["query_id"]].add(r["neighbor_id"])
+    for q in (0, 1):
+        recall = len(got[q] & top10[q]) / len(top10[q])
+        assert recall >= 0.5, f"IVF recall@10 for query {q} = {recall}"
 
 
 def test_lsh_is_subset_ranked_consistently(spark):

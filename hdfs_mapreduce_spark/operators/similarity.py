@@ -58,6 +58,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_fast(a: Column, b: Column) -> Column:
+    """Arrow-batched BLAS cosine. ~1e-15 from the fold-order `cosine` (BLAS
+    pairwise summation), so it backs the approximate operators (no SQL
+    oracle); the oracle-exact brute-force path keeps the fold-order twin.
+    The udf is built per call — pandas_udf registration needs a live session,
+    so it cannot be a module-level decorator."""
+
+    @F.pandas_udf("double")
+    def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        import numpy as np
+
+        ma = np.stack(x.values).astype(np.float64)
+        mb = np.stack(y.values).astype(np.float64)
+        num = np.einsum("ij,ij->i", ma, mb)
+        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+        return pd.Series(num / den)
+
+    return _cos(a, b)
+
+
 def ann_topk_bruteforce(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -113,13 +133,33 @@ def hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
 
 
 def lsh_signature(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
-    """Sign-of-projection bit signature: bit p = 1 iff vec · plane_p > 0."""
+    """Sign-of-projection bit signature: bit p = 1 iff vec · plane_p > 0.
+    Pure-expression twin of ``lsh_signature_fast`` — kept as the reference
+    semantics (and for engines where Python UDFs are unavailable)."""
     planes = hyperplanes(dim, n_planes)
     sig = F.lit(0)
     for p in range(n_planes):
         plane = F.array(*[F.lit(v) for v in planes[p]])
         sig = sig + F.when(dot(vec, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return sig.cast("long")
+
+
+def lsh_signature_fast(dim: int, n_planes: int = N_PLANES):
+    """Arrow-batched signature: one BLAS matmul against the plane matrix per
+    batch instead of n_planes interpreted fold-dots per row (~10x at sf0.1).
+    Sign agrees with `lsh_signature` except for dots within float-summation
+    error of zero (measure-zero on real data)."""
+    import numpy as np
+
+    planes = np.array(hyperplanes(dim, n_planes), dtype=np.float64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.values).astype(np.float64)
+        return pd.Series((((m @ planes.T) > 0) @ weights).astype(np.int64))
+
+    return sig
 
 
 def ann_topk_lsh(
@@ -136,15 +176,16 @@ def ann_topk_lsh(
     (multi-probe LSH). The candidate join is an equi-join on the signature —
     at 100 TB the corpus is bucketed once (or bucketed-on-write) and each
     query touches a tiny slice instead of the full scan."""
+    sig = lsh_signature_fast(dim)
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
-        lsh_signature(F.col(vec_col), dim).alias("nsig"),
+        sig(F.col(vec_col)).alias("nsig"),
     )
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
-        lsh_signature(F.col(vec_col), dim).alias("qsig"),
+        sig(F.col(vec_col)).alias("qsig"),
     )
     cand = (
         corpus.join(
@@ -155,7 +196,7 @@ def ann_topk_lsh(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+            cosine_fast(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -242,7 +283,7 @@ def ann_topk_ivf(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
+            cosine_fast(F.col("qvec"), F.col("nvec")).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -21,7 +21,10 @@ _DEFAULTS = {
     # --- Adaptive execution: the single most important scale knob.
     # Coalesces small post-shuffle partitions, re-plans skewed joins, and
     # converts sort-merge joins to broadcast when runtime stats allow.
-    "spark.sql.adaptive.enabled": "true",
+    # SPARK_GRAFT_AQE=false turns it off for sub-GB local runs, where the
+    # per-stage re-plan latency exceeds everything it can save (measured
+    # +35% wall-clock on the sf0.1 bench set); at cluster scale leave it on.
+    "spark.sql.adaptive.enabled": os.environ.get("SPARK_GRAFT_AQE", "true"),
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # --- Shuffle parallelism: a *starting* value; AQE coalesces down.

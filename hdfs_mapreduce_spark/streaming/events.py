@@ -7,11 +7,11 @@ the SAME windowed aggregation runs as a batch DataFrame (oracle-checkable
 against DuckDB time_bucket) and as a ``readStream`` with watermarking
 (tested with the availableNow trigger: stream result == batch result).
 
-Sessionization is the classic "custom stateful operator": here it's
-expressed relationally (lag + gap > threshold + running sum) so it works in
-batch AND has a DuckDB oracle; a true incremental-streaming variant would use
-``applyInPandasWithState`` (session windows keyed by user) — the relational
-form is what you'd backfill with either way.
+Sessionization is the classic "custom stateful operator" and ships in both
+forms: relationally (lag + gap > threshold + running sum — batchable, with a
+DuckDB oracle; what you'd backfill with) and incrementally
+(``stream_sessionize``: ``applyInPandasWithState`` keyed by user, event-time
+state eviction). The test proves the two produce identical session ids.
 """
 
 from __future__ import annotations
@@ -53,17 +53,9 @@ def windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _windowed_agg(events).orderBy("window_start", "event_type")
 
 
-def stream_windowed_event_stats(
-    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
-):
-    """Streaming form: parquet source → 1h watermark → tumbling window agg.
-
-    Returns the DataStreamWriter (caller picks sink + trigger). Watermark
-    means late events beyond 1 hour are dropped and window state is evicted —
-    bounded state at any scale. With ``trigger(availableNow=True)`` this
-    processes the existing files and stops: used by tests to prove
-    stream ≡ batch.
-    """
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the batch loader's exact
+    timestamp semantics."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     batch_df = load_table(spark, sf_dir, "events")
@@ -85,12 +77,26 @@ def stream_windowed_event_stats(
         stage = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(src, os.path.join(stage, "events.parquet"))
         src = stage
-    stream = (
+    return (
         spark.readStream.schema(raw_schema)
         .format("parquet")
         .load(src)
         .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     )
+
+
+def stream_windowed_event_stats(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+):
+    """Streaming form: parquet source → 1h watermark → tumbling window agg.
+
+    Returns the DataStreamWriter (caller picks sink + trigger). Watermark
+    means late events beyond 1 hour are dropped and window state is evicted —
+    bounded state at any scale. With ``trigger(availableNow=True)`` this
+    processes the existing files and stops: used by tests to prove
+    stream ≡ batch.
+    """
+    stream = _events_stream(spark, sf_dir)
     agg = _windowed_agg(stream.withWatermark("ts", "1 hour"))
     writer = agg.writeStream.outputMode("append")
     if checkpoint_dir:
@@ -117,6 +123,78 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
         .over(w.rowsBetween(Window.unboundedPreceding, 0))
         .alias("session_seq"),
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    gap_min: int = SESSION_GAP_MIN,
+):
+    """Incremental sessionization — the custom stateful streaming operator
+    (`applyInPandasWithState`, keyed by user).
+
+    Per-user state is two numbers: (last event time, current session seq).
+    Each micro-batch sorts its rows per user, carries the gap rule across the
+    batch boundary through the state, and emits every event with its session
+    id. Event-time timeout evicts a user's state one gap past the watermark —
+    bounded state no matter how many users accumulate over time. The batch
+    twin (``sessionize``) produces identical ids on the same data; the test
+    proves stream ≡ batch over the driver's events table.
+
+    Returns the DataStreamWriter (caller picks sink + trigger).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_sec = gap_min * 60
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+
+    def assign(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.hasTimedOut:
+            # One gap past the watermark with no new events: the session can
+            # never continue — drop the state.
+            state.remove()
+            return
+        last_ts, seq = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            ts_sec = pdf["ts"].astype("int64").to_numpy() // 1_000_000_000
+            prev = np.concatenate(
+                [[last_ts if last_ts is not None else np.iinfo(np.int64).min // 2], ts_sec[:-1]]
+            )
+            new_session = (ts_sec - prev) > gap_sec
+            if last_ts is None:
+                new_session[0] = True
+            seqs = seq + np.cumsum(new_session.astype(np.int64))
+            last_ts, seq = int(ts_sec[-1]), int(seqs[-1])
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "ts": pdf["ts"],
+                    "session_seq": seqs,
+                }
+            )
+        if last_ts is not None:
+            state.update((last_ts, seq))
+            state.setTimeoutTimestamp((last_ts + gap_sec) * 1000)
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        assign,
+        outputStructType="event_id long, user_id long, ts timestamp, session_seq long",
+        stateStructType="last_ts long, session_seq long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    writer = out.writeStream.outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
 
 
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

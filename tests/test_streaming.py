@@ -52,6 +52,34 @@ def test_stream_equals_batch(spark):
     assert len(closed) > 100
 
 
+def test_stream_sessionize_equals_batch(spark):
+    """The stateful streaming sessionizer (applyInPandasWithState) must
+    assign exactly the ids the relational batch form assigns."""
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.events import stream_sessionize
+
+    events = load_table(spark, SF, "events")
+    batch = {
+        r["event_id"]: (r["user_id"], r["session_seq"])
+        for r in sessionize(events).collect()
+    }
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_sessionize(spark, SF, checkpoint_dir=ckpt)
+            .format("memory")
+            .queryName("session_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    stream = {
+        r["event_id"]: (r["user_id"], r["session_seq"])
+        for r in spark.sql("SELECT * FROM session_stream").collect()
+    }
+    assert len(stream) == len(batch) > 0
+    assert stream == batch
+
+
 def test_sessionize_gap_semantics(spark):
     from datetime import datetime
 

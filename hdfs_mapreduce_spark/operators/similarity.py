@@ -374,8 +374,13 @@ def cosine_pairs(
             {"vec_a": lo, "vec_b": hi, "cos_sim": sims[ia, ib][keep]}
         )
 
+    # Pre-partition on the exact group keys so the dgemm tasks get full
+    # parallelism (one group ≈ one task) regardless of the session's global
+    # shuffle.partitions; the groupBy reuses this exchange.
+    n_groups = n_blocks * (n_blocks + 1) // 2
     return (
-        tagged.groupBy("bi", "bj")
+        tagged.repartition(2 * n_groups, "bi", "bj")
+        .groupBy("bi", "bj")
         .applyInPandas(block_matmul, "vec_a long, vec_b long, cos_sim double")
         .orderBy("vec_a", "vec_b")
     )

@@ -62,6 +62,44 @@ def test_q8_anti_join_strategy(spark):
     assert "LeftAnti" in plan
 
 
+def test_text_tokens_map_only_scan(spark):
+    """Token counting is a pure map stage: only (doc_id, text) read, and the
+    only exchange is the final presentation sort."""
+    df = QUERIES["text_tokens"](spark, SF)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    assert "lang" not in read_schema
+    # simple mode prints each node once — count exchanges there
+    assert plan_of(df, "simple").count("Exchange") <= 1  # ORDER BY only
+
+
+def test_minhash_signatures_single_shuffle(spark):
+    """Shingling is map-only (array-side build, no window); the only data
+    shuffle is the signature groupBy — plus the final ORDER BY exchange."""
+    plan = plan_of(QUERIES["dedup_minhash_sigs"](spark, SF), "simple")
+    assert plan.count("Exchange") <= 2  # hash for groupBy + range for sort
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial mins
+
+
+def test_asof_join_no_range_explosion(spark):
+    """The as-of join must be the union+window formulation — one hash
+    exchange on the key, never a theta/range join."""
+    plan = plan_of(QUERIES["q15_asof_join"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    """Brute-force ANN: corpus side stays un-shuffled; the tiny query set is
+    the broadcast side of the nested-loop product."""
+    plan = plan_of(QUERIES["ann_bruteforce"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
 def test_metadata_scan_prunes_payload(spark, tmp_path):
     """multimodal payload_stats over parquet must not read payload bytes."""
     from hdfs_mapreduce_spark.operators.multimodal import (

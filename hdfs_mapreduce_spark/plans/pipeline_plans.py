@@ -1,10 +1,11 @@
-"""Windowed/session/multimodal queries with DuckDB oracle twins."""
+"""Windowed/session/range-join/multimodal queries with DuckDB oracle twins."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hdfs_mapreduce_spark.operators.band import band_join
 from hdfs_mapreduce_spark.operators.multimodal import (
     attach_payload,
     content_dedup,
@@ -17,6 +18,8 @@ from hdfs_mapreduce_spark.streaming.events import (
     windowed_event_stats,
 )
 
+FUNNEL_WINDOW_MIN = 10
+
 
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_stats(spark, sf_dir)
@@ -24,6 +27,60 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_stats(spark, sf_dir)
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-proximity (range) join: for each click, the error events by the
+    same user within the next 10 minutes — bucketized band join, never a
+    per-key nested loop (operators/band.py)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("error_ts"),
+    )
+    joined = band_join(
+        clicks,
+        errors,
+        left_key="u",
+        right_key="user_id",
+        left_time="click_ts",
+        right_time="error_ts",
+        lower_us=0,
+        upper_us=FUNNEL_WINDOW_MIN * 60 * 1_000_000,
+    )
+    return joined.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        (F.unix_micros(F.col("error_ts")) - F.unix_micros(F.col("click_ts"))).alias(
+            "gap_us"
+        ),
+    ).orderBy("user_id", "click_id", "error_id")
+
+
+def events_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-grain time rollup: one pass produces the
+    (day, hour) leaf aggregate, the per-day rollup, and the grand total via
+    GROUP BY ROLLUP — partial aggregation makes the coarser grains nearly
+    free (this is the continuous-aggregate backfill shape)."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    return (
+        events.select(day, hour, "value")
+        .rollup("day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("day", "hour")
+    )
 
 
 def multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,6 +97,8 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_windowed": events_windowed,
     "events_sessions": events_sessions,
+    "events_funnel": events_funnel,
+    "events_rollup_time": events_rollup_time,
     "multimodal_stats": multimodal_stats,
     "multimodal_dedup": multimodal_dedup,
 }
@@ -70,6 +129,21 @@ ORACLE_SQL = {
                date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
         FROM sessions GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
+    """,
+    "events_funnel": f"""
+        SELECT b.user_id, a.event_id AS click_id, b.event_id AS error_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+        FROM events a JOIN events b ON a.user_id = b.user_id
+        WHERE a.event_type = 'click' AND b.event_type = 'error'
+          AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0
+              AND {FUNNEL_WINDOW_MIN * 60 * 1_000_000}
+        ORDER BY b.user_id, click_id, error_id
+    """,
+    "events_rollup_time": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               date_trunc('hour', ts) AS hour,
+               COUNT(*) AS n_events, SUM(value) AS sum_value
+        FROM events GROUP BY ROLLUP(day, hour) ORDER BY day, hour
     """,
     "multimodal_stats": """
         SELECT doc_id AS id, 'text/plain' AS mime,

@@ -61,3 +61,34 @@ def salted_aggregate(
 
     partial = df.groupBy(*keys, salt).agg(*partial_cols)
     return partial.groupBy(*keys).agg(*final_cols)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    distributor: str | Column,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side's key with a deterministic
+    hash of ``distributor`` and replicate every small-side row across all
+    ``n_salts`` salt values, then equi-join on (key, salt). A hot key's rows
+    spread over ``n_salts`` shuffle partitions instead of landing on one
+    executor.
+
+    This is the static-plan fallback for when AQE's runtime skew-join split
+    isn't available (AQE off, or a key so hot a single split still spills).
+    Small side grows ``n_salts``x — use only when |small| * n_salts stays
+    broadcast-or-shuffle-cheap. Result equals the plain join exactly (salts
+    cover 0..n_salts-1 on both sides); asserted in tests."""
+    salt = F.pmod(F.xxhash64(distributor), F.lit(n_salts))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = b.join(
+        s, (b[big_key] == s[small_key]) & (b["__salt"] == s["__salt"]), how
+    )
+    return joined.drop("__salt")

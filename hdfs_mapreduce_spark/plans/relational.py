@@ -273,6 +273,28 @@ def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile sketch (Greenwald-Khanna via percentile_approx) per event
+    type — mergeable partial sketches, one shuffle, bounded memory at any
+    scale where exact percentile would sort the world. Sketch output is
+    engine-specific: no hash oracle; the test bounds rank error vs the exact
+    percentile."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q"),
+        )
+        .select(
+            "event_type",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p95"),
+            F.col("q")[2].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "q1_wordcount": q1_wordcount,
     "q2_filter_project": q2_filter_project,
@@ -291,6 +313,7 @@ QUERIES = {
     "q14_union_except": q14_union_except,
     "q15_asof_join": q15_asof_join,
     "q16_approx_distinct": q16_approx_distinct,
+    "q17_approx_quantiles": q17_approx_quantiles,
 }
 
 ORACLE_SQL = {

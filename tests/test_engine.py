@@ -117,3 +117,25 @@ def test_salted_rejects_non_algebraic(spark):
         salted_aggregate(
             events, ["event_type"], {"m": ("median", "value")}, "event_id"
         )
+
+def test_salted_join_equals_plain(spark):
+    from hdfs_mapreduce_spark.functions.skew import salted_join
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    plain = {
+        (r["o_orderkey"], r["c_name"])
+        for r in orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        ).collect()
+    }
+    salted = {
+        (r["o_orderkey"], r["c_name"])
+        for r in salted_join(
+            orders, customer, "o_custkey", "c_custkey",
+            distributor="o_orderkey", n_salts=8,
+        ).collect()
+    }
+    assert salted == plain and len(plain) > 0

@@ -15,6 +15,24 @@ def test_approx_distinct_within_tolerance(spark, ddb):
     assert abs(approx - exact) / exact <= 0.05, (approx, exact)
 
 
+def test_approx_quantiles_rank_error_bounded(spark, ddb):
+    """percentile_approx(accuracy=10000) guarantees rank error <= 1/10000;
+    assert the sketch value sits between the exact quantiles one percent to
+    either side (a much looser band than the guarantee)."""
+    from hdfs_mapreduce_spark.plans.relational import q17_approx_quantiles
+
+    rows = q17_approx_quantiles(spark, SF_CORRECTNESS).collect()
+    assert len(rows) > 0
+    for r in rows:
+        for pname, p in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
+            lo, hi = ddb.execute(
+                "SELECT quantile_cont(value, ?), quantile_cont(value, ?) "
+                "FROM events WHERE event_type = ?",
+                [max(p - 0.01, 0.0), min(p + 0.01, 1.0), r["event_type"]],
+            ).fetchone()
+            assert lo <= r[pname] <= hi, (r["event_type"], pname, lo, r[pname], hi)
+
+
 def test_asof_join_semantics(spark):
     from hdfs_mapreduce_spark.operators.asof import as_of_join
 

@@ -357,22 +357,34 @@ def cosine_pairs(
         mb = np.stack(b.vec.values).astype(np.float64)
         ma /= np.linalg.norm(ma, axis=1, keepdims=True)
         mb /= np.linalg.norm(mb, axis=1, keepdims=True)
-        sims = np.round(ma @ mb.T, 6)
-        ia, ib = np.nonzero(sims >= threshold)
-        va = a.vid.values[ia]
-        vb = b.vid.values[ib]
-        if bi == bj:
-            # diagonal block holds both orientations of every pair: keep one
-            keep = va < vb
-        else:
-            # off-diagonal blocks hold each unordered pair exactly once, but
-            # the a-side id isn't necessarily the smaller one
-            keep = va != vb
-        lo = np.minimum(va[keep], vb[keep])
-        hi = np.maximum(va[keep], vb[keep])
-        return pd.DataFrame(
-            {"vec_a": lo, "vec_b": hi, "cos_sim": sims[ia, ib][keep]}
-        )
+        va_all = a.vid.values
+        vb_all = b.vid.values
+        # Slab the B side so the similarity matrix stays ~O(|A| x 2048)
+        # instead of |A| x |B| — same dgemm throughput, bounded peak memory
+        # per task (32 concurrent tasks x full-block matrices caused
+        # allocator/GC churn).
+        slab = 2048
+        parts = []
+        for s in range(0, mb.shape[0], slab):
+            sims = np.round(ma @ mb[s : s + slab].T, 6)
+            ia, ib = np.nonzero(sims >= threshold)
+            va = va_all[ia]
+            vb = vb_all[s + ib]
+            if bi == bj:
+                # diagonal block holds both orientations of each pair: keep one
+                keep = va < vb
+            else:
+                # off-diagonal blocks hold each unordered pair exactly once,
+                # but the a-side id isn't necessarily the smaller one
+                keep = va != vb
+            lo = np.minimum(va[keep], vb[keep])
+            hi = np.maximum(va[keep], vb[keep])
+            parts.append(
+                pd.DataFrame(
+                    {"vec_a": lo, "vec_b": hi, "cos_sim": sims[ia, ib][keep]}
+                )
+            )
+        return pd.concat(parts, ignore_index=True)
 
     # Pre-partition on the exact group keys so the dgemm tasks get full
     # parallelism (one group ≈ one task) regardless of the session's global

@@ -26,7 +26,7 @@ from hdfs_mapreduce_spark.operators.dedup import (
     simhash_pairs,
     simhash_signatures,
 )
-from hdfs_mapreduce_spark.sources.catalog import load_table
+from hdfs_mapreduce_spark.sources.catalog import load_table, spread
 
 MINHASH_THRESHOLD = 0.5
 NGRAM_THRESHOLD = 0.5
@@ -75,32 +75,32 @@ _BANDS_CTE = "bands AS (" + " UNION ALL ".join(
 
 # ---- queries -------------------------------------------------------------------
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return exact_dedup(docs, "doc_id", "text")
 
 
 def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return minhash_signatures(docs, "doc_id", "text")
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
 
 
 def dedup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return simhash_signatures(docs, "doc_id", "text")
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return simhash_pairs(docs, "doc_id", "text", HAMMING_MAX)
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_THRESHOLD)
 
 

@@ -24,7 +24,7 @@ from hdfs_mapreduce_spark.functions.text import (
     stopword_ratio,
     token_count,
 )
-from hdfs_mapreduce_spark.sources.catalog import load_table
+from hdfs_mapreduce_spark.sources.catalog import load_table, spread
 
 # ---- shared SQL fragments (DuckDB) -----------------------------------------
 _TOKS = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
@@ -88,7 +88,7 @@ _FP = (
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token/char statistics — one narrow projection, one pass,
     no shuffle; at 100 TB this is a pure map stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -100,7 +100,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id", quality_score(F.col("text")).alias("quality")
     ).orderBy("doc_id")
@@ -108,7 +108,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID + distribution: per-language document counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return (
         docs.select(lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang_pred")
@@ -120,7 +120,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document (integer
     arithmetic → exact oracle parity)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return docs.select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
     ).orderBy("doc_id")
@@ -129,7 +129,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace vs BPE-ish token counts per document — the tokens-per-doc
     accounting a training pipeline runs before packing; pure map stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     t = F.col("text")
     return docs.select(
         "doc_id",

@@ -70,6 +70,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition a DataFrame up to the session's default
+    parallelism IF the scan produced fewer partitions than cores — i.e. the
+    input is a single small file, as in the local test harness. On a real
+    deployment (100 TB = hundreds of thousands of splits) this is a no-op,
+    so map-heavy callers (shingling, hashing, tokenizing) can use it
+    unconditionally: the one small shuffle locally buys full-core map
+    parallelism; at scale no shuffle happens at all."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

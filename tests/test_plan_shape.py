@@ -70,15 +70,19 @@ def test_text_tokens_map_only_scan(spark):
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "doc_id" in read_schema and "text" in read_schema
     assert "lang" not in read_schema
-    # simple mode prints each node once — count exchanges there
-    assert plan_of(df, "simple").count("Exchange") <= 1  # ORDER BY only
+    # simple mode prints each node once — count exchanges there.
+    # Allowed: the local-only spread() round-robin + the ORDER BY range
+    # exchange; no hash shuffle of token-level data may appear.
+    assert plan_of(df, "simple").count("Exchange") <= 2
 
 
 def test_minhash_signatures_single_shuffle(spark):
     """Shingling is map-only (array-side build, no window); the only data
     shuffle is the signature groupBy — plus the final ORDER BY exchange."""
     plan = plan_of(QUERIES["dedup_minhash_sigs"](spark, SF), "simple")
-    assert plan.count("Exchange") <= 2  # hash for groupBy + range for sort
+    # spread() round-robin (local-only) + groupBy hash + ORDER BY range;
+    # crucially NO per-token window shuffle.
+    assert plan.count("Exchange") <= 3
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2  # map-side partial mins
 

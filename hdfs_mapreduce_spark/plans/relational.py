@@ -295,6 +295,24 @@ def q17_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window-frame analytic (4-order moving average per customer) —
+    the rowsBetween frame machinery q9's ranking doesn't exercise. One hash
+    shuffle on the partition key + per-partition sort; frame evaluation is
+    streaming within the sorted run (no per-row re-scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.avg("o_totalprice").over(w).alias("moving_avg"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
 QUERIES = {
     "q1_wordcount": q1_wordcount,
     "q2_filter_project": q2_filter_project,
@@ -314,6 +332,7 @@ QUERIES = {
     "q15_asof_join": q15_asof_join,
     "q16_approx_distinct": q16_approx_distinct,
     "q17_approx_quantiles": q17_approx_quantiles,
+    "q18_moving_avg": q18_moving_avg,
 }
 
 ORACLE_SQL = {
@@ -439,6 +458,13 @@ ORACLE_SQL = {
         SELECT o_orderkey, o_custkey, last_event_id, last_event_type,
                last_event_value
         FROM filled WHERE side = 1 ORDER BY o_orderkey
+    """,
+    "q18_moving_avg": """
+        SELECT o_custkey, o_orderkey,
+               AVG(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
+        FROM orders ORDER BY o_custkey, o_orderkey
     """,
     # q16_approx_distinct: no oracle — sketch results are engine-specific
     # (FIXTURES.md tolerance protocol; tests/test_relational_extra.py).

@@ -197,6 +197,54 @@ def stream_sessionize(
     return writer
 
 
+def stream_dedup_events(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    extra_copies: int = 0,
+):
+    """Streaming exactly-once dedup on event_id:
+    ``dropDuplicatesWithinWatermark`` keeps one row per id and evicts dedup
+    state once the watermark passes an id's event time — bounded state, the
+    streaming twin of batch ``dropDuplicates``. This is the at-least-once →
+    exactly-once repair stage every event pipeline needs in front of a
+    training-data sink.
+
+    ``extra_copies`` re-stages the source directory N extra times (tests use
+    it to prove duplicates actually collapse). Returns the DataStreamWriter.
+    """
+    stream = _events_stream(spark, sf_dir)
+    if extra_copies:
+        src = os.path.join(sf_dir, "events.parquet")
+        stage = tempfile.mkdtemp(prefix="events_dup_")
+        for i in range(extra_copies + 1):
+            os.symlink(src, os.path.join(stage, f"copy{i}.parquet"))
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        batch_df = load_table(spark, sf_dir, "events")
+        raw_schema = StructType(
+            [
+                StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
+                for f in batch_df.schema.fields
+            ]
+        )
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .format("parquet")
+            .load(stage)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
+    writer = deduped.writeStream.outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session stats: event count and duration seconds."""
     events = load_table(spark, sf_dir, "events")

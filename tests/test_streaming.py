@@ -92,3 +92,24 @@ def test_sessionize_gap_semantics(spark):
     df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
     out = {r["event_id"]: r["session_seq"] for r in sessionize(df, 30).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
+
+def test_stream_dedup_collapses_duplicates(spark):
+    """Feed every event twice (source staged 2x); dropDuplicatesWithinWatermark
+    must emit each event_id exactly once — equal to the batch distinct count."""
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.events import stream_dedup_events
+
+    batch_n = load_table(spark, SF, "events").count()
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_dedup_events(spark, SF, checkpoint_dir=ckpt, extra_copies=1)
+            .format("memory")
+            .queryName("dedup_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream"
+    ).collect()[0]
+    assert out["n"] == out["d"] == batch_n

@@ -118,3 +118,23 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows are hash-partitioned into ``n_buckets``
+    files by ``bucket_cols`` at write time. Two tables bucketed the same way
+    join/aggregate on those columns with NO exchange — the shuffle is paid
+    once at ingest instead of on every query, which at 100 TB turns the
+    recurring fact-fact join cost into a one-time write cost
+    (tests/test_plan_shape.py asserts the Exchange disappears)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)

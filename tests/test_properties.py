@@ -1,0 +1,92 @@
+"""Property-based tests (hypothesis): the custom join operators must equal a
+brute-force reference on arbitrary small inputs — catches boundary/tie cases
+fixtures miss (equal times, duplicate keys, empty sides, bucket edges)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+BASE = datetime(2024, 1, 1)
+WINDOW_US = 90 * 1_000_000  # 90 s band
+
+row = st.tuples(
+    st.integers(min_value=0, max_value=3),    # key
+    st.integers(min_value=0, max_value=300),  # seconds offset
+)
+rows = st.lists(row, min_size=0, max_size=12)
+
+
+def _ts(sec: int) -> datetime:
+    return BASE + timedelta(seconds=sec)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=rows, right=rows)
+def test_band_join_matches_bruteforce(spark, left, right):
+    from hdfs_mapreduce_spark.operators.band import band_join
+
+    ldf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(left)] or [(None, None, None)],
+        "k long, lid long, lt timestamp",
+    ).filter("lid is not null")
+    rdf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(right)] or [(None, None, None)],
+        "rk long, rid long, rt timestamp",
+    ).filter("rid is not null")
+    got = {
+        (r["lid"], r["rid"])
+        for r in band_join(
+            ldf, rdf, "k", "rk", "lt", "rt", lower_us=0, upper_us=WINDOW_US
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, (lk, ls) in enumerate(left)
+        for ri, (rk, rs) in enumerate(right)
+        if lk == rk and 0 <= (rs - ls) * 1_000_000 <= WINDOW_US
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=rows, right=rows)
+def test_asof_join_matches_bruteforce(spark, left, right):
+    from hdfs_mapreduce_spark.operators.asof import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(left)] or [(None, None, None)],
+        "k long, lid long, lt timestamp",
+    ).filter("lid is not null")
+    rdf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(right)] or [(None, None, None)],
+        "k long, rid long, rt timestamp",
+    ).filter("rid is not null")
+    out = as_of_join(
+        ldf, rdf,
+        left_key="k", right_key="k",
+        left_time="lt", right_time="rt",
+        value_cols=["rid"], right_tiebreak="rid",
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    # reference: most recent right row with rt <= lt for the same key;
+    # among equal times the HIGHEST tiebreak wins (last in window order)
+    want = {}
+    for li, (lk, ls) in enumerate(left):
+        cands = [
+            (rs, ri)
+            for ri, (rk, rs) in enumerate(right)
+            if rk == lk and rs <= ls
+        ]
+        want[li] = max(cands)[1] if cands else None
+    assert got == want

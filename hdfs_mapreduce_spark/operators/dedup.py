@@ -128,12 +128,22 @@ def minhash_pairs(
     LSH prunes candidates below ~0.35 similarity; the verify applies
     ``threshold`` exactly, so output = {pairs sharing ≥1 band ∧ J ≥ t}.
     """
-    # The shingle relation feeds the signature aggregation AND both sides of
-    # the verify join — persist so the tokenize/shingle/md5 pipeline runs once.
-    rel = shingle_relation(df, id_col, text_col).persist()
-    sets = rel.groupBy("doc").agg(F.collect_set("x").alias("sh"))
-    base = _sig_agg("doc", rel)
-    bands = base.select(
+    # ONE groupBy produces both the signature (16 codegen MINs) and the
+    # shingle-hash set per doc — the single shuffle of the whole pipeline.
+    # per_doc then feeds banding AND both sides of the verify join, so it is
+    # persisted (5k rows x (set + 16 longs) at sf0.1; at 100 TB this is the
+    # doc-level sketch table you'd materialize anyway).
+    p = F.lit(MERSENNE_31)
+    rel = shingle_relation(df, id_col, text_col)
+    per_doc = rel.groupBy("doc").agg(
+        F.collect_set("x").alias("sh"),
+        *[
+            F.min((F.lit(a) * (F.col("x") % p) + F.lit(b)) % p).alias(f"mh{i}")
+            for i, (a, b) in enumerate(PERMS)
+        ],
+    ).persist()
+    sets = per_doc.select("doc", "sh")
+    bands = per_doc.select(
         "doc",
         F.explode(
             F.array(

@@ -139,3 +139,19 @@ def test_salted_join_equals_plain(spark):
         ).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+def test_put_csv_and_json_roundtrip(engine, tmp_path):
+    """S5: every reader format lands as a typed parquet table."""
+    csv = tmp_path / "brands.csv"
+    csv.write_text("brand,rating\nacme,4\nglobex,5\nacme,3\n")
+    engine.put(str(csv), "brands_csv", fmt="csv", header=True, inferSchema=True)
+    got = engine.get("brands_csv")
+    assert dict(got.groupBy("brand").count().collect()) == {"acme": 2, "globex": 1}
+    assert got.schema["rating"].dataType.typeName() in ("integer", "long")
+
+    js = tmp_path / "brands.jsonl"
+    js.write_text('{"brand":"acme","rating":4}\n{"brand":"globex","rating":5}\n')
+    engine.put(str(js), "brands_json", fmt="json")
+    assert engine.get("brands_json").count() == 2
+    assert set(engine.ls()) >= {"brands_csv", "brands_json"}

@@ -138,10 +138,58 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+SPLIT_MOD = 100
+SPLIT_TRAIN = 98  # 98/1/1 train/val/test
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: h56 of the doc id modulo 100
+    buckets. Hash-based (not random) so the split is stable across runs,
+    machines and engines, and any doc's assignment is computable without
+    seeing the rest of the corpus — the only split discipline that works
+    when the corpus is 100 TB and continuously growing."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    from hdfs_mapreduce_spark.functions.hashing import h56
+
+    bucket = h56(F.concat(F.lit("split:"), F.col("doc_id"))) % SPLIT_MOD
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket == SPLIT_TRAIN, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .orderBy("split")
+    )
+
+
+def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: the kept document set after quality filtering
+    (score >= 0.5), language filtering (en), and exact dedup (lowest doc_id
+    per content hash survives). The composition a training-data pipeline
+    runs before tokenization — one scan, one dedup shuffle, all filters
+    pushed before the shuffle."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    t = F.col("text")
+    filtered = docs.filter(
+        (quality_score(t) >= 0.5) & (lang_id(t) == "en")
+    ).select("doc_id", "text")
+    keep = (
+        filtered.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return keep.orderBy("doc_id")
+
+
 # Same pattern string, with the single-quote doubled for a SQL literal.
 _BPE_SQL = BPE_REGEX.replace("'", "''")
 
 QUERIES = {
+    "dataset_split": dataset_split,
+    "pipeline_curate": pipeline_curate,
     "text_tokens": text_tokens,
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -150,6 +198,26 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "dataset_split": f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('split:' || doc_id), 1, 14) AS BIGINT)
+                       % {SPLIT_MOD} AS bucket
+            FROM documents
+        )
+        SELECT CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+                    WHEN bucket = {SPLIT_TRAIN} THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        FROM b GROUP BY 1 ORDER BY split
+    """,
+    "pipeline_curate": f"""
+        WITH f AS (
+            SELECT doc_id, text FROM documents
+            WHERE {_QUALITY} >= 0.5 AND ({_langid_sql()}) = 'en'
+        )
+        SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text) ORDER BY doc_id
+    """,
     "text_tokens": f"""
         SELECT doc_id, {_NTOK} AS n_ws_tokens,
                len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe_tokens

@@ -165,6 +165,33 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048
+
+
+def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing summary: documents greedily packed into
+    <=2048-token bins (BPE-ish counts), partition-local — see
+    operators/packing.py. Bin layout depends on partitioning, so this is a
+    rows-only query (no SQL oracle); the invariants (each doc exactly once,
+    no bin over budget except single-doc bins) are asserted in
+    tests/test_packing.py."""
+    from hdfs_mapreduce_spark.operators.packing import pack_sequences
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    packed = pack_sequences(
+        docs, "doc_id", bpe_token_count(F.col("text")), budget=PACK_BUDGET
+    )
+    bins = packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("docs_in_bin"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+    return bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("docs_in_bin").alias("n_docs"),
+        F.max("bin_tokens").alias("max_bin_tokens"),
+    )
+
+
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: the kept document set after quality filtering
     (score >= 0.5), language filtering (en), and exact dedup (lowest doc_id
@@ -190,6 +217,7 @@ _BPE_SQL = BPE_REGEX.replace("'", "''")
 QUERIES = {
     "dataset_split": dataset_split,
     "pipeline_curate": pipeline_curate,
+    "pipeline_pack": pipeline_pack,
     "text_tokens": text_tokens,
     "text_stats": text_stats,
     "text_quality": text_quality,

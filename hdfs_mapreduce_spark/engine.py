@@ -107,6 +107,15 @@ class Engine:
             }
         return out
 
+    # --- SQL over the warehouse namespace ----------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL with every stored table visible as a view — the query
+        language the reference never had (its only 'plan' was a compiled
+        plugin binary; SURVEY §3.4)."""
+        for name in self.ls():
+            self.get(name).createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
     # --- COMPUTE (§3.1): the reference's MapReduce job verb ---------------------
     def compute(
         self,

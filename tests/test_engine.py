@@ -155,3 +155,13 @@ def test_put_csv_and_json_roundtrip(engine, tmp_path):
     engine.put(str(js), "brands_json", fmt="json")
     assert engine.get("brands_json").count() == 2
     assert set(engine.ls()) >= {"brands_csv", "brands_json"}
+
+
+def test_engine_sql_over_warehouse(engine, tmp_path):
+    csv = tmp_path / "sales.csv"
+    csv.write_text("brand,amount\nacme,10\nacme,20\nglobex,5\n")
+    engine.put(str(csv), "sales", fmt="csv", header=True, inferSchema=True)
+    rows = engine.sql(
+        "SELECT brand, SUM(amount) AS total FROM sales GROUP BY brand ORDER BY brand"
+    ).collect()
+    assert [(r["brand"], r["total"]) for r in rows] == [("acme", 30), ("globex", 5)]

@@ -1,3 +1,5 @@
+from hdfs_mapreduce_spark.operators.asof import as_of_join
+from hdfs_mapreduce_spark.operators.band import band_join
 from hdfs_mapreduce_spark.operators.dedup import (
     exact_dedup,
     minhash_pairs,
@@ -6,20 +8,26 @@ from hdfs_mapreduce_spark.operators.dedup import (
     simhash_pairs,
     simhash_signatures,
 )
+from hdfs_mapreduce_spark.operators.packing import pack_sequences
 from hdfs_mapreduce_spark.operators.similarity import (
     ann_topk_bruteforce,
+    ann_topk_ivf,
     ann_topk_lsh,
     cosine_pairs,
 )
 
 __all__ = [
+    "as_of_join",
+    "band_join",
     "exact_dedup",
     "minhash_signatures",
     "minhash_pairs",
     "simhash_signatures",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "pack_sequences",
     "ann_topk_bruteforce",
+    "ann_topk_ivf",
     "ann_topk_lsh",
     "cosine_pairs",
 ]

@@ -313,6 +313,37 @@ def q18_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
+def q19_grouped_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's group encoding, typed: each reduce group's value list
+    (`key\\tv1\\tv2...`, dfs/storageNode/storageNode.go:437-458) becomes an
+    ArrayType column. sort_array pins the order — collect_list order is
+    partition-dependent (SURVEY §7 hard parts), the reference's was
+    merge-order; neither is semantic, so the declared form is the sorted
+    multiset."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("event_type")).alias("event_types"))
+        .orderBy("user_id")
+    )
+
+
+def q20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-day event counts, one column per event type — planned as a
+    single pass of conditional aggregates (no per-category scan)."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.select(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+        .orderBy("day")
+    )
+
+
 QUERIES = {
     "q1_wordcount": q1_wordcount,
     "q2_filter_project": q2_filter_project,
@@ -333,6 +364,8 @@ QUERIES = {
     "q16_approx_distinct": q16_approx_distinct,
     "q17_approx_quantiles": q17_approx_quantiles,
     "q18_moving_avg": q18_moving_avg,
+    "q19_grouped_values": q19_grouped_values,
+    "q20_pivot": q20_pivot,
 }
 
 ORACLE_SQL = {
@@ -465,6 +498,20 @@ ORACLE_SQL = {
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
         FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+    "q19_grouped_values": """
+        SELECT user_id, list_sort(list(event_type)) AS event_types
+        FROM events WHERE user_id < 20
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "q20_pivot": """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) FILTER (event_type = 'click') AS click,
+               COUNT(*) FILTER (event_type = 'error') AS error,
+               COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (event_type = 'signup') AS signup,
+               COUNT(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1 ORDER BY day
     """,
     # q16_approx_distinct: no oracle — sketch results are engine-specific
     # (FIXTURES.md tolerance protocol; tests/test_relational_extra.py).

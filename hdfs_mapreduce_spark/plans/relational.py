@@ -344,6 +344,24 @@ def q20_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving outer join: every customer with their event count and
+    last event time — customers with no events keep a 0/NULL row (~27% of
+    customers in the test data). Broadcast of the dim side still applies;
+    the aggregate is partial->final on the join output."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    return (
+        customer.join(events, customer["c_custkey"] == events["user_id"], "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.max("ts").alias("last_event"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 QUERIES = {
     "q1_wordcount": q1_wordcount,
     "q2_filter_project": q2_filter_project,
@@ -366,6 +384,7 @@ QUERIES = {
     "q18_moving_avg": q18_moving_avg,
     "q19_grouped_values": q19_grouped_values,
     "q20_pivot": q20_pivot,
+    "q21_outer_join": q21_outer_join,
 }
 
 ORACLE_SQL = {
@@ -512,6 +531,11 @@ ORACLE_SQL = {
                COUNT(*) FILTER (event_type = 'signup') AS signup,
                COUNT(*) FILTER (event_type = 'view') AS view
         FROM events GROUP BY 1 ORDER BY day
+    """,
+    "q21_outer_join": """
+        SELECT c_custkey, COUNT(event_id) AS n_events, MAX(ts) AS last_event
+        FROM customer LEFT JOIN events ON c_custkey = user_id
+        GROUP BY c_custkey ORDER BY c_custkey
     """,
     # q16_approx_distinct: no oracle — sketch results are engine-specific
     # (FIXTURES.md tolerance protocol; tests/test_relational_extra.py).

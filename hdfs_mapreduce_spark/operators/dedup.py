@@ -269,21 +269,37 @@ def simhash_pairs(
 
 # --- exact n-gram Jaccard ----------------------------------------------------------
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold via an inverted-index self-join:
     explode distinct shingle hashes, join on the hash (shuffle on shingle —
     co-occurring docs meet without an all-pairs cross join), count shared
     shingles per pair, then J = shared / (|A| + |B| - shared).
 
-    Scale note: hot shingles (boilerplate) blow up the self-join — the
-    standard mitigation is dropping shingles with document frequency above a
-    cap before the join; exposed as ``max_df`` in the scale path (not applied
-    here so the oracle stays a pure expression of the definition)."""
+    Scale note: hot shingles (boilerplate) blow up the self-join
+    quadratically in their document frequency. ``max_df`` drops shingles
+    appearing in more than that many documents *from the join only* (doc
+    sizes keep every shingle, so J is never inflated — a pair sharing only
+    boilerplate can drop out, pairs kept are scored exactly). The declared
+    query runs with ``max_df=None`` so the oracle stays the pure
+    definition; at 100 TB set it to ~0.1-1% of the corpus."""
     # distinct (doc, shingle-hash) pairs; persisted — feeds per-doc sizes and
     # both sides of the inverted self-join (identical plan → reused exchange)
     inv = shingle_relation(df, id_col, text_col).distinct().persist()
-    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sizes_src = inv
+    if max_df is not None:
+        hot = (
+            inv.groupBy("x")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("x")
+        )
+        inv = inv.join(F.broadcast(hot), "x", "left_anti")
+    sizes = sizes_src.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
         l.join(r, (F.col("l.x") == F.col("r.x")) & (F.col("l.doc") < F.col("r.doc")))

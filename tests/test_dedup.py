@@ -67,3 +67,23 @@ def test_minhash_pairs_subset_of_exact(spark):
     assert len(exact) > 0  # the synthetic table has organic near-dups
     # On this data the 8x2 banding catches every true pair ≥ 0.5.
     assert lsh == exact
+
+
+def test_ngram_jaccard_max_df_prunes_only_hot_shingles(spark):
+    """With the hot-shingle cap, surviving pairs keep their exact Jaccard
+    (sizes still count every shingle) and the output is a subset."""
+    from hdfs_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5, max_df=50).collect()
+    }
+    assert set(capped) <= set(full)
+    for k, v in capped.items():
+        assert abs(v - full[k]) < 1e-12

@@ -121,8 +121,12 @@ ORACLE_SQL = {
         ),
         sessions AS (
             SELECT user_id, ts, event_id,
-                   SUM(new_session) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id) AS session_seq
+                   -- DuckDB SUM over INT is HUGEINT, which .df() renders as
+                   -- float64; cast so session_seq hashes as an integer like
+                   -- Spark's BIGINT.
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id)
+                        AS BIGINT) AS session_seq
             FROM flagged
         )
         SELECT user_id, session_seq, COUNT(*) AS n_events,

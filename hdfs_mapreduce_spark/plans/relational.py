@@ -313,18 +313,39 @@ def q18_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
-def q19_grouped_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+def grouped_values_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's group encoding, typed: each reduce group's value list
     (`key\\tv1\\tv2...`, dfs/storageNode/storageNode.go:437-458) becomes an
     ArrayType column. sort_array pins the order — collect_list order is
     partition-dependent (SURVEY §7 hard parts), the reference's was
     merge-order; neither is semantic, so the declared form is the sorted
-    multiset."""
+    multiset. This array-typed variant is the library API; the *declared*
+    query (q19_grouped_values) serializes the list to a scalar because the
+    driver's canonicalizer cannot hash Python lists."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.filter(F.col("user_id") < 20)
         .groupBy("user_id")
         .agg(F.sort_array(F.collect_list("event_type")).alias("event_types"))
+        .orderBy("user_id")
+    )
+
+
+def q19_grouped_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared (oracle-checked) form of grouped_values_array: the sorted
+    value list rendered as a comma-joined scalar so the result is hashable
+    by the driver's pandas canonicalization. Same reference semantics
+    (dfs/storageNode/storageNode.go:437-458), scalar encoding — which is in
+    fact closer to the reference's own tab-joined group lines."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("event_type")), ","
+            ).alias("event_types")
+        )
         .orderBy("user_id")
     )
 
@@ -519,7 +540,8 @@ ORACLE_SQL = {
         FROM orders ORDER BY o_custkey, o_orderkey
     """,
     "q19_grouped_values": """
-        SELECT user_id, list_sort(list(event_type)) AS event_types
+        SELECT user_id,
+               array_to_string(list_sort(list(event_type)), ',') AS event_types
         FROM events WHERE user_id < 20
         GROUP BY user_id ORDER BY user_id
     """,

@@ -120,19 +120,29 @@ def minhash_pairs(
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
     Plan shape (scale-critical):
-      1. map: signature + shingle set per doc (no shuffle);
-      2. explode to (band_idx, band_key, id) — N_BANDS rows/doc;
-      3. self-join on band key (shuffle on band key only) → candidate pairs;
-      4. distinct pairs, then verify with exact Jaccard over the shingle-hash
-         sets (array_intersect/array_union on pre-deduped hash arrays).
+      1. map: signature + shingle-hash set per doc (ONE groupBy — the single
+         doc-keyed shuffle of the whole pipeline);
+      2. posexplode to (band_idx, band_key) rows carrying the doc's full
+         band-key array AND its shingle set — N_BANDS rows/doc;
+      3. self-join on (band_idx, band_key) with a **first-band-wins**
+         predicate: a pair is emitted only from the lowest band where its
+         keys collide (zip_with over the earlier band keys of both sides),
+         so pair uniqueness is decided row-side at the join — no distinct
+         shuffle — and the exact-Jaccard verify runs directly on the
+         carried sets — no join back to a sketch table.
     LSH prunes candidates below ~0.35 similarity; the verify applies
     ``threshold`` exactly, so output = {pairs sharing ≥1 band ∧ J ≥ t}.
+
+    The sketch has exactly one consumer, so nothing is persisted and no
+    cache outlives the query (VERDICT r1 item 3). The cost is shuffling the
+    shingle set N_BANDS× through the band exchange; the alternative (lean
+    bands + two joins back to a sketch table) either recomputes the
+    shingle scan per branch — column pruning specializes each branch's
+    partial aggregate, defeating ReusedExchange — or pins a corpus-sized
+    sketch in cache. At 100 TB prefer materializing the sketch as a real
+    table (minhash_signatures + a parquet write) and banding from that;
+    for the one-shot query this single-pass shape is the honest optimum.
     """
-    # ONE groupBy produces both the signature (16 codegen MINs) and the
-    # shingle-hash set per doc — the single shuffle of the whole pipeline.
-    # per_doc then feeds banding AND both sides of the verify join, so it is
-    # persisted (5k rows x (set + 16 longs) at sf0.1; at 100 TB this is the
-    # doc-level sketch table you'd materialize anyway).
     p = F.lit(MERSENNE_31)
     rel = shingle_relation(df, id_col, text_col)
     per_doc = rel.groupBy("doc").agg(
@@ -141,66 +151,75 @@ def minhash_pairs(
             F.min((F.lit(a) * (F.col("x") % p) + F.lit(b)) % p).alias(f"mh{i}")
             for i, (a, b) in enumerate(PERMS)
         ],
-    ).persist()
-    sets = per_doc.select("doc", "sh")
-    bands = per_doc.select(
-        "doc",
-        F.explode(
-            F.array(
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.concat_ws(
-                            ":",
-                            *[
-                                F.col(f"mh{b * ROWS_PER_BAND + r}")
-                                for r in range(ROWS_PER_BAND)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(N_BANDS)
-                ]
+                    F.col(f"mh{b * ROWS_PER_BAND + r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
             )
-        ).alias("band"),
-    ).select("doc", "band.band_idx", "band.band_key")
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = per_doc.select(
+        "doc", "sh", band_keys.alias("bkeys")
+    ).select("doc", "sh", "bkeys", F.posexplode("bkeys").alias("band_idx", "band_key"))
 
     left = bands.alias("l")
     right = bands.alias("r")
-    cand = (
+    # True iff the two docs already collided in a band before this one; such
+    # rows are dropped so each pair survives exactly once (first band wins).
+    earlier_collision = F.array_contains(
+        F.zip_with(
+            F.slice(F.col("l.bkeys"), F.lit(1), F.col("l.band_idx")),
+            F.slice(F.col("r.bkeys"), F.lit(1), F.col("r.band_idx")),
+            lambda a, b: a == b,
+        ),
+        F.lit(True),
+    )
+    return (
         left.join(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc") < F.col("r.doc")),
+            & (F.col("l.doc") < F.col("r.doc"))
+            & ~earlier_collision,
         )
-        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
-        .distinct()
-    )
-
-    return (
-        cand.join(sets.withColumnRenamed("doc", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-        .join(sets.withColumnRenamed("doc", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / F.size(F.array_union("sh_a", "sh_b")),
+        .select(
+            F.col("l.doc").alias("doc_a"),
+            F.col("r.doc").alias("doc_b"),
+            (
+                F.size(F.array_intersect("l.sh", "r.sh"))
+                / F.size(F.array_union("l.sh", "r.sh"))
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
 
 
 # --- SimHash ---------------------------------------------------------------------
-SIMHASH_BITS = 32
-SIMHASH_BYTES = 4
+# 56-bit signatures (every good bit of h56) in 4 bands of 14 bits, hamming
+# budget 3 — the Manku/Jain/Sarma WWW'07 table layout. Band-key cardinality
+# 2^14 per band is what keeps the bucket self-join linear-ish in corpus
+# size: with the old 32-bit/8-bit-byte layout, 256 buckets per band meant
+# candidate pairs grew quadratically with the corpus no matter how
+# dissimilar the docs (measured ~5M join rows at sf0.1 from bucket crowding
+# alone). Pigeonhole over 4 bands stays exact for hamming ≤ 3.
+SIMHASH_BITS = 56
+SIMHASH_BANDS = 4
+BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 HAMMING_MAX = 3
 
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """32-bit SimHash per document: explode tokens (with multiplicity — term
-    frequency is the weight), one shuffle back onto the id with 32 signed bit
-    votes as map-side-combinable SUMs, then reassemble the signature."""
+    """SIMHASH_BITS-bit SimHash per document: explode tokens (with
+    multiplicity — term frequency is the weight), one shuffle back onto the
+    id with SIMHASH_BITS signed bit votes as map-side-combinable SUMs, then
+    reassemble the signature."""
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
@@ -227,41 +246,49 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = HAMMING_MAX
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming. Candidates come
-    from byte-band buckets (4 bands × 8 bits); by pigeonhole any pair within
-    Hamming ≤ 3 shares at least one identical byte, so the banding is exact,
-    never just approximate."""
+    from band buckets (SIMHASH_BANDS bands × BAND_BITS bits); by pigeonhole
+    any pair within Hamming ≤ SIMHASH_BANDS-1 shares at least one identical
+    band, so the banding is exact for the default budget, never just
+    approximate. Pair uniqueness uses the same first-band-wins row-side
+    filter as minhash_pairs (a pair is emitted only from the lowest shared
+    band) instead of a distinct shuffle."""
     sigs = simhash_signatures(df, id_col, text_col)
-    bands = sigs.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), 8 * b)
-                        .bitwiseAND(F.lit(255))
-                        .alias("band_key"),
-                    )
-                    for b in range(SIMHASH_BYTES)
-                ]
+    band_keys = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), BAND_BITS * b).bitwiseAND(
+                F.lit((1 << BAND_BITS) - 1)
             )
-        ).alias("band"),
-    ).select("doc", "simhash", "band.band_idx", "band.band_key")
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc", "simhash", band_keys.alias("bkeys")
+    ).select(
+        "doc", "simhash", "bkeys",
+        F.posexplode("bkeys").alias("band_idx", "band_key"),
+    )
     l, r = bands.alias("l"), bands.alias("r")
+    earlier_collision = F.array_contains(
+        F.zip_with(
+            F.slice(F.col("l.bkeys"), F.lit(1), F.col("l.band_idx")),
+            F.slice(F.col("r.bkeys"), F.lit(1), F.col("r.band_idx")),
+            lambda a, b: a == b,
+        ),
+        F.lit(True),
+    )
     return (
         l.join(
             r,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc") < F.col("r.doc")),
+            & (F.col("l.doc") < F.col("r.doc"))
+            & ~earlier_collision,
         )
         .select(
             F.col("l.doc").alias("doc_a"),
             F.col("r.doc").alias("doc_b"),
             F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
         )
-        .distinct()
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
@@ -281,16 +308,19 @@ def ngram_jaccard_pairs(
     shingles per pair, then J = shared / (|A| + |B| - shared).
 
     Scale note: hot shingles (boilerplate) blow up the self-join
-    quadratically in their document frequency. ``max_df`` drops shingles
-    appearing in more than that many documents *from the join only* (doc
-    sizes keep every shingle, so J is never inflated — a pair sharing only
-    boilerplate can drop out, pairs kept are scored exactly). The declared
-    query runs with ``max_df=None`` so the oracle stays the pure
-    definition; at 100 TB set it to ~0.1-1% of the corpus."""
-    # distinct (doc, shingle-hash) pairs; persisted — feeds per-doc sizes and
-    # both sides of the inverted self-join (identical plan → reused exchange)
-    inv = shingle_relation(df, id_col, text_col).distinct().persist()
-    sizes_src = inv
+    quadratically in their document frequency. ``max_df`` removes shingles
+    appearing in more than that many documents from the shingle space
+    entirely — from the inverted-index join AND the per-doc sizes — so the
+    reported Jaccard is *exact over the reduced (non-boilerplate) shingle
+    space*: similarity is measured on content, not on shared boilerplate.
+    With ``max_df=None`` the score is plain Jaccard over all shingles. At
+    100 TB set max_df to ~0.1-1% of the corpus; the declared queries verify
+    both paths (dedup_ngram_jaccard, dedup_ngram_jaccard_capped)."""
+    # distinct (doc, shingle-hash) pairs — feeds per-doc sizes and both
+    # sides of the inverted self-join; the subplans are identical, so
+    # Spark's ReusedExchange serves them from one shuffle write (asserted
+    # in tests/test_plan_shape.py) with no persist to leak.
+    inv = shingle_relation(df, id_col, text_col).distinct()
     if max_df is not None:
         hot = (
             inv.groupBy("x")
@@ -298,8 +328,10 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("x")
         )
+        # Hot shingles are by definition few (df above the cap ⇒ heavy
+        # boilerplate), so the exclusion list broadcasts.
         inv = inv.join(F.broadcast(hot), "x", "left_anti")
-    sizes = sizes_src.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    sizes = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     l, r = inv.alias("l"), inv.alias("r")
     shared = (
         l.join(r, (F.col("l.x") == F.col("r.x")) & (F.col("l.doc") < F.col("r.doc")))

@@ -11,14 +11,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from hdfs_mapreduce_spark.functions.hashing import MERSENNE_31, h56_sql
 from hdfs_mapreduce_spark.operators.dedup import (
+    BAND_BITS,
     HAMMING_MAX,
     N_BANDS,
     N_PERM,
     PERMS,
     ROWS_PER_BAND,
     SHINGLE_K,
+    SIMHASH_BANDS,
     SIMHASH_BITS,
-    SIMHASH_BYTES,
     exact_dedup,
     minhash_pairs,
     minhash_signatures,
@@ -30,6 +31,11 @@ from hdfs_mapreduce_spark.sources.catalog import load_table, spread
 
 MINHASH_THRESHOLD = 0.5
 NGRAM_THRESHOLD = 0.5
+# Hot-shingle cap for the declared capped query. At sf0.01 this prunes the
+# shingles with df > 5 (the tail of the distribution tops out at 7), so the
+# oracle genuinely exercises the cap; at 100 TB the cap would be ~0.1-1% of
+# the corpus size.
+NGRAM_MAX_DF = 5
 
 # ---- shared DuckDB fragments -------------------------------------------------
 _TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
@@ -104,6 +110,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_THRESHOLD)
 
 
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB path: hot-shingle cap live in the verified plan. Jaccard is
+    exact over the reduced shingle space (df ≤ NGRAM_MAX_DF on both the
+    inverted index and the size counts)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", NGRAM_THRESHOLD, max_df=NGRAM_MAX_DF
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_sigs": dedup_minhash_sigs,
@@ -111,6 +127,7 @@ QUERIES = {
     "dedup_simhash_sigs": dedup_simhash_sigs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
 }
 
 _SIMHASH_VOTES = ", ".join(
@@ -127,8 +144,9 @@ _SIMHASH_CTE = f"""
     sigs AS (SELECT doc, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes)
 """
 _SIMHASH_BANDS = "simbands AS (" + " UNION ALL ".join(
-    f"SELECT doc, simhash, {b} AS band_idx, (simhash >> {8 * b}) & 255 AS band_key FROM sigs"
-    for b in range(SIMHASH_BYTES)
+    f"SELECT doc, simhash, {b} AS band_idx, "
+    f"(simhash >> {BAND_BITS * b}) & {(1 << BAND_BITS) - 1} AS band_key FROM sigs"
+    for b in range(SIMHASH_BANDS)
 ) + ")"
 
 ORACLE_SQL = {
@@ -185,6 +203,30 @@ ORACLE_SQL = {
         ),
         sizes AS (SELECT doc, len(sh) AS sz FROM sets),
         inv AS (SELECT doc, unnest(sh) AS h FROM sets),
+        shared AS (
+            SELECT l.doc AS doc_a, r.doc AS doc_b, COUNT(*) AS shared
+            FROM inv l JOIN inv r ON l.h = r.h AND l.doc < r.doc
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT s.doc_a, s.doc_b,
+                   CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared) AS jaccard
+            FROM shared s
+            JOIN sizes sa ON sa.doc = s.doc_a
+            JOIN sizes sb ON sb.doc = s.doc_b
+        ) WHERE jaccard >= {NGRAM_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+    "dedup_ngram_jaccard_capped": f"""
+        WITH sets AS (
+            SELECT doc_id AS doc, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= 1
+        ),
+        inv0 AS (SELECT doc, unnest(sh) AS h FROM sets),
+        hot AS (SELECT h FROM inv0 GROUP BY h HAVING COUNT(*) > {NGRAM_MAX_DF}),
+        inv AS (SELECT doc, h FROM inv0 ANTI JOIN hot USING (h)),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM inv GROUP BY doc),
         shared AS (
             SELECT l.doc AS doc_a, r.doc AS doc_b, COUNT(*) AS shared
             FROM inv l JOIN inv r ON l.h = r.h AND l.doc < r.doc

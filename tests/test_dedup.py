@@ -41,12 +41,21 @@ def test_minhash_finds_planted_near_dup(spark):
 
 
 def test_simhash_identical_docs_hamming_zero(spark):
+    """56-bit signatures: identical docs collide at hamming 0; a 1%-token
+    edit stays within the hamming-3 budget (a 1-in-17-token edit does not —
+    the 56-bit bar is ~94.6% bit agreement, per the Manku '07 layout)."""
+    base = " ".join(f"tok{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base.replace("tok99", "changed")), (4, OTHER)],
+        "doc_id long, text string",
+    )
     out = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in simhash_pairs(_docs(spark), "doc_id", "text").collect()
+        for r in simhash_pairs(docs, "doc_id", "text").collect()
     }
     assert out[(1, 2)] == 0
     assert out[(1, 3)] <= 3  # near-dup within the hamming budget
+    assert not any(4 in p for p in out)
 
 
 def test_minhash_pairs_subset_of_exact(spark):
@@ -69,21 +78,51 @@ def test_minhash_pairs_subset_of_exact(spark):
     assert lsh == exact
 
 
-def test_ngram_jaccard_max_df_prunes_only_hot_shingles(spark):
-    """With the hot-shingle cap, surviving pairs keep their exact Jaccard
-    (sizes still count every shingle) and the output is a subset."""
-    from hdfs_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
-    from hdfs_mapreduce_spark.sources.catalog import load_table
+def test_ngram_jaccard_max_df_reduced_space_semantics(spark):
+    """max_df removes hot (boilerplate) shingles from the whole shingle
+    space: pairs similar only through boilerplate drop out, and surviving
+    pairs are scored exactly on the reduced space.
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    Construction: 20 boilerplate tokens shared by all docs (18 internal
+    3-shingles, df = 12 > max_df = 5) + a 4-token unique tail. Docs 1/2
+    share 3 of their 4 post-boilerplate shingles; docs 3..12 share nothing
+    beyond boilerplate."""
+    from hdfs_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = " ".join(f"b{i}" for i in range(20))
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta"),
+        (2, f"{boiler} alpha beta gamma epsilon"),
+    ] + [(i, f"{boiler} u{i}a u{i}b u{i}c u{i}d") for i in range(3, 13)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
     full = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
         for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5).collect()
     }
     capped = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5, max_df=50).collect()
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 0.5, max_df=5).collect()
     }
-    assert set(capped) <= set(full)
-    for k, v in capped.items():
-        assert abs(v - full[k]) < 1e-12
+    # Uncapped: every pair clears 0.5 through shared boilerplate alone
+    # (18 shared / 26 union ≈ 0.69) → all C(12,2) pairs.
+    assert len(full) == 66
+    # Capped: boilerplate-only pairs vanish; 1-2 survive on content with the
+    # exact reduced-space score 3 shared / (4 + 4 - 3).
+    assert set(capped) == {(1, 2)}
+    assert abs(capped[(1, 2)] - 3 / 5) < 1e-12
+
+
+def test_dedup_pair_queries_leave_no_cached_rdds(spark):
+    """The pair pipelines rely on ReusedExchange, not persist — nothing may
+    stay cached after the action (VERDICT r1 item 3: long-lived sessions
+    must not accumulate cache)."""
+    from hdfs_mapreduce_spark.plans.dedup_plans import (
+        dedup_minhash_pairs,
+        dedup_ngram_jaccard_capped,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dedup_minhash_pairs(spark, sf).collect()
+    dedup_ngram_jaccard_capped(spark, sf).collect()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0

@@ -9,34 +9,59 @@ Spark, so the facade stays ~10 lines per verb:
 
     verb        reference path                      here
     PUT         chunk+round-robin+replicate         read → partitioned parquet write
-    GET         parallel chunk fetch + concat       spark.read.parquet
-    ls          controller file index               warehouse listing
-    rm          index delete + async chunk deletes  recursive path delete
+    GET         parallel chunk fetch + concat       spark.read.parquet / get_file
+    ls          controller file index               warehouse listing (Hadoop FS)
+    rm          index delete + async chunk deletes  recursive path delete (Hadoop FS)
     COMPUTE     plugin MAP/REDUCE job (§3.1)        functions.plugin.run_mapreduce
-    stats       per-node counters via heartbeats    per-table files/bytes/rows
+    stats       per-node counters via heartbeats    per-table files/bytes
+
+All filesystem verbs go through the Hadoop FileSystem API resolved from the
+warehouse path, so the facade works identically on file://, hdfs:// and
+object stores — never ``os``/``shutil`` (which silently break off the local
+filesystem).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
+import threading
+import time
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from hdfs_mapreduce_spark.functions.plugin import run_mapreduce
 
+# The reference streams these job milestones to the client while a COMPUTE
+# runs (proto/dfs.proto:95-107 ComputationStatus, dfs/controller/
+# controller.go:230-271, rendered by dfs/client/actions.go:151-198).
+JOB_MILESTONES = ("job_accepted", "job_mappers", "job_reducers", "job_done")
+
 
 class Engine:
-    """A warehouse-scoped session facade. ``warehouse`` is any Spark-readable
-    directory (local in tests, HDFS/object-store in production)."""
+    """A warehouse-scoped session facade. ``warehouse`` is any
+    Hadoop-resolvable directory URI (a bare local path in tests,
+    hdfs://... or s3a://... in production)."""
 
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
-        os.makedirs(warehouse, exist_ok=True)
+        fs, path = self._fs_path(warehouse)
+        fs.mkdirs(path)
+
+    # --- Hadoop FS plumbing ----------------------------------------------------
+    def _jpath(self, path_str: str):
+        return self.spark._jvm.org.apache.hadoop.fs.Path(path_str)
+
+    def _fs_path(self, path_str: str):
+        """(FileSystem, Path) for any URI the Hadoop conf can resolve —
+        LocalFileSystem for bare paths, DistributedFileSystem for hdfs://,
+        the object-store connectors for s3a:// etc."""
+        path = self._jpath(path_str)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, path
 
     def _path(self, name: str) -> str:
-        return os.path.join(self.warehouse, name)
+        return f"{self.warehouse.rstrip('/')}/{name}"
 
     # --- PUT (S1): ingest a local file as a parquet table --------------------
     def put(
@@ -47,7 +72,7 @@ class Engine:
         partitions: int | None = None,
         **read_opts,
     ) -> None:
-        base = os.path.basename(local_path)
+        base = local_path.rstrip("/").rsplit("/", 1)[-1]
         if base.startswith(("_", ".")):
             # Hadoop's input format treats _/.-prefixed paths as hidden
             # (metadata like _SUCCESS) and silently reads ZERO rows — turn
@@ -75,35 +100,60 @@ class Engine:
     def get(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self._path(name))
 
+    def get_file(
+        self, name: str, save_as: str, order_by: list[str] | None = None
+    ) -> None:
+        """Ordered egress of a stored table into ONE local file — the
+        reference's second verb: GET fetches chunks in parallel and
+        concatenates them by serial into the target file
+        (dfs/client/downloader.go:144-188).
+
+        Rows stream through ``toLocalIterator`` — one partition in driver
+        memory at a time, in partition order, which for a text-ingested
+        table is exactly chunk-serial order (Spark plans splits in file
+        offset order). Pass ``order_by`` to impose a column order instead.
+        A single string column writes raw lines; multi-column rows write
+        tab-separated lines — the reference's own KV encoding
+        (dfs/compute_engine/context.go:146-151).
+        """
+        df = self.get(name)
+        if order_by:
+            df = df.orderBy(*order_by)
+        with open(save_as, "w", encoding="utf-8") as f:
+            for row in df.toLocalIterator(prefetchPartitions=True):
+                f.write(
+                    "\t".join("" if v is None else str(v) for v in row) + "\n"
+                )
+
     # --- ls (S6) ---------------------------------------------------------------
     def ls(self) -> list[str]:
+        fs, path = self._fs_path(self.warehouse)
         return sorted(
-            d for d in os.listdir(self.warehouse)
-            if os.path.isdir(self._path(d))
+            st.getPath().getName()
+            for st in fs.listStatus(path)
+            if st.isDirectory()
         )
 
     # --- rm (S7) ---------------------------------------------------------------
     def rm(self, name: str) -> None:
-        target = self._path(name)
-        if not os.path.isdir(target):
+        fs, path = self._fs_path(self._path(name))
+        if not fs.exists(path):
             raise FileNotFoundError(name)
-        shutil.rmtree(target)
+        fs.delete(path, True)
 
     # --- stats (S8) -------------------------------------------------------------
     def stats(self) -> dict[str, dict[str, int]]:
+        fs, _ = self._fs_path(self.warehouse)
         out: dict[str, dict[str, int]] = {}
         for name in self.ls():
             files = [
-                f
-                for f in os.listdir(self._path(name))
-                if f.endswith(".parquet")
+                st
+                for st in fs.listStatus(self._jpath(self._path(name)))
+                if st.isFile() and st.getPath().getName().endswith(".parquet")
             ]
             out[name] = {
                 "n_files": len(files),
-                "n_bytes": sum(
-                    os.path.getsize(os.path.join(self._path(name), f))
-                    for f in files
-                ),
+                "n_bytes": sum(st.getLen() for st in files),
             }
         return out
 
@@ -126,12 +176,71 @@ class Engine:
         reduce_schema: str,
         output_name: str,
         key: str = "key",
+        on_status: Callable[[str], None] | None = None,
     ) -> DataFrame:
         """Run a map/reduce plugin job over a stored table and persist the
         result as a new table (the reference uploads reducer output back into
-        the DFS — dfs/storageNode/storageNode.go:499-522)."""
+        the DFS — dfs/storageNode/storageNode.go:499-522).
+
+        ``on_status`` receives the reference's ComputationStatus milestones
+        in order: job_accepted → job_mappers → job_reducers → job_done
+        (proto/dfs.proto:95-107; the controller pushes these to the client
+        as the job advances, dfs/controller/controller.go:230-271). Here
+        they map onto Spark stage activity: the job's first stage is the
+        map side, any later stage is shuffle-read (reduce) work.
+        """
         result = run_mapreduce(
             self.get(name), mapper, reducer, map_schema, reduce_schema, key
         )
-        result.write.mode("errorifexists").parquet(self._path(output_name))
+
+        def action():
+            result.write.mode("errorifexists").parquet(self._path(output_name))
+
+        if on_status is None:
+            action()
+        else:
+            self._run_with_status(action, on_status)
         return self.get(output_name)
+
+    def _run_with_status(
+        self, action: Callable[[], None], on_status: Callable[[str], None]
+    ) -> None:
+        """Drive ``action`` while a poller thread maps live stage activity
+        (``sc.statusTracker``) onto the reference's milestone stream. If a
+        stage finishes between polls the missed milestones are emitted
+        before job_done — a completed job by definition ran its map and
+        reduce sides — so the observed sequence is always exactly
+        JOB_MILESTONES."""
+        on_status("job_accepted")
+        fired: set[str] = set()
+        stop = threading.Event()
+        tracker = self.spark.sparkContext.statusTracker()
+        first_stage: list[int] = []
+
+        def poll() -> None:
+            while not stop.is_set():
+                ids = tracker.getActiveStageIds()
+                if ids:
+                    if not first_stage:
+                        first_stage.append(min(ids))
+                        fired.add("job_mappers")
+                        on_status("job_mappers")
+                    elif (
+                        max(ids) > first_stage[0]
+                        and "job_reducers" not in fired
+                    ):
+                        fired.add("job_reducers")
+                        on_status("job_reducers")
+                time.sleep(0.01)
+
+        poller = threading.Thread(target=poll, daemon=True)
+        poller.start()
+        try:
+            action()
+        finally:
+            stop.set()
+            poller.join(timeout=2)
+        for m in ("job_mappers", "job_reducers"):
+            if m not in fired:
+                on_status(m)
+        on_status("job_done")

@@ -72,14 +72,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     """Round-robin repartition a DataFrame up to the session's default
-    parallelism IF the scan produced fewer partitions than cores — i.e. the
-    input is a single small file, as in the local test harness. On a real
+    parallelism IF the scan reads fewer files than cores — i.e. the input
+    is a single small file, as in the local test harness. On a real
     deployment (100 TB = hundreds of thousands of splits) this is a no-op,
     so map-heavy callers (shingling, hashing, tokenizing) can use it
     unconditionally: the one small shuffle locally buys full-core map
-    parallelism; at scale no shuffle happens at all."""
+    parallelism; at scale no shuffle happens at all.
+
+    Keyed off ``df.inputFiles()`` (a catalog file listing) rather than
+    ``df.rdd.getNumPartitions()``, which would force an RDD conversion of
+    the whole read plan on every call."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 
@@ -103,6 +107,58 @@ def ingest_text(spark: SparkSession, path: str) -> DataFrame:
     newline-aligned 256 KiB boundaries; Spark split planning does the same job
     at spark.sql.files.maxPartitionBytes granularity)."""
     return spark.read.text(path)
+
+
+def ingest_text_with_lineno(spark: SparkSession, path: str) -> DataFrame:
+    """Text ingest with the reference's mapper key: a stable 0-based line
+    number per file (dfs/compute_engine/compute_engine.go:47-53 keys each
+    map record by its line offset; the FIXTURES ``textlines`` shape).
+
+    Zero-shuffle zipWithIndex, two passes over the input:
+      1. count rows per (partition, file) — a map-side-combined aggregate
+         whose shuffle carries one row per split, then a tiny collect;
+      2. re-scan, adding ``offset[(pid, file)] + position-within-partition``
+         via mapInPandas (rows arrive in split order inside a partition,
+         and Spark plans a file's splits in offset order across ascending
+         partition ids, so the numbering is the file's line order).
+    Two scans beat one shuffle: the alternative (a window over
+    input_file_name) hash-exchanges the entire corpus AND serializes each
+    file into a single window partition — a straggler at any real file
+    size. Determinism note: both passes plan splits from the same
+    files/conf, so partition ids line up."""
+    import pandas as pd
+
+    base = spark.read.text(path).select(
+        F.spark_partition_id().alias("pid"),
+        F.input_file_name().alias("file"),
+        "value",
+    )
+    counts = (
+        base.groupBy("pid", "file").count().orderBy("pid").collect()
+    )
+    offsets: dict[tuple[int, str], int] = {}
+    totals: dict[str, int] = {}
+    for row in counts:
+        offsets[(row["pid"], row["file"])] = totals.get(row["file"], 0)
+        totals[row["file"]] = totals.get(row["file"], 0) + row["count"]
+    b_offsets = spark.sparkContext.broadcast(offsets)
+
+    def assign(batches):
+        seen: dict[tuple[int, str], int] = {}
+        for pdf in batches:
+            keys = list(zip(pdf["pid"], pdf["file"]))
+            linenos = []
+            for k in keys:
+                nxt = seen.get(k)
+                if nxt is None:
+                    nxt = b_offsets.value.get(k, 0)
+                linenos.append(nxt)
+                seen[k] = nxt + 1
+            yield pd.DataFrame(
+                {"file": pdf["file"], "line_no": linenos, "value": pdf["value"]}
+            )
+
+    return base.mapInPandas(assign, "file string, line_no long, value string")
 
 
 def write_table(

@@ -64,6 +64,79 @@ def test_compute_word_count_end_to_end(engine, tmp_path):
     assert "wc" in engine.ls()
 
 
+def test_get_file_roundtrip_bytes(engine, tmp_path):
+    """PUT a text file, GET it back to a local file — byte-identical, in
+    original line order (reference GET semantics: chunk-serial concat,
+    dfs/client/downloader.go:144-188)."""
+    content = "".join(f"line {i} of the book\n" for i in range(500))
+    src = tmp_path / "book.txt"
+    src.write_text(content)
+    engine.put(str(src), "book_for_get", fmt="text")
+    dst = tmp_path / "fetched.txt"
+    engine.get_file("book_for_get", str(dst))
+    assert dst.read_bytes() == src.read_bytes()
+
+
+def test_get_file_multicolumn_tsv(engine, tmp_path):
+    """Multi-column tables egress as tab-separated KV lines (the
+    reference's own intermediate encoding, context.go:146-151)."""
+    csv = tmp_path / "kv.csv"
+    csv.write_text("k,v\nalpha,1\nbeta,2\n")
+    engine.put(str(csv), "kv_table", fmt="csv", header=True, inferSchema=True)
+    dst = tmp_path / "kv.tsv"
+    engine.get_file("kv_table", str(dst), order_by=["k"])
+    assert dst.read_text() == "alpha\t1\nbeta\t2\n"
+
+
+def test_compute_reports_milestones(engine, tmp_path):
+    """on_status sees the reference's ComputationStatus sequence exactly
+    once each, in order (proto/dfs.proto:95-107)."""
+    import pandas as pd
+
+    from hdfs_mapreduce_spark.engine import JOB_MILESTONES
+
+    src = tmp_path / "status_book.txt"
+    src.write_text("".join(f"w{i % 50} w{i % 97}\n" for i in range(20000)))
+
+    def mapper(rec):
+        for tok in rec["value"].split(" "):
+            if tok:
+                yield {"key": tok, "value": 1}
+
+    def reducer(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"token": [key[0]], "cnt": [int(pdf["value"].sum())]})
+
+    seen: list[str] = []
+    engine.put(str(src), "status_book", fmt="text")
+    engine.compute(
+        "status_book",
+        mapper,
+        reducer,
+        map_schema="key string, value long",
+        reduce_schema="token string, cnt long",
+        output_name="status_wc",
+        on_status=seen.append,
+    )
+    assert tuple(seen) == JOB_MILESTONES
+
+
+def test_ingest_text_with_lineno_multifile(spark, tmp_path):
+    """Per-file 0-based line numbers survive multi-file, multi-partition
+    reads (the reference's mapper key, compute_engine.go:47-53)."""
+    from hdfs_mapreduce_spark.sources.catalog import ingest_text_with_lineno
+
+    d = tmp_path / "texts"
+    d.mkdir()
+    for fname, n in (("a.txt", 100), ("b.txt", 37)):
+        (d / fname).write_text("".join(f"{fname}:{i}\n" for i in range(n)))
+    out = ingest_text_with_lineno(spark, str(d)).collect()
+    assert len(out) == 137
+    for r in out:
+        fname, i = r["value"].split(":")
+        assert r["file"].endswith(fname)
+        assert r["line_no"] == int(i)
+
+
 def test_salted_aggregate_equals_plain(spark):
     from pyspark.sql import functions as F
 

@@ -82,18 +82,49 @@ def main() -> None:
     except ValueError:
         sf = None
     total = round(sum(t for t in timings.values() if t >= 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared-query wall-clock vs duckdb oracle",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "declared-query wall-clock vs duckdb oracle",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    delta = _delta_vs_prev(timings)
+    if delta:
+        out["delta_vs_prev"] = delta
+    print(json.dumps(out))
     spark.stop()
+
+
+def _delta_vs_prev(timings: dict[str, float]) -> dict[str, float] | None:
+    """Per-query delta (sec; negative = faster) vs the newest BENCH_r{N}.json
+    next to this script, so regressions are visible in-run. The driver's
+    wrapper nests the bench line inside a 'tail' field — handle both shapes.
+    Deltas are between runs on the same machine at the same SF; queries
+    missing from the previous round are reported with the sentinel None."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not benches:
+        return None
+    try:
+        with open(benches[-1]) as f:
+            prev = json.load(f)
+        if "queries" not in prev and "tail" in prev:
+            m = re.search(r'\{"metric".*\}', prev["tail"])
+            prev = json.loads(m.group(0)) if m else {}
+        prev_q = prev.get("queries", {})
+    except Exception:
+        return None
+    if not prev_q:
+        return None
+    return {
+        name: (round(t - prev_q[name], 4) if name in prev_q else None)
+        for name, t in timings.items()
+        if t >= 0
+    }
 
 
 if __name__ == "__main__":

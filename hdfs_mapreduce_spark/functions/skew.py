@@ -81,8 +81,20 @@ def salted_join(
     This is the static-plan fallback for when AQE's runtime skew-join split
     isn't available (AQE off, or a key so hot a single split still spills).
     Small side grows ``n_salts``x — use only when |small| * n_salts stays
-    broadcast-or-shuffle-cheap. Result equals the plain join exactly (salts
-    cover 0..n_salts-1 on both sides); asserted in tests."""
+    broadcast-or-shuffle-cheap.
+
+    ``how`` is restricted to inner/left (the directions that preserve the
+    plain join's result exactly; asserted in tests): each big-side row
+    carries exactly one salt, so unmatched big rows surface once under
+    'left'. Under 'right'/'full' every *unmatched small-side* row would
+    surface once per salt replica — n_salts null-padded duplicates — so
+    those directions are rejected rather than silently wrong."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "unmatched small-side rows are replicated n_salts times under "
+            "right/full outer joins"
+        )
     salt = F.pmod(F.xxhash64(distributor), F.lit(n_salts))
     b = big.withColumn("__salt", salt)
     s = small.withColumn(

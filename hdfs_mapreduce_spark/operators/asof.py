@@ -38,15 +38,25 @@ def as_of_join(
     right_tiebreak: str,
 ) -> DataFrame:
     """Columns of the result: all of ``left`` plus ``value_cols`` (nullable —
-    null when no right row precedes the left row)."""
+    null when no right row precedes the left row).
+
+    All value columns forward-fill as ONE struct (left rows carry a NULL
+    struct, so ignoreNulls skips them atomically) — a single last_value
+    evaluation over the sorted run instead of len(value_cols) independent
+    ones."""
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    vtype = StructType(
+        [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     l = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast("long").alias("__tb"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}") for c in value_cols],
+        F.lit(None).cast(vtype).alias("__v"),
     )
     r = right.select(
         F.col(right_key).alias("__k"),
@@ -54,7 +64,7 @@ def as_of_join(
         F.lit(0).alias("__side"),
         F.col(right_tiebreak).cast("long").alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
     )
     w = (
         Window.partitionBy("__k")
@@ -62,13 +72,9 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in value_cols
-        ],
+        "*", F.last("__v", ignorenulls=True).over(w).alias("__f")
     )
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"__f_{c}").alias(c) for c in value_cols],
+        *[F.col("__f")[c].alias(c) for c in value_cols],
     )

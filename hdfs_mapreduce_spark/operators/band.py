@@ -39,9 +39,21 @@ def band_join(
 
     Returns all left columns plus all right columns; callers select/alias.
     Column name collisions must be resolved by the caller (alias the inputs).
+
+    The degenerate band ``lower_us == upper_us`` ("exactly N later") is a
+    plain equi-join on (key, left.time + offset) — no bucketing, no
+    explode, no residual filter.
     """
-    if upper_us <= lower_us:
-        raise ValueError("band_join needs upper_us > lower_us")
+    if upper_us < lower_us:
+        raise ValueError("band_join needs upper_us >= lower_us")
+    if upper_us == lower_us:
+        lt_exact = F.unix_micros(F.col(left_time)) + F.lit(lower_us)
+        rt_exact = F.unix_micros(F.col(right_time))
+        return left.withColumn("__bb_l", lt_exact).join(
+            right.withColumn("__bb_r", rt_exact),
+            (F.col(left_key) == F.col(right_key))
+            & (F.col("__bb_l") == F.col("__bb_r")),
+        ).drop("__bb_l", "__bb_r")
     w = upper_us - lower_us
 
     lt = F.unix_micros(F.col(left_time))

@@ -159,9 +159,15 @@ def stream_sessionize(
             state.remove()
             return
         last_ts, seq = state.get if state.exists else (None, 0)
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
+        # A key's micro-batch rows arrive as multiple Arrow chunks (bounded
+        # by maxRecordsPerBatch) in storage order, NOT time order — the gap
+        # rule is only correct over the key's batch as one time-sorted run,
+        # so materialize every chunk first and sort ONCE. Per-chunk sorting
+        # with carried (last_ts, seq) computes gaps against the wrong
+        # predecessor whenever a user's rows span chunks.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
             ts_sec = pdf["ts"].astype("int64").to_numpy() // 1_000_000_000
             prev = np.concatenate(

@@ -65,3 +65,15 @@ def test_band_join_plan_no_nested_loop(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_band_join_degenerate_exact_offset(spark):
+    """lower == upper ('exactly N later') is a plain equi-join on
+    (key, time + offset) — well-defined, no bucketing."""
+    left, right = _fixture(spark)
+    out = band_join(
+        left, right, "k", "rk", "lt", "rt",
+        lower_us=600 * 1_000_000, upper_us=600 * 1_000_000,
+    )
+    pairs = {(r["lid"], r["rid"]) for r in out.collect()}
+    assert pairs == {(100, 201)}  # exactly 600s later; 202 is 1us off

@@ -238,3 +238,22 @@ def test_engine_sql_over_warehouse(engine, tmp_path):
         "SELECT brand, SUM(amount) AS total FROM sales GROUP BY brand ORDER BY brand"
     ).collect()
     assert [(r["brand"], r["total"]) for r in rows] == [("acme", 30), ("globex", 5)]
+
+
+def test_salted_join_rejects_outer_directions(spark):
+    """right/full would replicate unmatched small-side rows n_salts times —
+    rejected rather than silently wrong."""
+    import pytest as _pytest
+
+    from hdfs_mapreduce_spark.functions.skew import salted_join
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf, "customer").select("c_custkey", "c_name")
+    for how in ("right", "full", "outer"):
+        with _pytest.raises(ValueError):
+            salted_join(
+                orders, customer, "o_custkey", "c_custkey",
+                distributor="o_orderkey", how=how,
+            )

@@ -54,7 +54,10 @@ def test_stream_equals_batch(spark):
 
 def test_stream_sessionize_equals_batch(spark):
     """The stateful streaming sessionizer (applyInPandasWithState) must
-    assign exactly the ids the relational batch form assigns."""
+    assign exactly the ids the relational batch form assigns — including
+    when a user's micro-batch rows span multiple Arrow chunks (forced via a
+    tiny maxRecordsPerBatch), where per-chunk gap logic would compute gaps
+    against the wrong predecessor."""
     from hdfs_mapreduce_spark.sources.catalog import load_table
     from hdfs_mapreduce_spark.streaming.events import stream_sessionize
 
@@ -63,15 +66,22 @@ def test_stream_sessionize_equals_batch(spark):
         r["event_id"]: (r["user_id"], r["session_seq"])
         for r in sessionize(events).collect()
     }
-    with tempfile.TemporaryDirectory() as ckpt:
-        q = (
-            stream_sessionize(spark, SF, checkpoint_dir=ckpt)
-            .format("memory")
-            .queryName("session_stream")
-            .trigger(availableNow=True)
-            .start()
+    prev_max = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        with tempfile.TemporaryDirectory() as ckpt:
+            q = (
+                stream_sessionize(spark, SF, checkpoint_dir=ckpt)
+                .format("memory")
+                .queryName("session_stream")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev_max
         )
-        q.awaitTermination(120)
     stream = {
         r["event_id"]: (r["user_id"], r["session_seq"])
         for r in spark.sql("SELECT * FROM session_stream").collect()

@@ -1,5 +1,9 @@
 from hdfs_mapreduce_spark.operators.asof import as_of_join
 from hdfs_mapreduce_spark.operators.band import band_join
+from hdfs_mapreduce_spark.operators.components import (
+    canonical_assignment,
+    connected_components,
+)
 from hdfs_mapreduce_spark.operators.dedup import (
     exact_dedup,
     minhash_pairs,
@@ -19,6 +23,8 @@ from hdfs_mapreduce_spark.operators.similarity import (
 __all__ = [
     "as_of_join",
     "band_join",
+    "canonical_assignment",
+    "connected_components",
     "exact_dedup",
     "minhash_signatures",
     "minhash_pairs",

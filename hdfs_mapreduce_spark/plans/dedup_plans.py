@@ -8,6 +8,7 @@ arithmetic end-to-end, so oracle matches are exact, not approximate.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hdfs_mapreduce_spark.functions.hashing import MERSENNE_31, h56_sql
 from hdfs_mapreduce_spark.operators.dedup import (
@@ -110,6 +111,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_THRESHOLD)
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup groups: connected components over the MinHash
+    pair graph, every document mapped to its component's min doc_id (itself
+    when it has no near-dups). ``canonical_id == doc_id`` is the survivor
+    predicate a curation pipeline filters on. The oracle computes the same
+    labeling as a recursive-CTE transitive closure over the identical pair
+    SQL."""
+    from hdfs_mapreduce_spark.operators.components import canonical_assignment
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    pairs = minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
+    assign = canonical_assignment(
+        docs.select("doc_id"), "doc_id", pairs, "doc_a", "doc_b"
+    )
+    return assign.select(
+        "doc_id", F.col("canonical").alias("canonical_id")
+    ).orderBy("doc_id")
+
+
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path: hot-shingle cap live in the verified plan. Jaccard is
     exact over the reduced shingle space (df ≤ NGRAM_MAX_DF on both the
@@ -128,6 +148,7 @@ QUERIES = {
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
+    "dedup_components": dedup_components,
 }
 
 _SIMHASH_VOTES = ", ".join(
@@ -216,6 +237,40 @@ ORACLE_SQL = {
             JOIN sizes sb ON sb.doc = s.doc_b
         ) WHERE jaccard >= {NGRAM_THRESHOLD}
         ORDER BY doc_a, doc_b
+    """,
+    "dedup_components": f"""
+        WITH RECURSIVE {_BASE_CTE},
+        {_BANDS_CTE},
+        cand AS (
+            SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc < r.doc
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(list_distinct(a.sh || b.sh)) AS jaccard
+                FROM cand c
+                JOIN base a ON a.doc = c.doc_a
+                JOIN base b ON b.doc = c.doc_b
+            ) WHERE jaccard >= {MINHASH_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (SELECT a AS node, MIN(b) AS mn FROM reach GROUP BY a)
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS canonical_id
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+        ORDER BY d.doc_id
     """,
     "dedup_ngram_jaccard_capped": f"""
         WITH sets AS (

@@ -165,6 +165,36 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_MOD = 10_000
+# Per-stratum keep rates out of SAMPLE_MOD: oversample English, thin the
+# rest — the language-rebalancing move every multilingual corpus makes.
+SAMPLE_RATES = {"en": 6_000, "__other__": 1_500}
+
+
+def dataset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each document is kept iff
+    h56('sample:' || doc_id) mod 10000 falls under its stratum's rate
+    (stratum = predicted language). Hash-gated, not random, for the same
+    reasons as dataset_split: stable across runs/engines, per-doc decidable
+    without coordination, and composable — a doc's membership never changes
+    as the corpus grows. Map-only: the gate is a pushed filter, no shuffle
+    except the presentation sort."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    from hdfs_mapreduce_spark.functions.hashing import h56
+
+    stratum = lang_id(F.col("text"))
+    bucket = h56(F.concat(F.lit("sample:"), F.col("doc_id"))) % SAMPLE_MOD
+    thr = F.when(
+        stratum == "en", F.lit(SAMPLE_RATES["en"])
+    ).otherwise(F.lit(SAMPLE_RATES["__other__"]))
+    return (
+        docs.select("doc_id", stratum.alias("stratum"), bucket.alias("b"))
+        .filter(F.col("b") < thr)
+        .select("doc_id", "stratum")
+        .orderBy("doc_id")
+    )
+
+
 PACK_BUDGET = 2048
 
 
@@ -216,6 +246,7 @@ _BPE_SQL = BPE_REGEX.replace("'", "''")
 
 QUERIES = {
     "dataset_split": dataset_split,
+    "dataset_sample": dataset_sample,
     "pipeline_curate": pipeline_curate,
     "pipeline_pack": pipeline_pack,
     "text_tokens": text_tokens,
@@ -238,6 +269,19 @@ ORACLE_SQL = {
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         FROM b GROUP BY 1 ORDER BY split
+    """,
+    "dataset_sample": f"""
+        WITH s AS (
+            SELECT doc_id,
+                   ({_langid_sql()}) AS stratum,
+                   CAST('0x' || substr(md5('sample:' || doc_id), 1, 14) AS BIGINT)
+                       % {SAMPLE_MOD} AS b
+            FROM documents
+        )
+        SELECT doc_id, stratum FROM s
+        WHERE b < CASE WHEN stratum = 'en' THEN {SAMPLE_RATES['en']}
+                       ELSE {SAMPLE_RATES['__other__']} END
+        ORDER BY doc_id
     """,
     "pipeline_curate": f"""
         WITH f AS (

@@ -126,3 +126,57 @@ def test_dedup_pair_queries_leave_no_cached_rdds(spark):
     dedup_minhash_pairs(spark, sf).collect()
     dedup_ngram_jaccard_capped(spark, sf).collect()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """A diameter-2 chain (1-2, 2-3) collapses to one component labeled by
+    its min id; isolated pairs and nodes label independently; nothing stays
+    cached after the probe loop."""
+    from hdfs_mapreduce_spark.operators.components import (
+        canonical_assignment,
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 9)], "src long, dst long"
+    )
+    labels = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 9, 42)], "id long")
+    assign = {
+        r["id"]: r["canonical"]
+        for r in canonical_assignment(nodes, "id", edges, "src", "dst").collect()
+    }
+    assert assign == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7, 42: 42}
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_dedup_components_survivors_consistent_with_pairs(spark):
+    """Every pair's docs share a canonical id; docs in no pair are their own
+    canonical."""
+    from hdfs_mapreduce_spark.plans.dedup_plans import (
+        MINHASH_THRESHOLD,
+        dedup_components,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD).collect()
+    ]
+    canon = {
+        r["doc_id"]: r["canonical_id"] for r in dedup_components(spark, sf).collect()
+    }
+    assert len(pairs) > 0
+    paired = {d for p in pairs for d in p}
+    for a, b in pairs:
+        assert canon[a] == canon[b] <= min(a, b)
+    for d, c in canon.items():
+        if d not in paired:
+            assert c == d

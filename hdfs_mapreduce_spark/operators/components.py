@@ -78,19 +78,18 @@ def connected_components(
     try:
         sym_probe = _symmetric(edges, src, dst).localCheckpoint(eager=True)
         labels = _initial_labels(sym_probe).localCheckpoint(eager=True)
+        # Labels only ever decrease, so the fixpoint test is "sum of labels
+        # unchanged" — one small aggregate per round instead of a self-join.
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         k = 0
         while k < max_iter:
             nxt = _propagate(labels, sym_probe).localCheckpoint(eager=True)
             k += 1
-            changed = (
-                nxt.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            cur_sum = nxt.agg(F.sum("label")).collect()[0][0]
             labels = nxt
-            if changed == 0:
+            if cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
     finally:
         jmap = sc._jsc.getPersistentRDDs()
         for rid in set(jmap.keySet()) - before:

@@ -173,3 +173,16 @@ def test_text_analysis_stays_jvm_side(spark):
 def test_aqe_enabled_for_shuffles(spark, name):
     plan = plan_of(QUERIES[name](spark, SF), mode="simple")
     assert "AdaptiveSparkPlan" in plan
+
+def test_dedup_pair_plans_reuse_exchanges_at_runtime(spark):
+    """The pair pipelines rely on AQE's exchange reuse instead of persist
+    (operators/dedup.py): the inverted index / sketch subplan must be served
+    from one shuffle write across its consumers in the EXECUTED plan (static
+    explain defers reuse to runtime under AQE)."""
+    from hdfs_mapreduce_spark.plans.dedup_plans import QUERIES as DQ
+
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_pairs"):
+        df = DQ[name](spark, SF)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert final.count("ReusedExchange") >= 1, name

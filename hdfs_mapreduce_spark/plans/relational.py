@@ -383,6 +383,33 @@ def q21_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q22_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week, then
+    distinct active users per (cohort, week offset) — the canonical
+    product-analytics self-composition (first-touch agg → activity join →
+    distinct count). Two shuffles on user_id (cohort agg + activity
+    distinct) land co-partitioned, so the join is exchange-free on the
+    user side; the final count groups (cohort, offset), a tiny domain."""
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("act_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
 QUERIES = {
     "q1_wordcount": q1_wordcount,
     "q2_filter_project": q2_filter_project,
@@ -406,6 +433,7 @@ QUERIES = {
     "q19_grouped_values": q19_grouped_values,
     "q20_pivot": q20_pivot,
     "q21_outer_join": q21_outer_join,
+    "q22_retention": q22_retention,
 }
 
 ORACLE_SQL = {
@@ -558,6 +586,24 @@ ORACLE_SQL = {
         SELECT c_custkey, COUNT(event_id) AS n_events, MAX(ts) AS last_event
         FROM customer LEFT JOIN events ON c_custkey = user_id
         GROUP BY c_custkey ORDER BY c_custkey
+    """,
+    "q22_retention": """
+        WITH first AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        act AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.act_week) // 7
+                    AS BIGINT) AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM act a JOIN first f ON a.user_id = f.user_id
+        GROUP BY 1, 2 ORDER BY cohort_week, week_offset
     """,
     # q16_approx_distinct: no oracle — sketch results are engine-specific
     # (FIXTURES.md tolerance protocol; tests/test_relational_extra.py).

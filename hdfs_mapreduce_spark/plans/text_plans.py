@@ -165,6 +165,49 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_K = 3
+
+
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (the C4/Gopher-style repetition
+    filter): fraction of duplicate tokens and duplicate 3-gram shingles per
+    document. High values mean templated/degenerate text a curation
+    pipeline drops before training. Pure array expressions — map-only, the
+    shape that runs at scan speed over a trillion tokens."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    from hdfs_mapreduce_spark.functions.text import tokens
+
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
+    ).select(
+        "doc_id",
+        "tk",
+        F.when(
+            F.size("tk") >= REP_K,
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - REP_K),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, REP_K)),
+            ),
+        )
+        .when(F.size("tk") > 0, F.array(F.array_join(F.col("tk"), " ")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sh"),
+    )
+
+    def dup_frac(col: str):
+        n = F.size(col)
+        return F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(col)) / n
+        ).otherwise(F.lit(0.0))
+
+    return base.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        dup_frac("tk").alias("dup_token_frac"),
+        dup_frac("sh").alias("dup_shingle_frac"),
+    ).orderBy("doc_id")
+
+
 SAMPLE_MOD = 10_000
 # Per-stratum keep rates out of SAMPLE_MOD: oversample English, thin the
 # rest — the language-rebalancing move every multilingual corpus makes.
@@ -247,6 +290,7 @@ _BPE_SQL = BPE_REGEX.replace("'", "''")
 QUERIES = {
     "dataset_split": dataset_split,
     "dataset_sample": dataset_sample,
+    "text_repetition": text_repetition,
     "pipeline_curate": pipeline_curate,
     "pipeline_pack": pipeline_pack,
     "text_tokens": text_tokens,
@@ -255,6 +299,9 @@ QUERIES = {
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
 }
+
+# 3-gram builder for the repetition oracle (tk[i] || ' ' || tk[i+1] || ...).
+_REP_SHINGLE = " || ' ' || ".join(f"tk[i+{j}]" for j in range(REP_K))
 
 ORACLE_SQL = {
     "dataset_split": f"""
@@ -269,6 +316,32 @@ ORACLE_SQL = {
                     ELSE 'test' END AS split,
                COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
         FROM b GROUP BY 1 ORDER BY split
+    """,
+    "text_repetition": f"""
+        WITH b AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, tk,
+                   CASE WHEN len(tk) >= {REP_K} THEN
+                       list_transform(generate_series(1, len(tk) - {REP_K - 1}),
+                                      i -> {_REP_SHINGLE})
+                   WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                   ELSE [] END AS sh
+            FROM b
+        )
+        SELECT doc_id,
+               len(tk) AS n_tokens,
+               CASE WHEN len(tk) > 0
+                    THEN 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                    ELSE 0.0 END AS dup_token_frac,
+               CASE WHEN len(sh) > 0
+                    THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
+                    ELSE 0.0 END AS dup_shingle_frac
+        FROM s ORDER BY doc_id
     """,
     "dataset_sample": f"""
         WITH s AS (

@@ -294,6 +294,40 @@ def simhash_pairs(
     )
 
 
+# --- benchmark decontamination ------------------------------------------------------
+def decontaminate(
+    train_df: DataFrame,
+    bench_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = SHINGLE_K,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Training-set decontamination: flag training documents that share at
+    least ``min_hits`` distinct k-gram shingles with *any* benchmark/eval
+    document (the n-gram-overlap protocol used to scrub eval sets out of
+    pretraining corpora).
+
+    Scale shape: the benchmark side is an eval suite — megabytes against a
+    100 TB corpus — so its distinct shingle vocabulary is collected small
+    and **broadcast**; the training corpus is then a single map-side
+    hash-probe scan (shingle → probe → count), one partial-agg shuffle on
+    doc id, no shuffle of the corpus text and no inverted-index self-join.
+    Returns (doc, n_hits) for flagged docs.
+    """
+    train = shingle_relation(train_df, id_col, text_col, k).distinct()
+    bench_sh = (
+        shingle_relation(bench_df, id_col, text_col, k).select("x").distinct()
+    )
+    return (
+        train.join(F.broadcast(bench_sh), "x")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+        .orderBy("doc")
+    )
+
+
 # --- exact n-gram Jaccard ----------------------------------------------------------
 def ngram_jaccard_pairs(
     df: DataFrame,

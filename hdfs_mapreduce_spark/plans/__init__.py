@@ -1,4 +1,5 @@
 from hdfs_mapreduce_spark.plans import (
+    analytics_plans,
     dedup_plans,
     pipeline_plans,
     relational,
@@ -8,6 +9,7 @@ from hdfs_mapreduce_spark.plans import (
 
 QUERIES = {
     **relational.QUERIES,
+    **analytics_plans.QUERIES,
     **text_plans.QUERIES,
     **dedup_plans.QUERIES,
     **similarity_plans.QUERIES,
@@ -15,6 +17,7 @@ QUERIES = {
 }
 ORACLE_SQL = {
     **relational.ORACLE_SQL,
+    **analytics_plans.ORACLE_SQL,
     **text_plans.ORACLE_SQL,
     **dedup_plans.ORACLE_SQL,
     **similarity_plans.ORACLE_SQL,

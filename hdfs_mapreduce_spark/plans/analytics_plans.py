@@ -1,0 +1,285 @@
+"""Warehouse analytics queries: multi-join TPC-H-shaped plans, JSON
+extraction, exact percentiles, and statistical outlier detection.
+
+These extend the declared set past the reference's single-table MapReduce
+ceiling (SURVEY §2.6-§2.9): the reference has no join machinery at all —
+every query here is the Spark-native completion of its partition+shuffle
+primitives (dfs/compute_engine/compute_engine.go:96-142), expressed
+declaratively so Catalyst owns join order, broadcast choice, and pushdown.
+
+Scale notes per query are in the docstrings; the common posture: constant
+dims (nation/region) are broadcast explicitly, fact-fact joins shuffle on
+their keys and stay AQE-re-plannable, filters sit against the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hdfs_mapreduce_spark.sources.catalog import load_table
+
+# Shared literals (both faces read these so they cannot drift).
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-01-01"
+Q5_REGION = "ASIA"
+Q5_FROM, Q5_TO = "1997-01-01", "1999-01-01"
+Q10_FROM, Q10_TO = "1998-01-01", "1999-01-01"
+ANOMALY_Z = 3.0
+
+
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 open orders by in-flight revenue.
+
+    customer(filtered segment) ⋈ orders(date-pruned) ⋈ lineitem(date-pruned).
+    Both date predicates push to the parquet scans; customer is the small
+    side after its segment filter (1/5 of customers) — Catalyst/AQE picks
+    broadcast vs shuffle by runtime size, which is exactly the decision we
+    want automated at 100 TB. The final top-10 is TakeOrderedAndProject on
+    the aggregated (orderkey) domain — no global sort."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(Q3_CUTOFF).cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit(Q3_CUTOFF).cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+def tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation for one region, six-table join.
+
+    region(5 rows) and nation(25 rows) are broadcast — constant size at any
+    SF. supplier joins lineitem on suppkey with the TPC-H "local supplier"
+    constraint c_nationkey = s_nationkey applied as a post-join filter.
+    The fact-side chain orders→lineitem shuffles on orderkey once; every
+    dim is broadcast, so the whole plan has exactly one wide exchange."""
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q5_REGION)
+        .select("r_regionkey")
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nation_in = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q5_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q5_TO).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation_in), F.col("s_nationkey") == nation_in.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter-year window. lineitem is pre-filtered to returnflag='R' before
+    the join (the selective predicate goes under the shuffle), aggregation
+    is partial→final on c_custkey, and the top-20 never sorts the world."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q10_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q10_TO).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (§2.9): events.props is a JSON document; pull
+    $.k out as an integer and aggregate it per event type. get_json_object
+    runs JVM-side (Jackson) inside whole-stage codegen — the reference
+    would need a custom plugin binary for this (SURVEY §2.11)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("k").alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q24_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (the non-sketch twin of
+    q17_approx_quantiles). Exact percentile requires the full sorted value
+    set per group — fine when the group count is bounded (5 event types);
+    at unbounded cardinality the sketch variant is the scale path, which is
+    why both are declared."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.9).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outliers: events whose value is more than 3 sample
+    standard deviations from their event type's mean. The per-type moments
+    are a tiny aggregate (one row per type) joined back by broadcast — two
+    passes over the fact table, no wide shuffle of the facts themselves.
+    The count-per-type output keeps the declared result stable (individual
+    outlier ids are already covered by q6-style scans)."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > ANOMALY_Z * F.col("sigma"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES = {
+    "tpch_q3_shipping": tpch_q3_shipping,
+    "tpch_q5_region": tpch_q5_region,
+    "tpch_q10_returns": tpch_q10_returns,
+    "events_props_json": events_props_json,
+    "q24_exact_percentile": q24_exact_percentile,
+    "events_anomaly": events_anomaly,
+}
+
+ORACLE_SQL = {
+    "tpch_q3_shipping": f"""
+        SELECT o_orderkey, o_orderdate,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = '{Q3_SEGMENT}'
+          AND o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+          AND l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    "tpch_q5_region": f"""
+        SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = '{Q5_REGION}'
+          AND o_orderdate >= TIMESTAMP '{Q5_FROM}'
+          AND o_orderdate < TIMESTAMP '{Q5_TO}'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+    """,
+    "tpch_q10_returns": f"""
+        SELECT c_custkey, c_name, c_acctbal,
+               SUM(l_extendedprice * (1 - l_discount)) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '{Q10_FROM}'
+          AND o_orderdate < TIMESTAMP '{Q10_TO}'
+        GROUP BY c_custkey, c_name, c_acctbal
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "events_props_json": """
+        SELECT event_type, COUNT(*) AS n,
+               AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q24_exact_percentile": """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "events_anomaly": f"""
+        WITH stats AS (
+            SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, COUNT(*) AS n_outliers,
+               MIN(e.value) AS min_val, MAX(e.value) AS max_val
+        FROM events e JOIN stats s ON e.event_type = s.event_type
+        WHERE ABS(e.value - s.mu) > {ANOMALY_Z} * s.sigma
+        GROUP BY e.event_type ORDER BY e.event_type
+    """,
+}

@@ -21,6 +21,7 @@ from hdfs_mapreduce_spark.operators.dedup import (
     SHINGLE_K,
     SIMHASH_BANDS,
     SIMHASH_BITS,
+    decontaminate,
     exact_dedup,
     minhash_pairs,
     minhash_signatures,
@@ -140,8 +141,30 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Synthetic eval split for the decontamination query: every 50th doc plays
+# the benchmark; the rest is the training corpus. Both faces derive the
+# split from the same modulus.
+DECON_MOD = 50
+DECON_MIN_HITS = 2
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination against a synthetic benchmark (doc_id % 50 == 0):
+    training docs sharing >= DECON_MIN_HITS distinct 3-gram shingles with
+    the benchmark set. The benchmark shingle vocabulary broadcasts; the
+    corpus side stays a map-scan (see operators/dedup.py:decontaminate)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    bench = docs.filter(F.col("doc_id") % DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % DECON_MOD != 0)
+    out = decontaminate(
+        train, bench, "doc_id", "text", min_hits=DECON_MIN_HITS
+    )
+    return out.select(F.col("doc").alias("doc_id"), "n_hits")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_decontaminate": dedup_decontaminate,
     "dedup_minhash_sigs": dedup_minhash_sigs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_sigs": dedup_simhash_sigs,
@@ -171,6 +194,20 @@ _SIMHASH_BANDS = "simbands AS (" + " UNION ALL ".join(
 ) + ")"
 
 ORACLE_SQL = {
+    "dedup_decontaminate": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest({_SH}) AS x
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= 1
+        ),
+        bench AS (SELECT DISTINCT x FROM sh WHERE doc_id % {DECON_MOD} = 0)
+        SELECT s.doc_id, COUNT(*) AS n_hits
+        FROM sh s JOIN bench b ON s.x = b.x
+        WHERE s.doc_id % {DECON_MOD} <> 0
+        GROUP BY s.doc_id
+        HAVING COUNT(*) >= {DECON_MIN_HITS}
+        ORDER BY s.doc_id
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
                COUNT(*) AS n_copies

@@ -67,8 +67,28 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, PAIR_THRESHOLD)
 
 
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one row per (label, dim).
+
+    posexplode → partial-agg SUM/COUNT keyed on (label, dim) → final avg:
+    the shuffle carries only (label × 64 dims) partial sums, never vectors,
+    so at 100 TB this is a map-side-combined scan — the standard "class
+    prototype" computation for nearest-centroid classification and IVF
+    coarse-quantizer seeding. All-double accumulation on both faces."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.avg(F.col("v").cast("double")).alias("centroid"))
+        .orderBy("label", "dim")
+    )
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
+    "embedding_centroids": embedding_centroids,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -77,6 +97,16 @@ QUERIES = {
 _IDS = ", ".join(str(i) for i in QUERY_IDS)
 
 ORACLE_SQL = {
+    "embedding_centroids": """
+        WITH flat AS (
+            SELECT label,
+                   generate_subscripts(embedding, 1) - 1 AS dim,
+                   unnest(embedding) AS v
+            FROM embeddings
+        )
+        SELECT label, dim, AVG(CAST(v AS DOUBLE)) AS centroid
+        FROM flat GROUP BY label, dim ORDER BY label, dim
+    """,
     "ann_bruteforce": f"""
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qvec FROM embeddings

@@ -238,6 +238,44 @@ def dataset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrubbing patterns — identical strings are valid in both Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, no
+# lookarounds.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "555-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: count and replace emails and phone-shaped strings.
+
+    The synthetic corpus contains no PII, so the query first derives a
+    deterministic PII-bearing variant (appending a fake contact line built
+    from doc_id — same derivation on both faces), then proves the scrub:
+    per-doc match counts and the md5 of the redacted text. Map-only; at
+    100 TB this runs at scan speed with zero shuffle — redaction is the
+    canonical pre-training scrub pass."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    base = docs.select("doc_id", dirty.alias("dirty"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("dirty"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return base.select(
+        "doc_id",
+        F.regexp_count(F.col("dirty"), F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(F.col("dirty"), F.lit(PHONE_RE)).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    ).orderBy("doc_id")
+
+
 PACK_BUDGET = 2048
 
 
@@ -288,6 +326,7 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_SQL = BPE_REGEX.replace("'", "''")
 
 QUERIES = {
+    "pii_scrub": pii_scrub,
     "dataset_split": dataset_split,
     "dataset_sample": dataset_sample,
     "text_repetition": text_repetition,
@@ -304,6 +343,20 @@ QUERIES = {
 _REP_SHINGLE = " || ' ' || ".join(f"tk[i+{j}]" for j in range(REP_K))
 
 ORACLE_SQL = {
+    "pii_scrub": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@example.com or 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS dirty
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(dirty, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(dirty, '{PHONE_RE}')) AS n_phones,
+               md5(regexp_replace(regexp_replace(dirty, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_hash
+        FROM d ORDER BY doc_id
+    """,
     "dataset_split": f"""
         WITH b AS (
             SELECT doc_id,

@@ -33,6 +33,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+# Edge lists at or below this size are solved driver-side with union-find.
+# The edge relation is the LSH-*reduced* pair graph — orders of magnitude
+# smaller than the corpus — so even petabyte corpora usually land under it;
+# 1M edges of two longs is ~30 MB on the driver, and union-find closes them
+# in one pass where the distributed loop pays O(diameter) Spark jobs. The
+# same small-model-locally reasoning as the IVF centroid collect
+# (operators/similarity.py). Above the limit, the distributed min-label
+# loop takes over; tests assert the two paths agree on random graphs.
+LOCAL_EDGE_LIMIT = 1_000_000
 
 
 def _symmetric(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -60,16 +71,62 @@ def _propagate(labels: DataFrame, sym: DataFrame) -> DataFrame:
     )
 
 
+def _local_components(edges: DataFrame, src: str, dst: str, rows) -> DataFrame:
+    """Driver-side union-find over a collected edge list. Union-by-min-root
+    keeps every root the minimum id of its component, so ``find`` yields the
+    same labeling the distributed min-propagation converges to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    nodes = set()
+    for r in rows:
+        nodes.add(r[0])
+        nodes.add(r[1])
+    node_type = edges.schema[src].dataType
+    schema = StructType(
+        [StructField("node", node_type), StructField("label", node_type)]
+    )
+    return edges.sparkSession.createDataFrame(
+        [(n, find(n)) for n in sorted(nodes)], schema
+    )
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    local_limit: int = LOCAL_EDGE_LIMIT,
 ) -> DataFrame:
     """(node, label) for every node in ``edges``, where label is the
     smallest node id in the node's connected component. Nodes absent from
     ``edges`` are absent from the result (singletons label themselves —
     callers coalesce on join, see dedup_components).
 
-    Returns an uncached pure plan; see module docstring for the probe /
-    unroll split."""
+    Edge lists that fit the driver (``local_limit``) are closed with
+    union-find in one collect; larger graphs run the distributed probe +
+    unroll described in the module docstring. Both paths return the same
+    labeling (property-tested); the distributed result is an uncached pure
+    plan."""
+    if local_limit > 0:
+        head = edges.select(src, dst).limit(local_limit + 1).collect()
+        if len(head) <= local_limit:
+            return _local_components(edges, src, dst, head)
+
     sc = edges.sparkSession.sparkContext
     # DataFrame.unpersist() does not release localCheckpoint storage (the
     # cache lives on the internal RDD, not the DF persist API), so free the
@@ -82,12 +139,17 @@ def connected_components(
         # unchanged" — one small aggregate per round instead of a self-join.
         prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         k = 0
+        converged = False
         while k < max_iter:
             nxt = _propagate(labels, sym_probe).localCheckpoint(eager=True)
             k += 1
             cur_sum = nxt.agg(F.sum("label")).collect()[0][0]
             labels = nxt
             if cur_sum == prev_sum:
+                # Round k changed nothing — the fixpoint was already reached
+                # after k-1 rounds, so the pure unrolled plan needs one round
+                # fewer than the probe ran.
+                converged = True
                 break
             prev_sum = cur_sum
     finally:
@@ -97,7 +159,7 @@ def connected_components(
 
     sym = _symmetric(edges, src, dst)
     out = _initial_labels(sym)
-    for _ in range(k):
+    for _ in range(k - 1 if converged else k):
         out = _propagate(out, sym)
     return out
 

@@ -155,6 +155,32 @@ def test_connected_components_chain_and_singleton(spark):
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
 
 
+def test_components_local_and_distributed_agree(spark):
+    """The driver-side union-find and the distributed min-label loop return
+    the same labeling on a pseudo-random graph with chains, cliques and
+    singleton pairs."""
+    from hdfs_mapreduce_spark.operators.components import connected_components
+
+    # Deterministic edge soup: chains of length 5, a clique, stray pairs.
+    edges_py = [(i, i + 1) for i in range(0, 50, 5) for i in (i,)]
+    edges_py = [(i + j, i + j + 1) for i in range(0, 50, 10) for j in range(4)]
+    edges_py += [(100, 103), (101, 103), (102, 100)]  # clique-ish
+    edges_py += [(200, 201), (300, 301)]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    local = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    dist = {
+        r["node"]: r["label"]
+        for r in connected_components(
+            edges, "src", "dst", local_limit=0
+        ).collect()
+    }
+    assert local == dist
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
 def test_dedup_components_survivors_consistent_with_pairs(spark):
     """Every pair's docs share a canonical id; docs in no pair are their own
     canonical."""

@@ -13,7 +13,9 @@ from hdfs_mapreduce_spark.operators.multimodal import (
 )
 from hdfs_mapreduce_spark.sources.catalog import load_table
 from hdfs_mapreduce_spark.streaming.events import (
+    ATTRIB_WINDOW_MIN,
     SESSION_GAP_MIN,
+    attribution_pairs,
     session_stats,
     windowed_event_stats,
 )
@@ -94,8 +96,18 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_dedup(attach_payload(docs, "doc_id", "text"))
 
 
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution pairs (the batch twin of the stream-stream
+    join in streaming/events.py — identical join expression; the streaming
+    form is proven stream ≡ batch in tests/test_streaming.py)."""
+    return attribution_pairs(spark, sf_dir).orderBy(
+        "user_id", "purchase_id", "click_id"
+    )
+
+
 QUERIES = {
     "events_windowed": events_windowed,
+    "events_attribution": events_attribution,
     "events_sessions": events_sessions,
     "events_funnel": events_funnel,
     "events_rollup_time": events_rollup_time,
@@ -104,6 +116,15 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "events_attribution": f"""
+        SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+               c.ts AS click_ts, p.ts AS purchase_ts
+        FROM events p JOIN events c ON c.user_id = p.user_id
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+          AND c.ts <= p.ts
+          AND c.ts > p.ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTES
+        ORDER BY p.user_id, purchase_id, click_id
+    """,
     "events_windowed": """
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type, COUNT(*) AS n_events, SUM(value) AS sum_value

@@ -251,6 +251,77 @@ def stream_dedup_events(
     return writer
 
 
+ATTRIB_WINDOW_MIN = 60
+
+
+def _attribution_pairs(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Shared join shape for batch and stream: every purchase matched to
+    each click by the same user within the preceding ATTRIB_WINDOW_MIN."""
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            c_user = p_user
+            AND click_ts <= purchase_ts
+            AND click_ts > purchase_ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTES
+            """
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+    )
+
+
+def _split_clicks_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return clicks, purchases
+
+
+def attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream attribution join (the backfill path)."""
+    events = load_table(spark, sf_dir, "events")
+    clicks, purchases = _split_clicks_purchases(events)
+    return _attribution_pairs(clicks, purchases)
+
+
+def stream_click_attribution(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+):
+    """Stream-stream inner join with an event-time range condition — the
+    §2.10 operator the windowed agg and sessionizer don't cover: purchases
+    join clicks of the same user within the previous ATTRIB_WINDOW_MIN.
+
+    Both sides carry a 1-hour watermark and the join predicate bounds
+    click_ts to a closed interval around purchase_ts, so Spark can evict
+    buffered rows once the watermark passes the interval — state stays
+    bounded on both sides no matter how long the streams run (without the
+    time bound, a stream-stream join must buffer a side forever). The batch
+    twin (``attribution_pairs``) shares the exact join expression; the test
+    proves stream ≡ batch on the closed region.
+    """
+    clicks, purchases = _split_clicks_purchases(_events_stream(spark, sf_dir))
+    joined = _attribution_pairs(
+        clicks.withWatermark("click_ts", "1 hour"),
+        purchases.withWatermark("purchase_ts", "1 hour"),
+    )
+    writer = joined.writeStream.outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session stats: event count and duration seconds."""
     events = load_table(spark, sf_dir, "events")

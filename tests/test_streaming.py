@@ -103,6 +103,51 @@ def test_sessionize_gap_semantics(spark):
     out = {r["event_id"]: r["session_seq"] for r in sessionize(df, 30).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 1}
 
+def test_stream_attribution_equals_batch(spark):
+    """Stream-stream join with event-time range condition: the streaming
+    click→purchase attribution must emit exactly the batch join's pairs for
+    the watermark-closed region (purchases old enough that no late click
+    could still match)."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.events import (
+        attribution_pairs,
+        stream_click_attribution,
+    )
+
+    batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in attribution_pairs(spark, SF).collect()
+    }
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_click_attribution(spark, SF, checkpoint_dir=ckpt)
+            .format("memory")
+            .queryName("attrib_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    stream_rows = spark.sql("SELECT * FROM attrib_stream").collect()
+    stream = {(r["click_id"], r["purchase_id"]) for r in stream_rows}
+    # Everything the stream emitted must be a real batch pair, and the
+    # closed region (older than max_ts - watermark - window) must be
+    # complete.
+    assert stream <= batch
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    closed = {
+        (r["click_id"], r["purchase_id"])
+        for r in attribution_pairs(spark, SF).collect()
+        if r["purchase_ts"] <= cutoff
+    }
+    assert closed <= stream
+    assert len(closed) > 0
+
+
 def test_stream_dedup_collapses_duplicates(spark):
     """Feed every event twice (source staged 2x); dropDuplicatesWithinWatermark
     must emit each event_id exactly once — equal to the batch distinct count."""

@@ -211,8 +211,38 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SCALAR_EPOCH = "1999-01-01"
+
+
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 scalar-function parity in one map-only pass: date extraction and
+    arithmetic, math (sqrt/ln/floor/ceil/abs), and string functions, every
+    expression inside whole-stage codegen — the reference needs a compiled
+    plugin binary for any one of these (SURVEY §2.11)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.datediff(
+            F.lit(SCALAR_EPOCH).cast("date"), F.col("o_orderdate")
+        ).alias("days_to_epoch"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.log(F.col("o_totalprice")).alias("price_ln"),
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.ceil("o_totalprice").cast("long").alias("price_ceil"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("price_dist"),
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").alias("prio_len"),
+    ).orderBy("o_orderkey")
+
+
 QUERIES = {
     "tpch_q3_shipping": tpch_q3_shipping,
+    "scalar_funcs": scalar_funcs,
     "tpch_q5_region": tpch_q5_region,
     "tpch_q10_returns": tpch_q10_returns,
     "events_props_json": events_props_json,
@@ -221,6 +251,24 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "scalar_funcs": f"""
+        SELECT o_orderkey,
+               year(o_orderdate) AS yr,
+               month(o_orderdate) AS mo,
+               day(o_orderdate) AS dom,
+               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+               date_diff('day', CAST(o_orderdate AS DATE),
+                         DATE '{SCALAR_EPOCH}') AS days_to_epoch,
+               sqrt(o_totalprice) AS price_sqrt,
+               ln(o_totalprice) AS price_ln,
+               CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+               CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+               abs(o_totalprice - 1000.0) AS price_dist,
+               upper(o_orderpriority) AS prio_upper,
+               substr(o_orderpriority, 1, 1) AS prio_code,
+               length(o_orderpriority) AS prio_len
+        FROM orders ORDER BY o_orderkey
+    """,
     "tpch_q3_shipping": f"""
         SELECT o_orderkey, o_orderdate,
                SUM(l_extendedprice * (1 - l_discount)) AS revenue

@@ -410,8 +410,26 @@ def q22_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q23_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rest of the §2.7 window-function family in one plan: lead, lag,
+    ntile and cume_dist over the same per-customer ordering — one shuffle on
+    the partition key, one per-partition sort, all four functions evaluated
+    in a single Window operator (no per-function re-sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.cume_dist().over(w).alias("cdist"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
 QUERIES = {
     "q1_wordcount": q1_wordcount,
+    "q23_window_suite": q23_window_suite,
     "q2_filter_project": q2_filter_project,
     "q3_group_avg": q3_group_avg,
     "q4_multi_agg": q4_multi_agg,
@@ -566,6 +584,16 @@ ORACLE_SQL = {
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
         FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+    "q23_window_suite": """
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice) OVER w AS prev_price,
+               lead(o_totalprice) OVER w AS next_price,
+               ntile(4) OVER w AS quartile,
+               cume_dist() OVER w AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, o_orderkey
     """,
     "q19_grouped_values": """
         SELECT user_id,

@@ -20,6 +20,9 @@ NEW_ORACLE_QUERIES = [
     "dedup_decontaminate",
     "pii_scrub",
     "embedding_centroids",
+    "q23_window_suite",
+    "scalar_funcs",
+    "events_attribution",
 ]
 
 

@@ -218,23 +218,31 @@ HAMMING_MAX = 3
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """SIMHASH_BITS-bit SimHash per document: explode tokens (with
     multiplicity — term frequency is the weight), one shuffle back onto the
-    id with SIMHASH_BITS signed bit votes as map-side-combinable SUMs, then
-    reassemble the signature."""
+    id with SIMHASH_BITS bit-count SUMs, then reassemble the signature.
+
+    The signed vote v_j = Σ ±1 is computed branchlessly as 2·s_j − n where
+    s_j = Σ ((h >> j) & 1) and n = token count: a shift-and-mask sum per bit
+    instead of a conditional, so the 56-wide aggregate stays cheap in
+    whole-stage codegen. v_j > 0 ⇔ 2·s_j > n — identical signatures to the
+    ±1 formulation (the SQL oracle uses the same identity)."""
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     ).withColumn("h", h56(F.col("token")))
     votes = tok.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"),
         *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)
-            ).alias(f"v{j}")
+            F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))).alias(
+                f"s{j}"
+            )
             for j in range(SIMHASH_BITS)
-        ]
+        ],
     )
     sig = sum(
         [
-            F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            F.when(2 * F.col(f"s{j}") > F.col("n"), F.lit(1 << j)).otherwise(
+                F.lit(0)
+            )
             for j in range(SIMHASH_BITS)
         ],
         start=F.lit(0),

@@ -180,9 +180,48 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc").alias("doc_id"), "n_hits")
 
 
+BOILERPLATE_TOP_K = 20
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shingles: the BOILERPLATE_TOP_K most document-frequent
+    3-gram shingles in the corpus — the report that tells you what
+    `max_df` should prune (ngram_jaccard's hot-shingle cap) and what
+    boilerplate dominates a crawl. Exact top-k: distinct (doc, shingle) →
+    partial-agg count → TakeOrdered — no global sort, no sketch needed
+    because the output domain is k rows."""
+    from hdfs_mapreduce_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    toks = tokens(F.lower(F.col("text")))
+    base = docs.select(
+        F.col("doc_id").alias("doc"), toks.alias("tk"), F.size(toks).alias("cnt")
+    )
+    shingles = (
+        F.when(
+            F.col("cnt") >= SHINGLE_K,
+            F.transform(
+                F.sequence(F.lit(0), F.col("cnt") - SHINGLE_K),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, SHINGLE_K)),
+            ),
+        )
+        .when(F.col("cnt") > 0, F.array(F.array_join(F.col("tk"), " ")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    return (
+        base.select("doc", F.explode(shingles).alias("shingle"))
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "shingle")
+        .limit(BOILERPLATE_TOP_K)
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_decontaminate": dedup_decontaminate,
+    "boilerplate_ngrams": boilerplate_ngrams,
     "dedup_minhash_sigs": dedup_minhash_sigs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_simhash_sigs": dedup_simhash_sigs,
@@ -192,12 +231,14 @@ QUERIES = {
     "dedup_components": dedup_components,
 }
 
-_SIMHASH_VOTES = ", ".join(
-    f"SUM(CASE WHEN (h & {1 << j}) <> 0 THEN 1 ELSE -1 END) AS v{j}"
-    for j in range(SIMHASH_BITS)
+# Branchless bit votes, the same identity as the Spark side: the signed vote
+# Σ±1 is 2·s_j − n with s_j = Σ((h >> j) & 1); v_j > 0 ⇔ 2·s_j > n.
+_SIMHASH_VOTES = "COUNT(*) AS n, " + ", ".join(
+    f"SUM((h >> {j}) & 1) AS s{j}" for j in range(SIMHASH_BITS)
 )
 _SIMHASH_SIG = " + ".join(
-    f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    f"(CASE WHEN 2 * s{j} > n THEN {1 << j} ELSE 0 END)"
+    for j in range(SIMHASH_BITS)
 )
 _SIMHASH_CTE = f"""
     tok AS (SELECT doc_id AS doc, unnest({_TOKS}) AS token FROM documents),
@@ -212,6 +253,16 @@ _SIMHASH_BANDS = "simbands AS (" + " UNION ALL ".join(
 ) + ")"
 
 ORACLE_SQL = {
+    "boilerplate_ngrams": f"""
+        WITH sh AS (
+            SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= 1
+        )
+        SELECT shingle, COUNT(*) AS df
+        FROM sh GROUP BY shingle
+        ORDER BY df DESC, shingle LIMIT {BOILERPLATE_TOP_K}
+    """,
     "dedup_decontaminate": f"""
         WITH sh AS (
             SELECT doc_id, unnest({_SH}) AS x

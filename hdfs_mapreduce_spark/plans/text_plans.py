@@ -276,6 +276,37 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: per (source, language) document count,
+    token sum, and share of total tokens — the mix table every training run
+    is planned against. One partial-agg shuffle on the tiny (source, lang)
+    domain; the global total is a single-row window over the aggregate, not
+    a second scan."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    agg = (
+        docs.select(
+            "source",
+            lang_id(F.col("text")).alias("lang_pred"),
+            token_count(F.col("text")).alias("n_tok"),
+        )
+        .groupBy("source", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return agg.select(
+        "source",
+        "lang_pred",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") / total).alias("token_share"),
+    ).orderBy("source", "lang_pred")
+
+
 PACK_BUDGET = 2048
 
 
@@ -327,6 +358,7 @@ _BPE_SQL = BPE_REGEX.replace("'", "''")
 
 QUERIES = {
     "pii_scrub": pii_scrub,
+    "corpus_mix": corpus_mix,
     "dataset_split": dataset_split,
     "dataset_sample": dataset_sample,
     "text_repetition": text_repetition,
@@ -343,6 +375,19 @@ QUERIES = {
 _REP_SHINGLE = " || ' ' || ".join(f"tk[i+{j}]" for j in range(REP_K))
 
 ORACLE_SQL = {
+    "corpus_mix": f"""
+        WITH agg AS (
+            SELECT source, ({_langid_sql()}) AS lang_pred,
+                   COUNT(*) AS n_docs,
+                   -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which .df()
+                   -- renders as float64 and breaks integer hash parity.
+                   CAST(SUM({_NTOK}) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source, lang_pred, n_docs, n_tokens,
+               CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
+        FROM agg ORDER BY source, lang_pred
+    """,
     "pii_scrub": f"""
         WITH d AS (
             SELECT doc_id,

@@ -23,6 +23,8 @@ NEW_ORACLE_QUERIES = [
     "q23_window_suite",
     "scalar_funcs",
     "events_attribution",
+    "boilerplate_ngrams",
+    "corpus_mix",
 ]
 
 

@@ -174,6 +174,47 @@ def test_aqe_enabled_for_shuffles(spark, name):
     plan = plan_of(QUERIES[name](spark, SF), mode="simple")
     assert "AdaptiveSparkPlan" in plan
 
+def test_tpch_q3_pushes_date_filters(spark):
+    """Both date predicates must reach their parquet scans — an unpushed
+    fact-side filter reads the whole table at 100 TB."""
+    plan = plan_of(QUERIES["tpch_q3_shipping"](spark, SF))
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("o_orderdate" in p for p in pushed), plan
+    assert any("l_shipdate" in p for p in pushed), plan
+    assert any("c_mktsegment" in p for p in pushed), plan
+
+
+def test_tpch_q10_topk_no_global_sort(spark):
+    plan = plan_of(QUERIES["tpch_q10_returns"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    pushed = [seg.split("]")[0] for seg in plan.split("PushedFilters: [")[1:]]
+    assert any("l_returnflag" in p for p in pushed), plan
+
+
+def test_scalar_funcs_map_only(spark):
+    """The scalar suite is one codegen'd Project over the scan: no Python
+    node, no exchange except the presentation sort."""
+    df = QUERIES["scalar_funcs"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 1  # ORDER BY range partitioning only
+
+
+def test_boilerplate_ngrams_topk_and_partial_agg(spark):
+    """Heavy hitters: partial-agg the (shingle, df) counts, then top-k
+    without a global sort."""
+    plan = plan_of(QUERIES["boilerplate_ngrams"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_window_suite_single_window_operator(spark):
+    """All four window functions share one partition/order spec — the plan
+    must contain exactly one Window node (no per-function re-sort)."""
+    plan = plan_of(QUERIES["q23_window_suite"](spark, SF), "simple")
+    assert plan.count("Window") == 1, plan
+
+
 def test_dedup_pair_plans_reuse_exchanges_at_runtime(spark):
     """The pair pipelines rely on AQE's exchange reuse instead of persist
     (operators/dedup.py): the inverted index / sketch subplan must be served

@@ -149,6 +149,56 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware survivor selection: near-dup components (same edge
+    relation as dedup_components) reduced to one kept document per cluster
+    — the *longest* member (n_chars desc, doc_id tie-break), not the
+    arbitrary min-id. This is the curation step after clustering: MinHash
+    tells you who duplicates whom; keep-best decides which copy enters the
+    training set. Ranking keys are stored integers, so oracle parity is
+    exact. Costs one extra broadcast-size join over dedup_components: the
+    per-cluster argmax runs on the (doc → canonical) assignment, which is
+    corpus-row-count sized but only 3 integer columns wide at 100 TB."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from hdfs_mapreduce_spark.operators.components import canonical_assignment
+    from hdfs_mapreduce_spark.sources.catalog import write_table
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    pairs = minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
+    edges_path = os.path.join(
+        tempfile.gettempdir(),
+        "hdfs_mapreduce_spark",
+        f"keepbest_edges_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    write_table(pairs.select("doc_a", "doc_b"), edges_path)
+    edges = spark.read.parquet(edges_path)
+    assign = canonical_assignment(
+        docs.select("doc_id"), "doc_id", edges, "doc_a", "doc_b"
+    )
+    member = assign.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("canonical").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    best = (
+        member.select(
+            "canonical", "doc_id", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("canonical").alias("canonical_id"),
+            F.col("doc_id").alias("kept_id"),
+        )
+    )
+    counts = assign.groupBy(F.col("canonical").alias("canonical_id")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return best.join(counts, "canonical_id").orderBy("canonical_id")
+
+
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB path: hot-shingle cap live in the verified plan. Jaccard is
     exact over the reduced shingle space (df ≤ NGRAM_MAX_DF on both the
@@ -229,6 +279,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 # Branchless bit votes, the same identity as the Spark side: the signed vote
@@ -251,6 +302,37 @@ _SIMHASH_BANDS = "simbands AS (" + " UNION ALL ".join(
     f"(simhash >> {BAND_BITS * b}) & {(1 << BAND_BITS) - 1} AS band_key FROM sigs"
     for b in range(SIMHASH_BANDS)
 ) + ")"
+
+# Transitive closure over the MinHash pair relation — shared by the
+# dedup_components and dedup_keep_best oracles (substituted below).
+_COMPONENT_CTES = f"""
+        cand AS (
+            SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc < r.doc
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT c.doc_a, c.doc_b,
+                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                           / len(list_distinct(a.sh || b.sh)) AS jaccard
+                FROM cand c
+                JOIN base a ON a.doc = c.doc_a
+                JOIN base b ON b.doc = c.doc_b
+            ) WHERE jaccard >= {MINHASH_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach AS (
+            SELECT a, b FROM edges
+            UNION
+            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        labels AS (SELECT a AS node, MIN(b) AS mn FROM reach GROUP BY a)
+"""
 
 ORACLE_SQL = {
     "boilerplate_ngrams": f"""
@@ -347,36 +429,34 @@ ORACLE_SQL = {
     "dedup_components": f"""
         WITH RECURSIVE {_BASE_CTE},
         {_BANDS_CTE},
-        cand AS (
-            SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
-            FROM bands l JOIN bands r
-              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
-             AND l.doc < r.doc
-        ),
-        pairs AS (
-            SELECT doc_a, doc_b FROM (
-                SELECT c.doc_a, c.doc_b,
-                       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                           / len(list_distinct(a.sh || b.sh)) AS jaccard
-                FROM cand c
-                JOIN base a ON a.doc = c.doc_a
-                JOIN base b ON b.doc = c.doc_b
-            ) WHERE jaccard >= {MINHASH_THRESHOLD}
-        ),
-        edges AS (
-            SELECT doc_a AS a, doc_b AS b FROM pairs
-            UNION ALL SELECT doc_b, doc_a FROM pairs
-        ),
-        reach AS (
-            SELECT a, b FROM edges
-            UNION
-            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-        ),
-        labels AS (SELECT a AS node, MIN(b) AS mn FROM reach GROUP BY a)
+        {{component_ctes}}
         SELECT d.doc_id,
                LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS canonical_id
         FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
         ORDER BY d.doc_id
+    """,
+    "dedup_keep_best": f"""
+        WITH RECURSIVE {_BASE_CTE},
+        {_BANDS_CTE},
+        {{component_ctes}},
+        assign AS (
+            SELECT d.doc_id, d.n_chars,
+                   LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS canonical
+            FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+        ),
+        ranked AS (
+            SELECT canonical, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY canonical
+                                      ORDER BY n_chars DESC, doc_id) AS rn
+            FROM assign
+        )
+        SELECT r.canonical AS canonical_id, r.doc_id AS kept_id,
+               c.n_members
+        FROM ranked r
+        JOIN (SELECT canonical AS canonical_id, COUNT(*) AS n_members
+              FROM assign GROUP BY 1) c ON c.canonical_id = r.canonical
+        WHERE r.rn = 1
+        ORDER BY canonical_id
     """,
     "dedup_ngram_jaccard_capped": f"""
         WITH sets AS (
@@ -403,3 +483,6 @@ ORACLE_SQL = {
         ORDER BY doc_a, doc_b
     """,
 }
+
+for _k in ("dedup_components", "dedup_keep_best"):
+    ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{component_ctes}", _COMPONENT_CTES)

@@ -86,9 +86,43 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit: scale = max|x|, codes
+    q_i = floor(x_i/scale*127 + 0.5). Returns the scale plus integer
+    invariants of the code vector (sum of codes, saturated count) — the
+    compression accounting an embedding store runs before switching ANN
+    serving to int8. Map-only array expressions, zero shuffle; both faces
+    compute double-precision in the same operation order, and the emitted
+    checks are integers, so oracle parity is exact (scale is a single
+    float→double cast, also exact)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(
+        F.transform(F.col("embedding"), lambda v: F.abs(v.cast("double")))
+    )
+    base = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(
+            v.cast("double") / F.col("scale") * F.lit(127.0) + F.lit(0.5)
+        ),
+    )
+    coded = base.select("vec_id", "scale", qv.alias("qv"))
+    return coded.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "qv", F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("q_sum"),
+        F.size(F.filter("qv", lambda v: F.abs(v) == 127)).alias("n_sat"),
+    ).orderBy("vec_id")
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "embedding_centroids": embedding_centroids,
+    "embedding_quantize": embedding_quantize,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "dedup_embedding_pairs": dedup_embedding_pairs,
@@ -106,6 +140,26 @@ ORACLE_SQL = {
         )
         SELECT label, dim, AVG(CAST(v AS DOUBLE)) AS centroid
         FROM flat GROUP BY label, dim ORDER BY label, dim
+    """,
+    "embedding_quantize": """
+        WITH s AS (
+            SELECT vec_id, embedding,
+                   list_max(list_transform(embedding,
+                                           v -> abs(CAST(v AS DOUBLE)))) AS scale
+            FROM embeddings
+        ),
+        coded AS (
+            SELECT vec_id, scale,
+                   list_transform(embedding,
+                       v -> CAST(floor(CAST(v AS DOUBLE) / scale * 127.0 + 0.5)
+                                 AS BIGINT)) AS qv
+            FROM s
+        )
+        SELECT vec_id, scale,
+               list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                           (acc, v) -> acc + v) AS q_sum,
+               len(list_filter(qv, v -> abs(v) = 127)) AS n_sat
+        FROM coded ORDER BY vec_id
     """,
     "ann_bruteforce": f"""
         WITH q AS (

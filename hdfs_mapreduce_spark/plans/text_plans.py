@@ -334,6 +334,33 @@ def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP = 10
+
+
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: keep at most DOMAIN_CAP docs per source,
+    preferring longer documents (n_chars desc, doc_id tie-break) — the
+    standard web-curation move that stops a single crawl domain from
+    dominating the training mix. Ranking uses only stored integers, so
+    oracle parity is exact. Catalyst rewrites the rank-then-filter into
+    WindowGroupLimit: each shuffle partition keeps only its per-source
+    top-k before the window sort, so at 100 TB no partition ever
+    materializes a full domain's documents."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "source", "doc_id", "n_chars", F.row_number().over(w).alias("rnk")
+        )
+        .filter(F.col("rnk") <= DOMAIN_CAP)
+        .orderBy("source", "rnk")
+    )
+
+
 def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: the kept document set after quality filtering
     (score >= 0.5), language filtering (en), and exact dedup (lowest doc_id
@@ -362,6 +389,7 @@ QUERIES = {
     "dataset_split": dataset_split,
     "dataset_sample": dataset_sample,
     "text_repetition": text_repetition,
+    "domain_cap": domain_cap,
     "pipeline_curate": pipeline_curate,
     "pipeline_pack": pipeline_pack,
     "text_tokens": text_tokens,
@@ -453,6 +481,15 @@ ORACLE_SQL = {
         WHERE b < CASE WHEN stratum = 'en' THEN {SAMPLE_RATES['en']}
                        ELSE {SAMPLE_RATES['__other__']} END
         ORDER BY doc_id
+    """,
+    "domain_cap": f"""
+        SELECT source, doc_id, n_chars, rnk FROM (
+            SELECT source, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rnk
+            FROM documents
+        ) WHERE rnk <= {DOMAIN_CAP}
+        ORDER BY source, rnk
     """,
     "pipeline_curate": f"""
         WITH f AS (

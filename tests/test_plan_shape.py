@@ -215,6 +215,23 @@ def test_window_suite_single_window_operator(spark):
     assert plan.count("Window") == 1, plan
 
 
+def test_domain_cap_window_group_limit(spark):
+    """Per-domain cap must push the rank filter into WindowGroupLimit with a
+    Partial pass before the shuffle — no partition ever holds a full domain
+    at 100 TB — and read only the three ranking columns."""
+    plan = plan_of(QUERIES["domain_cap"](spark, SF), "simple")
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    assert "text" not in plan.split("ReadSchema:")[1], plan
+
+
+def test_embedding_quantize_map_only(spark):
+    """int8 quantization audit is one codegen'd Project chain: no Python
+    node, no shuffle except the presentation sort."""
+    plan = plan_of(QUERIES["embedding_quantize"](spark, SF), "simple")
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 1, plan
+
+
 def test_dedup_pair_plans_reuse_exchanges_at_runtime(spark):
     """The pair pipelines rely on AQE's exchange reuse instead of persist
     (operators/dedup.py): the inverted index / sketch subplan must be served

@@ -111,6 +111,50 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _sig_agg(id_col, rel).orderBy(id_col)
 
 
+def _banded_sketch(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Banded MinHash sketch rows: one row per (doc, band_idx) carrying the
+    band key, the doc's full band-key array (for first-band-wins pair
+    dedup), and its distinct shingle-hash set (for the exact-Jaccard
+    verify). One doc-keyed shuffle; everything else is map-side."""
+    p = F.lit(MERSENNE_31)
+    rel = shingle_relation(df, id_col, text_col)
+    per_doc = rel.groupBy("doc").agg(
+        F.collect_set("x").alias("sh"),
+        *[
+            F.min((F.lit(a) * (F.col("x") % p) + F.lit(b)) % p).alias(f"mh{i}")
+            for i, (a, b) in enumerate(PERMS)
+        ],
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh{b * ROWS_PER_BAND + r}")
+                    for r in range(ROWS_PER_BAND)
+                ],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return per_doc.select("doc", "sh", band_keys.alias("bkeys")).select(
+        "doc", "sh", "bkeys", F.posexplode("bkeys").alias("band_idx", "band_key")
+    )
+
+
+def _earlier_collision(a: str, b: str):
+    """True iff the two sketch rows' docs already collided in a band before
+    this one — drop such rows so each pair survives exactly once."""
+    return F.array_contains(
+        F.zip_with(
+            F.slice(F.col(f"{a}.bkeys"), F.lit(1), F.col(f"{a}.band_idx")),
+            F.slice(F.col(f"{b}.bkeys"), F.lit(1), F.col(f"{b}.band_idx")),
+            lambda x, y: x == y,
+        ),
+        F.lit(True),
+    )
+
+
 def minhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -143,50 +187,16 @@ def minhash_pairs(
     table (minhash_signatures + a parquet write) and banding from that;
     for the one-shot query this single-pass shape is the honest optimum.
     """
-    p = F.lit(MERSENNE_31)
-    rel = shingle_relation(df, id_col, text_col)
-    per_doc = rel.groupBy("doc").agg(
-        F.collect_set("x").alias("sh"),
-        *[
-            F.min((F.lit(a) * (F.col("x") % p) + F.lit(b)) % p).alias(f"mh{i}")
-            for i, (a, b) in enumerate(PERMS)
-        ],
-    )
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                ":",
-                *[
-                    F.col(f"mh{b * ROWS_PER_BAND + r}")
-                    for r in range(ROWS_PER_BAND)
-                ],
-            )
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = per_doc.select(
-        "doc", "sh", band_keys.alias("bkeys")
-    ).select("doc", "sh", "bkeys", F.posexplode("bkeys").alias("band_idx", "band_key"))
-
+    bands = _banded_sketch(df, id_col, text_col)
     left = bands.alias("l")
     right = bands.alias("r")
-    # True iff the two docs already collided in a band before this one; such
-    # rows are dropped so each pair survives exactly once (first band wins).
-    earlier_collision = F.array_contains(
-        F.zip_with(
-            F.slice(F.col("l.bkeys"), F.lit(1), F.col("l.band_idx")),
-            F.slice(F.col("r.bkeys"), F.lit(1), F.col("r.band_idx")),
-            lambda a, b: a == b,
-        ),
-        F.lit(True),
-    )
     return (
         left.join(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_key") == F.col("r.band_key"))
             & (F.col("l.doc") < F.col("r.doc"))
-            & ~earlier_collision,
+            & ~_earlier_collision("l", "r"),
         )
         .select(
             F.col("l.doc").alias("doc_a"),
@@ -198,6 +208,53 @@ def minhash_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def incremental_minhash_pairs(
+    corpus_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup check: which documents of an incoming batch
+    (``new_df``) near-duplicate something already in ``corpus_df``?
+
+    This is the shape that makes dedup sustainable at 100 TB: ingest never
+    re-deduplicates the corpus against itself (that's a one-time batch job —
+    ``minhash_pairs``); each new batch is only checked *against* the corpus.
+    The batch is ingest-sized (GBs against 100 TB), so its banded sketch is
+    **broadcast** and the corpus side is a map-side band probe — no corpus
+    self-join and no corpus-wide pair shuffle. The corpus sketch here is
+    recomputed from text for the self-contained query; a production deploy
+    materializes it once (``minhash_signatures`` + shingle sets to parquet,
+    see plans/dedup_plans.py:dedup_components for the materialize pattern)
+    and this probe then never touches corpus text at all.
+
+    Returns (new_doc, dup_of, jaccard) with exact Jaccard ≥ threshold,
+    candidates from shared LSH bands, each pair emitted once
+    (first-band-wins, no distinct shuffle).
+    """
+    nb = _banded_sketch(new_df, id_col, text_col).alias("n")
+    cb = _banded_sketch(corpus_df, id_col, text_col).alias("c")
+    return (
+        cb.join(
+            F.broadcast(nb),
+            (F.col("n.band_idx") == F.col("c.band_idx"))
+            & (F.col("n.band_key") == F.col("c.band_key"))
+            & ~_earlier_collision("n", "c"),
+        )
+        .select(
+            F.col("n.doc").alias("new_doc"),
+            F.col("c.doc").alias("dup_of"),
+            (
+                F.size(F.array_intersect("n.sh", "c.sh"))
+                / F.size(F.array_union("n.sh", "c.sh"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("new_doc", "dup_of")
     )
 
 

@@ -23,6 +23,7 @@ from hdfs_mapreduce_spark.operators.dedup import (
     SIMHASH_BITS,
     decontaminate,
     exact_dedup,
+    incremental_minhash_pairs,
     minhash_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -230,6 +231,26 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("doc").alias("doc_id"), "n_hits")
 
 
+# Incremental-ingest split: every 5th doc plays the incoming batch, the
+# rest is the standing corpus (at sf0.01 this yields cross-set near-dups,
+# so the oracle exercises real hits, not an empty result).
+INC_MOD = 5
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-corpus dedup: flag incoming docs (doc_id % 5 == 0) that
+    near-duplicate the standing corpus. The batch sketch broadcasts; the
+    corpus is probed band-wise with no self-join — the only dedup shape
+    that scales to continuous ingest against 100 TB (see
+    operators/dedup.py:incremental_minhash_pairs)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    new = docs.filter(F.col("doc_id") % INC_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INC_MOD != 0)
+    return incremental_minhash_pairs(
+        corpus, new, "doc_id", "text", MINHASH_THRESHOLD
+    )
+
+
 BOILERPLATE_TOP_K = 20
 
 
@@ -280,6 +301,7 @@ QUERIES = {
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_incremental": dedup_incremental,
 }
 
 # Branchless bit votes, the same identity as the Spark side: the signed vote
@@ -388,6 +410,25 @@ ORACLE_SQL = {
             JOIN base b ON b.doc = c.doc_b
         ) WHERE jaccard >= {MINHASH_THRESHOLD}
         ORDER BY doc_a, doc_b
+    """,
+    "dedup_incremental": f"""
+        WITH {_BASE_CTE},
+        {_BANDS_CTE},
+        cand AS (
+            SELECT DISTINCT n.doc AS new_doc, o.doc AS dup_of
+            FROM bands n JOIN bands o
+              ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+            WHERE n.doc % {INC_MOD} = 0 AND o.doc % {INC_MOD} <> 0
+        )
+        SELECT new_doc, dup_of, jaccard FROM (
+            SELECT c.new_doc, c.dup_of,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(a.sh || b.sh)) AS jaccard
+            FROM cand c
+            JOIN base a ON a.doc = c.new_doc
+            JOIN base b ON b.doc = c.dup_of
+        ) WHERE jaccard >= {MINHASH_THRESHOLD}
+        ORDER BY new_doc, dup_of
     """,
     "dedup_simhash_sigs": f"""
         WITH {_SIMHASH_CTE}

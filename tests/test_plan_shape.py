@@ -232,6 +232,15 @@ def test_embedding_quantize_map_only(spark):
     assert plan.count("Exchange") <= 1, plan
 
 
+def test_dedup_incremental_broadcasts_batch_sketch(spark):
+    """Incremental ingest dedup must broadcast the new-batch sketch and
+    probe the corpus map-side: a SortMergeJoin here would shuffle the whole
+    corpus on every ingest batch at 100 TB."""
+    plan = plan_of(QUERIES["dedup_incremental"](spark, SF), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_dedup_pair_plans_reuse_exchanges_at_runtime(spark):
     """The pair pipelines rely on AQE's exchange reuse instead of persist
     (operators/dedup.py): the inverted index / sketch subplan must be served

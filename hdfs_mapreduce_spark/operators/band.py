@@ -23,6 +23,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _us(name: str) -> Column:
+    """Microseconds since epoch, accepting TIMESTAMP or TIMESTAMP_NTZ input
+    (parquet `timestamp[us]` without tz reads as NTZ under Spark 4's
+    inferTimestampNTZ, and `unix_micros` rejects NTZ). The NTZ→LTZ cast
+    interprets wall time in the session zone; band_join only ever compares
+    *differences* of these values, so the zone offset cancels and results
+    are identical under any session timezone."""
+    return F.unix_micros(F.col(name).cast("timestamp"))
+
+
 def band_join(
     left: DataFrame,
     right: DataFrame,
@@ -47,8 +57,8 @@ def band_join(
     if upper_us < lower_us:
         raise ValueError("band_join needs upper_us >= lower_us")
     if upper_us == lower_us:
-        lt_exact = F.unix_micros(F.col(left_time)) + F.lit(lower_us)
-        rt_exact = F.unix_micros(F.col(right_time))
+        lt_exact = _us(left_time) + F.lit(lower_us)
+        rt_exact = _us(right_time)
         return left.withColumn("__bb_l", lt_exact).join(
             right.withColumn("__bb_r", rt_exact),
             (F.col(left_key) == F.col(right_key))
@@ -56,8 +66,8 @@ def band_join(
         ).drop("__bb_l", "__bb_r")
     w = upper_us - lower_us
 
-    lt = F.unix_micros(F.col(left_time))
-    rt = F.unix_micros(F.col(right_time))
+    lt = _us(left_time)
+    rt = _us(right_time)
 
     def bucket(c: Column) -> Column:
         return F.floor(c / F.lit(w))
@@ -67,7 +77,7 @@ def band_join(
         F.explode(F.sequence(bucket(lt + F.lit(lower_us)), bucket(lt + F.lit(upper_us)))),
     )
     r_b = right.withColumn("__bb_r", bucket(rt))
-    gap = F.unix_micros(F.col(right_time)) - F.unix_micros(F.col(left_time))
+    gap = _us(right_time) - _us(left_time)
     return (
         l_b.join(
             r_b,

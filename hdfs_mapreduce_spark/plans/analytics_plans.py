@@ -225,7 +225,12 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("yr"),
         F.month("o_orderdate").alias("mo"),
         F.dayofmonth("o_orderdate").alias("dom"),
-        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        # ISO string, not DateType: Spark dates collect as datetime.date
+        # while DuckDB DATEs land as datetime64 — they render differently
+        # under the driver's hash. A string is identical on both sides.
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
         F.datediff(
             F.lit(SCALAR_EPOCH).cast("date"), F.col("o_orderdate")
         ).alias("days_to_epoch"),
@@ -256,7 +261,7 @@ ORACLE_SQL = {
                year(o_orderdate) AS yr,
                month(o_orderdate) AS mo,
                day(o_orderdate) AS dom,
-               CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
                date_diff('day', CAST(o_orderdate AS DATE),
                          DATE '{SCALAR_EPOCH}') AS days_to_epoch,
                sqrt(o_totalprice) AS price_sqrt,

@@ -60,9 +60,10 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "click_id",
         "error_id",
-        (F.unix_micros(F.col("error_ts")) - F.unix_micros(F.col("click_ts"))).alias(
-            "gap_us"
-        ),
+        (
+            F.unix_micros(F.col("error_ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp"))
+        ).alias("gap_us"),
     ).orderBy("user_id", "click_id", "error_id")
 
 

@@ -19,13 +19,24 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hdfs_mapreduce_spark.sources.catalog import load_table
+from hdfs_mapreduce_spark.sources.catalog import _nanos_timestamp_cols, load_table
 
 SESSION_GAP_MIN = 30
+
+
+def _epoch_sec(c: Column) -> Column:
+    """Whole seconds since epoch, truncating sub-second parts — the same
+    boundary semantics as DuckDB ``date_diff('second', a, b)`` when used in
+    differences. Accepts TIMESTAMP or TIMESTAMP_NTZ (parquet `timestamp[us]`
+    without tz reads as NTZ under Spark 4, and numeric casts reject NTZ);
+    the NTZ→LTZ cast shifts by the session-zone offset, which is a whole
+    number of seconds, so truncation commutes and differences are identical
+    under any session timezone."""
+    return F.floor(F.unix_micros(c.cast("timestamp")) / F.lit(1_000_000))
 
 
 def _windowed_agg(events: DataFrame) -> DataFrame:
@@ -53,22 +64,43 @@ def windowed_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _windowed_agg(events).orderBy("window_start", "event_type")
 
 
-def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the batch loader's exact
-    timestamp semantics."""
+def _stream_source(spark: SparkSession, sf_dir: str, src: str) -> DataFrame:
+    """readStream over a directory of events parquet files with the batch
+    loader's exact timestamp semantics. Mirrors ``load_table``'s unit
+    detection: TIMESTAMP(NANOS) files (which Spark cannot decode natively)
+    are stream-read as nanosecond longs and converted with the same exact
+    DIV-1000 truncation; micro/milli files stream with the batch schema."""
     from pyspark.sql.types import LongType, StructField, StructType
 
+    from pyspark.sql.types import TimestampNTZType
+
     batch_df = load_table(spark, sf_dir, "events")
-    # The raw parquet stores ts as TIMESTAMP(NANOS); stream-read it as a
-    # nanosecond long (the schema Spark can actually decode) and apply the
-    # same exact DIV-1000 conversion the batch loader uses.
+    ns_cols = _nanos_timestamp_cols(os.path.join(sf_dir, "events.parquet"))
+    if not ns_cols:
+        stream = (
+            spark.readStream.schema(batch_df.schema).format("parquet").load(src)
+        )
+        # Watermarks demand TIMESTAMP (LTZ); micros-without-tz parquet reads
+        # as NTZ, so promote. The session zone is UTC (session.py), making
+        # the promoted values identical to the batch twin's NTZ wall times.
+        for f in batch_df.schema.fields:
+            if isinstance(f.dataType, TimestampNTZType):
+                stream = stream.withColumn(f.name, F.col(f.name).cast("timestamp"))
+        return stream
     raw_schema = StructType(
         [
-            StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
+            StructField(f.name, LongType(), f.nullable) if f.name in ns_cols else f
             for f in batch_df.schema.fields
         ]
     )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = spark.readStream.schema(raw_schema).format("parquet").load(src)
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return stream
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The file streaming source needs a *directory*; the test data is one
     # parquet file per table in a shared dir, so stage a symlink dir (a real
     # deployment points at a table directory and skips this).
@@ -77,12 +109,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(src, os.path.join(stage, "events.parquet"))
         src = stage
-    return (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .load(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    return _stream_source(spark, sf_dir, src)
 
 
 def stream_windowed_event_stats(
@@ -113,7 +140,7 @@ def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     prev_ts = F.lag("ts").over(w)
     new_session = (
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > gap_min * 60)
+        | (_epoch_sec(F.col("ts")) - _epoch_sec(prev_ts) > gap_min * 60)
     ).cast("int")
     return events.select(
         "event_id",
@@ -169,7 +196,9 @@ def stream_sessionize(
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True)
             pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-            ts_sec = pdf["ts"].astype("int64").to_numpy() // 1_000_000_000
+            # datetime64[s] truncation is unit-agnostic (ns-era and us-era
+            # testdata both pass through here) and matches _epoch_sec.
+            ts_sec = pdf["ts"].to_numpy().astype("datetime64[s]").astype(np.int64)
             prev = np.concatenate(
                 [[last_ts if last_ts is not None else np.iinfo(np.int64).min // 2], ts_sec[:-1]]
             )
@@ -225,21 +254,7 @@ def stream_dedup_events(
         stage = tempfile.mkdtemp(prefix="events_dup_")
         for i in range(extra_copies + 1):
             os.symlink(src, os.path.join(stage, f"copy{i}.parquet"))
-        from pyspark.sql.types import LongType, StructField, StructType
-
-        batch_df = load_table(spark, sf_dir, "events")
-        raw_schema = StructType(
-            [
-                StructField("ts", LongType(), f.nullable) if f.name == "ts" else f
-                for f in batch_df.schema.fields
-            ]
-        )
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .format("parquet")
-            .load(stage)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+        stream = _stream_source(spark, sf_dir, stage)
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["event_id"])
@@ -330,7 +345,7 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy("user_id", "session_seq")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            (F.max(_epoch_sec(F.col("ts"))) - F.min(_epoch_sec(F.col("ts")))).alias(
                 "duration_sec"
             ),
         )

@@ -36,8 +36,13 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both date predicates push to the parquet scans; customer is the small
     side after its segment filter (1/5 of customers) — Catalyst/AQE picks
     broadcast vs shuffle by runtime size, which is exactly the decision we
-    want automated at 100 TB. The final top-10 is TakeOrderedAndProject on
-    the aggregated (orderkey) domain — no global sort."""
+    want automated at 100 TB. lineitem is written as the streamed (left)
+    side of its join so the fact table is never a hash-build candidate:
+    with it on the right, local AQE happily broadcasts the whole filtered
+    fact (measured 3-7x slower from the hash-relation build alone), and at
+    100 TB the same written shape would pick the build side exactly wrong.
+    The final top-10 is TakeOrderedAndProject on the aggregated (orderkey)
+    domain — no global sort."""
     cust = (
         load_table(spark, sf_dir, "customer")
         .filter(F.col("c_mktsegment") == Q3_SEGMENT)
@@ -54,8 +59,8 @@ def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -73,8 +78,11 @@ def tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region(5 rows) and nation(25 rows) are broadcast — constant size at any
     SF. supplier joins lineitem on suppkey with the TPC-H "local supplier"
     constraint c_nationkey = s_nationkey applied as a post-join filter.
-    The fact-side chain orders→lineitem shuffles on orderkey once; every
-    dim is broadcast, so the whole plan has exactly one wide exchange."""
+    lineitem is the streamed (left) side throughout — see tpch_q3_shipping
+    for why the fact table must never be a hash-build candidate. orders,
+    customer and supplier broadcast at small SF via AQE; at 100 TB they
+    grow past the threshold and the same written plan degrades gracefully
+    to shuffle joins on orderkey/custkey/suppkey."""
     region = (
         load_table(spark, sf_dir, "region")
         .filter(F.col("r_name") == Q5_REGION)
@@ -100,8 +108,8 @@ def tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     return (
-        orders.join(cust, orders.o_custkey == cust.c_custkey)
-        .join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation_in), F.col("s_nationkey") == nation_in.n_nationkey)
@@ -118,8 +126,10 @@ def tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
     quarter-year window. lineitem is pre-filtered to returnflag='R' before
-    the join (the selective predicate goes under the shuffle), aggregation
-    is partial→final on c_custkey, and the top-20 never sorts the world."""
+    the join (the selective predicate goes under the shuffle), streamed on
+    the left so it is never the hash-build side (see tpch_q3_shipping),
+    aggregation is partial→final on c_custkey, and the top-20 never sorts
+    the world."""
     cust = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_acctbal"
     )
@@ -137,7 +147,7 @@ def tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     return (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        li.join(orders, orders.o_orderkey == li.l_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name", "c_acctbal")
         .agg(

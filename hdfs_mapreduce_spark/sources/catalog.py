@@ -15,6 +15,7 @@ machinery is re-implemented.
 from __future__ import annotations
 
 import os
+import weakref
 from functools import lru_cache
 
 import pyarrow.parquet as pq
@@ -50,15 +51,38 @@ def _nanos_timestamp_cols(path: str) -> tuple[str, ...]:
     )
 
 
+# Per-session memo of loaded tables: each spark.read.parquet costs a driver
+# round-trip to read the footer schema — ~0.1s apiece, so a six-table join
+# paid ~0.7s of pure plan-build latency before this cache. DataFrames are
+# immutable, so handing every caller the same object is safe; keying weakly
+# on the session means a stopped session's entries are collectable and a
+# fresh session never sees stale plans.
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one table. Column pruning + predicate pushdown happen at the
-    FileSourceScan as long as callers select/filter declaratively.
+    """Read one table (memoized per session). Column pruning + predicate
+    pushdown happen at the FileSourceScan as long as callers select/filter
+    declaratively.
 
     TIMESTAMP(NANOS) columns (which Spark cannot natively read) are read as
     nanosecond longs and converted to microsecond timestamps with exact
     integer division — the same floor-truncation DuckDB applies, so oracle
     comparisons stay bit-identical.
     """
+    cache = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = cache.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    cache[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
@@ -81,11 +105,21 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
 
     Keyed off ``df.inputFiles()`` (a catalog file listing) rather than
     ``df.rdd.getNumPartitions()``, which would force an RDD conversion of
-    the whole read plan on every call."""
+    the whole read plan on every call. Memoized per input DataFrame —
+    ``load_table`` returns session-cached objects, so repeat queries skip
+    the file-listing round-trip too."""
+    cached = _SPREAD_CACHE.get(df)
+    if cached is not None:
+        return cached
     target = spark.sparkContext.defaultParallelism
-    if len(df.inputFiles()) < target:
-        return df.repartition(target)
-    return df
+    out = df.repartition(target) if len(df.inputFiles()) < target else df
+    _SPREAD_CACHE[df] = out
+    return out
+
+
+_SPREAD_CACHE: "weakref.WeakKeyDictionary[DataFrame, DataFrame]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def load_tables(

@@ -184,6 +184,26 @@ def test_tpch_q3_pushes_date_filters(spark):
     assert any("c_mktsegment" in p for p in pushed), plan
 
 
+@pytest.mark.parametrize(
+    "name", ["tpch_q3_shipping", "tpch_q5_region", "tpch_q10_returns"]
+)
+def test_tpch_fact_table_streams(spark, name):
+    """lineitem must be the streamed side of every join it appears in: a
+    BroadcastExchange subtree containing the fact scan means the planner
+    was handed a shape that hash-builds the biggest table — fatal at
+    100 TB. In the formatted tree the streamed side prints first, so the
+    first parquet scan in the tree must be the lineitem scan."""
+    plan = plan_of(QUERIES[name](spark, SF))
+    tree = plan.split("\n\n")[0]
+    scans = [ln for ln in tree.splitlines() if "Scan parquet" in ln]
+    first_scan_id = scans[0].split("Scan parquet")[0]
+    # Map node -> location via the details section.
+    details = plan.split("\n\n", 1)[1]
+    first_num = scans[0].split(")")[0].split("(")[-1]
+    block = details.split(f"({first_num}) Scan parquet")[1].split("\n\n")[0]
+    assert "lineitem" in block, f"first streamed scan is not lineitem:\n{block}"
+
+
 def test_tpch_q10_topk_no_global_sort(spark):
     plan = plan_of(QUERIES["tpch_q10_returns"](spark, SF))
     assert "TakeOrderedAndProject" in plan

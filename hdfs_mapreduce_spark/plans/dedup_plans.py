@@ -100,7 +100,10 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    return simhash_signatures(docs, "doc_id", "text")
+    # Presentation sort lives here, not in the operator: simhash_pairs
+    # composes the signature plan and must not inherit a mid-pipeline
+    # global sort (a range exchange per join side for nothing).
+    return simhash_signatures(docs, "doc_id", "text").orderBy("doc")
 
 
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -268,7 +268,11 @@ def test_dedup_pair_plans_reuse_exchanges_at_runtime(spark):
     explain defers reuse to runtime under AQE)."""
     from hdfs_mapreduce_spark.plans.dedup_plans import QUERIES as DQ
 
-    for name in ("dedup_ngram_jaccard", "dedup_minhash_pairs"):
+    for name in (
+        "dedup_ngram_jaccard",
+        "dedup_minhash_pairs",
+        "dedup_simhash_pairs",
+    ):
         df = DQ[name](spark, SF)
         df.collect()
         final = df._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,140 @@
+"""Relevance scoring: BM25 ad-hoc retrieval and TF-IDF feature terms.
+
+The reference engine has no scoring machinery at all — a user would write a
+MapReduce plugin pair per formula (SURVEY §2.11); here both are single
+declarative plans. These are the retrieval/feature-extraction passes a
+training-data pipeline runs for quality weighting and corpus search.
+
+Scale shapes:
+
+* ``bm25_scores`` — the query-term list is a constant, so per-term
+  frequencies are computed array-side in ONE map pass over the corpus (no
+  token explode, no shuffle of token rows); the corpus statistics (N,
+  avgdl, per-term document frequencies) reduce to a single row that is
+  broadcast back. Total: one scan + a 1-row aggregate + TakeOrdered top-k.
+* ``tfidf_top_terms`` — the full-vocabulary case: token explode →
+  (doc, token) partial-agg shuffle for tf, a tiny (token) aggregate for
+  document frequencies that is **broadcast** back (vocabularies are
+  millions of rows where corpora are billions), and a per-doc window top-n
+  that Catalyst executes as WindowGroupLimit — each shuffle partition
+  keeps only its local top-n per doc before the window sort.
+
+Determinism: every score is a pure function of integer counts (tf, df, N,
+doc length) and one exact integer-sum average, so Spark and DuckDB compute
+bit-identical doubles (modulo one ulp in ln) — ties broken by id/token.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hdfs_mapreduce_spark.functions.text import tokens
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: Sequence[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    top_k: int = 50,
+) -> DataFrame:
+    """BM25 score of every document against a fixed bag of query terms
+    (Robertson/Spärck Jones; the Okapi BM25 formula with the +1 idf floor).
+
+    Returns the ``top_k`` matching docs as (doc_id, n_tokens, tf_<term>...,
+    bm25), ordered by (bm25 desc, id). The per-term partial scores are
+    summed in declared term order — a fixed-order expression sum, not an
+    aggregate — so the total is reproducible across engines.
+    """
+    tk = tokens(F.lower(F.col(text_col)))
+
+    def tf_of(term: str):
+        # A factory, not an inline lambda: F.filter treats a 2-arg lambda
+        # as the (element, index) form, so a `t=t` default would bind the
+        # positional index, and a bare closure in the comprehension would
+        # late-bind the loop variable.
+        return F.size(F.filter("tk", lambda x: x == F.lit(term)))
+
+    base = df.select(
+        F.col(id_col),
+        tk.alias("tk"),
+    ).select(
+        id_col,
+        F.size("tk").alias("n_tokens"),
+        *[tf_of(t).alias(f"tf_{t}") for t in terms],
+    ).drop("tk")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_tokens").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def term_score(t: str):
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+            + 1.0
+        )
+        norm = tf + k1 * (1.0 - b + b * F.col("n_tokens") / F.col("avgdl"))
+        return F.when(tf > 0, idf * (tf * (k1 + 1.0)) / norm).otherwise(F.lit(0.0))
+
+    total = sum([term_score(t) for t in terms], start=F.lit(0.0))
+    return (
+        scored.select(
+            id_col, "n_tokens", *[f"tf_{t}" for t in terms], total.alias("bm25")
+        )
+        .filter(sum([F.col(f"tf_{t}") for t in terms], start=F.lit(0)) > 0)
+        .orderBy(F.col("bm25").desc(), id_col)
+        .limit(top_k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, top_n: int = 3
+) -> DataFrame:
+    """Top-``top_n`` TF-IDF terms per document: tf(d,t) · ln(N / df(t)).
+
+    The characteristic-keyword extraction pass (feature terms per doc for
+    clustering/labeling). Output: (doc_id, token, tf, tfidf, rnk) with
+    rnk ≤ top_n, ties broken by token, ordered by (doc_id, rnk).
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    tf = tok.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfr), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc",
+            "token",
+            "tf",
+            (
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= top_n)
+        .withColumnRenamed("doc", id_col)
+        .orderBy(id_col, "rnk")
+    )

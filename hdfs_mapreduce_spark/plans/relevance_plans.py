@@ -1,0 +1,110 @@
+"""Declared relevance queries (BM25 retrieval, TF-IDF feature terms) with
+DuckDB oracle twins. Constants are shared between both faces so the
+formulas cannot drift; see operators/relevance.py for the scale shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hdfs_mapreduce_spark.operators.relevance import (
+    BM25_B,
+    BM25_K1,
+    bm25_scores,
+    tfidf_top_terms,
+)
+from hdfs_mapreduce_spark.sources.catalog import load_table, spread
+
+# Fixed ad-hoc query for the declared BM25 run.
+BM25_TERMS = ("spark", "merge", "window")
+BM25_TOP_K = 50
+TFIDF_TOP_N = 3
+
+_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+
+
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return bm25_scores(
+        docs, "doc_id", "text", BM25_TERMS, BM25_K1, BM25_B, BM25_TOP_K
+    )
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return tfidf_top_terms(docs, "doc_id", "text", TFIDF_TOP_N)
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n               ".join(
+        f"len(list_filter({_TOKS}, t -> t = '{t}')) AS tf_{t}"
+        for t in BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in BM25_TERMS
+    )
+    # Same operation order as the Column expressions in bm25_scores.
+    scores = " + ".join(
+        f"(CASE WHEN tf_{t} > 0 THEN "
+        f"ln((n_docs - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0) "
+        f"* (tf_{t} * ({BM25_K1} + 1.0)) "
+        f"/ (tf_{t} + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * n_tokens / avgdl)) "
+        f"ELSE 0.0 END)"
+        for t in BM25_TERMS
+    )
+    any_tf = " + ".join(f"tf_{t}" for t in BM25_TERMS)
+    tf_out = ", ".join(f"tf_{t}" for t in BM25_TERMS)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, len({_TOKS}) AS n_tokens,
+               {tf_cols}
+            FROM documents
+        ),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(n_tokens) AS avgdl, {df_cols}
+            FROM base
+        )
+        SELECT doc_id, n_tokens, {tf_out}, {scores} AS bm25
+        FROM base, stats
+        WHERE {any_tf} > 0
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOP_K}
+    """
+
+
+def _tfidf_sql() -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ),
+        dfr AS (
+            SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token, tf.tf,
+                   tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+            FROM tf JOIN dfr USING (token), n
+        )
+        SELECT doc_id, token, tf, tfidf, rnk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, token
+            ) AS rnk FROM scored
+        ) WHERE rnk <= {TFIDF_TOP_N}
+        ORDER BY doc_id, rnk
+    """
+
+
+QUERIES = {
+    "text_bm25": text_bm25,
+    "text_tfidf": text_tfidf,
+}
+
+ORACLE_SQL = {
+    "text_bm25": _bm25_sql(),
+    "text_tfidf": _tfidf_sql(),
+}

@@ -211,6 +211,27 @@ def test_tpch_q10_topk_no_global_sort(spark):
     assert any("l_returnflag" in p for p in pushed), plan
 
 
+def test_bm25_single_scan_no_python(spark):
+    """BM25 with constant terms: tf counts are array-side in one map pass —
+    no Python node, no token-explode shuffle; stats come back as a 1-row
+    broadcast; top-k is TakeOrdered, never a global sort."""
+    df = QUERIES["text_bm25"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "Python" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_broadcasts_df_and_group_limits(spark):
+    """TF-IDF: the (token, df) vocabulary aggregate must broadcast back to
+    the tf relation (vocab << corpus), and the per-doc top-n must run as
+    WindowGroupLimit so partitions never sort whole documents' vocabularies."""
+    df = QUERIES["text_tfidf"](spark, SF)
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
 def test_scalar_funcs_map_only(spark):
     """The scalar suite is one codegen'd Project over the scan: no Python
     node, no exchange except the presentation sort."""

@@ -1,0 +1,84 @@
+"""Semantic tests for BM25 and TF-IDF on crafted fixtures, plus oracle
+parity at the correctness SF (the declared queries re-verify at sf0.01
+via the driver gate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hdfs_mapreduce_spark.operators.relevance import bm25_scores, tfidf_top_terms
+
+DOCS = [
+    (1, "spark spark spark fast engine"),
+    (2, "spark slow engine engine engine"),
+    (3, "window merge window merge window"),
+    (4, "nothing relevant here at all"),
+    (5, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_ranks_higher_tf_first(spark, docs):
+    out = bm25_scores(docs, "doc_id", "text", ["spark"]).collect()
+    # docs 1 and 2 match; doc 1 has tf=3 vs tf=1 at equal length
+    assert [r["doc_id"] for r in out] == [1, 2]
+    assert out[0]["bm25"] > out[1]["bm25"] > 0
+    assert out[0]["tf_spark"] == 3
+
+
+def test_bm25_excludes_nonmatching_and_respects_top_k(spark, docs):
+    out = bm25_scores(docs, "doc_id", "text", ["spark", "window"], top_k=1)
+    rows = out.collect()
+    assert len(rows) == 1  # top_k honored
+    full = bm25_scores(docs, "doc_id", "text", ["spark", "window"]).collect()
+    assert {r["doc_id"] for r in full} == {1, 2, 3}  # 4 and 5 never match
+
+
+def test_bm25_matches_reference_formula(spark, docs):
+    out = {
+        r["doc_id"]: r
+        for r in bm25_scores(docs, "doc_id", "text", ["spark"]).collect()
+    }
+    # Hand-computed: N=5, df=2, avgdl = (5+5+5+5+0)/5 = 4.0
+    idf = math.log((5 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    k1, b = 1.2, 0.75
+    tf, n = 3, 5
+    expected = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1 - b + b * n / 4.0))
+    assert out[1]["bm25"] == pytest.approx(expected, rel=1e-12)
+
+
+def test_tfidf_top_terms_picks_characteristic_tokens(spark, docs):
+    out = tfidf_top_terms(docs, "doc_id", "text", top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 3: 'window' (tf=3) and 'merge' (tf=2) are unique to it
+    d3 = by_doc[3]
+    assert [r["token"] for r in d3] == ["window", "merge"]
+    assert d3[0]["tfidf"] > d3[1]["tfidf"]
+    # ranks are 1..top_n and tfidf is non-increasing within a doc
+    for rows in by_doc.values():
+        assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert all(
+            rows[i]["tfidf"] >= rows[i + 1]["tfidf"] for i in range(len(rows) - 1)
+        )
+
+
+def test_tfidf_common_term_scores_zero(spark):
+    # A token present in EVERY doc has idf = ln(N/N) = 0.
+    df = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common beta"), (3, "common gamma")],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, "doc_id", "text", top_n=2).collect()
+    for r in out:
+        if r["token"] == "common":
+            assert r["tfidf"] == 0.0
+        else:
+            assert r["tfidf"] > 0.0

@@ -377,6 +377,102 @@ def simhash_pairs(
     )
 
 
+# --- paragraph / span dedup ---------------------------------------------------------
+PARA_WINDOW = 20
+
+
+def paragraph_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim_regex: str | None = None,
+    window: int = PARA_WINDOW,
+) -> DataFrame:
+    """(doc, pidx, p) spans per document: real paragraphs when
+    ``delim_regex`` is given (e.g. ``'\\n\\n+'`` for blank-line-separated
+    prose), else fixed non-overlapping ``window``-token chunks — the
+    fallback for corpora without structural delimiters (the synthetic
+    documents table has none). Map-only either way; at 100 TB this stage
+    is pure scan parallelism."""
+    if delim_regex is not None:
+        paras = F.filter(
+            F.split(F.col(text_col), delim_regex), lambda p: p != ""
+        )
+        base = df.select(F.col(id_col).alias("doc"), paras.alias("ps"))
+    else:
+        tk = tokens(F.lower(F.col(text_col)))
+        base = df.select(F.col(id_col).alias("doc"), tk.alias("tk")).select(
+            "doc",
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(window)),
+                lambda s: F.concat_ws(" ", F.slice(F.col("tk"), s, window)),
+            ).alias("ps"),
+        ).filter(F.size("ps") > 0)
+        base = base.filter(F.col("ps")[0] != "")
+    return base.select("doc", F.posexplode("ps").alias("pidx", "p"))
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim_regex: str | None = None,
+    window: int = PARA_WINDOW,
+) -> DataFrame:
+    """Duplicated-span inventory (the RefinedWeb/CCNet line-dedup signal at
+    paragraph granularity): spans occurring more than once corpus-wide,
+    with copy counts, distinct-doc counts, and the first holding doc.
+    One hash-partitioned shuffle on the span hash, map-side partials."""
+    spans = paragraph_spans(df, id_col, text_col, delim_regex, window)
+    return (
+        spans.groupBy(F.md5("p").alias("phash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.count_distinct("doc").alias("n_docs"),
+            F.min("doc").alias("first_doc"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .orderBy("first_doc", "phash")
+    )
+
+
+def paragraph_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    delim_regex: str | None = None,
+    window: int = PARA_WINDOW,
+) -> DataFrame:
+    """Remove every duplicated span occurrence except the corpus-wide first
+    (ordered by (doc, pidx)), then reassemble each document from its kept
+    spans in order. Returns (doc, n_kept, scrubbed_hash) — the md5 keeps
+    the declared result narrow while pinning the full rebuilt text.
+
+    Two shuffles, both inherent: the span-hash window that decides each
+    occurrence's global rank, and the doc-keyed rebuild. The rank filter is
+    rewritten by Catalyst to WindowGroupLimit (rank ≤ 1 per hash), so no
+    partition ever sorts more than the duplicate tail of a span group."""
+    from pyspark.sql.window import Window
+
+    spans = paragraph_spans(df, id_col, text_col, delim_regex, window)
+    w = Window.partitionBy(F.md5("p")).orderBy("doc", "pidx")
+    kept = spans.select(
+        "doc", "pidx", "p", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") == 1)
+    rebuilt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pidx", "p"))),
+            lambda x: x["p"],
+        ),
+        " ",
+    )
+    return (
+        kept.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.md5(rebuilt).alias("scrubbed_hash"))
+        .orderBy("doc")
+    )
+
+
 # --- benchmark decontamination ------------------------------------------------------
 def decontaminate(
     train_df: DataFrame,

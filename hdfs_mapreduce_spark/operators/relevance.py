@@ -102,6 +102,47 @@ def bm25_scores(
     )
 
 
+def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    unigram model, plus the perplexity proxy exp(−mean) — the classic
+    cheap quality signal for corpus curation (low-probability token soup
+    scores high perplexity and gets dropped or down-weighted).
+
+    Two aggregates and a broadcast: token explode → (token, count)
+    vocabulary aggregate (vocabularies are millions of rows where corpora
+    are trillions of tokens, so the fitted model broadcasts) → map-side
+    probability lookup → per-doc partial-agg mean. The corpus total is a
+    1-row broadcast. No smoothing: scoring the fitting corpus has no OOV.
+
+    Output: (id, n_tokens, logprob_mean, ppl) ordered by id.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    lp = (
+        tok.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc",
+            F.log(F.col("c").cast("double") / F.col("total")).alias("lp"),
+        )
+    )
+    mean = F.sum("lp") / F.count(F.lit(1))
+    return (
+        lp.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            mean.alias("logprob_mean"),
+            F.exp(-mean).alias("ppl"),
+        )
+        .withColumnRenamed("doc", id_col)
+        .orderBy(id_col)
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, top_n: int = 3
 ) -> DataFrame:

@@ -16,6 +16,7 @@ from hdfs_mapreduce_spark.operators.dedup import (
     HAMMING_MAX,
     N_BANDS,
     N_PERM,
+    PARA_WINDOW,
     PERMS,
     ROWS_PER_BAND,
     SHINGLE_K,
@@ -27,6 +28,8 @@ from hdfs_mapreduce_spark.operators.dedup import (
     minhash_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    paragraph_dedup,
+    paragraph_scrub,
     simhash_pairs,
     simhash_signatures,
 )
@@ -292,8 +295,22 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return paragraph_dedup(docs, "doc_id", "text", window=PARA_WINDOW)
+
+
+def dedup_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return paragraph_scrub(
+        docs, "doc_id", "text", window=PARA_WINDOW
+    ).withColumnRenamed("doc", "doc_id")
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_paragraphs": dedup_paragraphs,
+    "dedup_paragraph_scrub": dedup_paragraph_scrub,
     "dedup_decontaminate": dedup_decontaminate,
     "boilerplate_ngrams": boilerplate_ngrams,
     "dedup_minhash_sigs": dedup_minhash_sigs,
@@ -359,7 +376,39 @@ _COMPONENT_CTES = f"""
         labels AS (SELECT a AS node, MIN(b) AS mn FROM reach GROUP BY a)
 """
 
+# Fixed-window span relation for the paragraph-dedup oracles: chunk starts
+# from generate_series(1, len, W), pidx = (s-1) // W matches posexplode.
+_PARA_CTES = f"""
+    tkc AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    para AS (
+        SELECT doc, (s - 1) // {PARA_WINDOW} AS pidx,
+               array_to_string(list_slice(tk, s, s + {PARA_WINDOW} - 1), ' ') AS p
+        FROM (SELECT doc_id AS doc, tk,
+                     unnest(generate_series(1, len(tk), {PARA_WINDOW})) AS s
+              FROM tkc WHERE len(tk) > 0)
+    )
+"""
+
 ORACLE_SQL = {
+    "dedup_paragraphs": f"""
+        WITH {_PARA_CTES}
+        SELECT md5(p) AS phash, COUNT(*) AS n_copies,
+               COUNT(DISTINCT doc) AS n_docs, MIN(doc) AS first_doc
+        FROM para GROUP BY 1 HAVING COUNT(*) > 1
+        ORDER BY first_doc, phash
+    """,
+    "dedup_paragraph_scrub": f"""
+        WITH {_PARA_CTES},
+        ranked AS (
+            SELECT doc, pidx, p,
+                   ROW_NUMBER() OVER (PARTITION BY md5(p) ORDER BY doc, pidx) AS rn
+            FROM para
+        )
+        SELECT doc AS doc_id, COUNT(*) AS n_kept,
+               md5(string_agg(p, ' ' ORDER BY pidx)) AS scrubbed_hash
+        FROM ranked WHERE rn = 1
+        GROUP BY doc ORDER BY doc_id
+    """,
     "boilerplate_ngrams": f"""
         WITH sh AS (
             SELECT DISTINCT doc_id, unnest({_SHINGLES}) AS shingle

@@ -15,8 +15,11 @@ from hdfs_mapreduce_spark.sources.catalog import load_table
 from hdfs_mapreduce_spark.streaming.events import (
     ATTRIB_WINDOW_MIN,
     SESSION_GAP_MIN,
+    SLIDE_DUR_MIN,
+    SLIDE_STEP_MIN,
     attribution_pairs,
     session_stats,
+    sliding_event_stats,
     windowed_event_stats,
 )
 
@@ -25,6 +28,10 @@ FUNNEL_WINDOW_MIN = 10
 
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_event_stats(spark, sf_dir)
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sliding_event_stats(spark, sf_dir)
 
 
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,6 +115,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "events_windowed": events_windowed,
+    "events_sliding": events_sliding,
     "events_attribution": events_attribution,
     "events_sessions": events_sessions,
     "events_funnel": events_funnel,
@@ -130,6 +138,23 @@ ORACLE_SQL = {
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type, COUNT(*) AS n_events, SUM(value) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    # Sliding windows: each event belongs to dur/step windows, enumerated
+    # as its step-aligned bucket minus k steps for k in 0..dur/step-1,
+    # keeping starts within (ts - dur, ts]. Same epoch alignment as Spark.
+    "events_sliding": f"""
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events, SUM(value) AS sum_value
+        FROM (
+            SELECT e.*,
+                   time_bucket(INTERVAL '{SLIDE_STEP_MIN} minutes', ts)
+                       - k * INTERVAL '{SLIDE_STEP_MIN} minutes' AS window_start
+            FROM events e,
+                 (SELECT unnest(generate_series(
+                      0, {SLIDE_DUR_MIN // SLIDE_STEP_MIN - 1})) AS k) ks
+        )
+        WHERE window_start > ts - INTERVAL '{SLIDE_DUR_MIN} minutes'
+        GROUP BY 1, 2 ORDER BY window_start, event_type
     """,
     "events_sessions": f"""
         WITH flagged AS (

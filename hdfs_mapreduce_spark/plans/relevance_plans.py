@@ -12,6 +12,7 @@ from hdfs_mapreduce_spark.operators.relevance import (
     BM25_K1,
     bm25_scores,
     tfidf_top_terms,
+    unigram_lm_scores,
 )
 from hdfs_mapreduce_spark.sources.catalog import load_table, spread
 
@@ -33,6 +34,11 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return tfidf_top_terms(docs, "doc_id", "text", TFIDF_TOP_N)
+
+
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return unigram_lm_scores(docs, "doc_id", "text")
 
 
 def _bm25_sql() -> str:
@@ -99,12 +105,32 @@ def _tfidf_sql() -> str:
     """
 
 
+def _lm_sql() -> str:
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+        ),
+        vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS total FROM tok),
+        lp AS (
+            SELECT doc_id, ln(CAST(c AS DOUBLE) / total) AS lp
+            FROM tok JOIN vocab USING (token), tot
+        )
+        SELECT doc_id, COUNT(*) AS n_tokens,
+               SUM(lp) / COUNT(*) AS logprob_mean,
+               exp(-(SUM(lp) / COUNT(*))) AS ppl
+        FROM lp GROUP BY 1 ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "text_bm25": text_bm25,
     "text_tfidf": text_tfidf,
+    "text_lm_score": text_lm_score,
 }
 
 ORACLE_SQL = {
     "text_bm25": _bm25_sql(),
     "text_tfidf": _tfidf_sql(),
+    "text_lm_score": _lm_sql(),
 }

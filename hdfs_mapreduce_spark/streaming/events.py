@@ -131,6 +131,59 @@ def stream_windowed_event_stats(
     return writer
 
 
+# Sliding-window layout: 30-minute windows every 10 minutes — each event
+# belongs to exactly SLIDE_DUR_MIN / SLIDE_STEP_MIN = 3 windows. Shared by
+# the batch query, the streaming twin, and the generated DuckDB oracle.
+SLIDE_DUR_MIN = 30
+SLIDE_STEP_MIN = 10
+
+
+def _sliding_agg(events: DataFrame) -> DataFrame:
+    """Sliding windows per event_type: count + sum(value). Spark plans the
+    window explode as an Expand (dur/step rows per event) feeding a
+    partial+final hash aggregate — the replication happens map-side, the
+    shuffle carries only (window, type) partials."""
+    return (
+        events.groupBy(
+            F.window(
+                "ts", f"{SLIDE_DUR_MIN} minutes", f"{SLIDE_STEP_MIN} minutes"
+            ).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form (backfill path; oracle enumerates the dur/step offsets of
+    each event's time_bucket)."""
+    events = load_table(spark, sf_dir, "events")
+    return _sliding_agg(events).orderBy("window_start", "event_type")
+
+
+def stream_sliding_event_stats(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+):
+    """Streaming twin: watermark bounds how many open sliding windows live
+    in state (dur/step per key plus the late-data horizon), exactly as the
+    tumbling form."""
+    stream = _events_stream(spark, sf_dir)
+    agg = _sliding_agg(stream.withWatermark("ts", "1 hour"))
+    writer = agg.writeStream.outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 def sessionize(events: DataFrame, gap_min: int = SESSION_GAP_MIN) -> DataFrame:
     """Assign session ids per user: a new session starts when the gap from
     the previous event exceeds ``gap_min`` minutes. lag → gap flag → running

@@ -206,3 +206,48 @@ def test_dedup_components_survivors_consistent_with_pairs(spark):
     for d, c in canon.items():
         if d not in paired:
             assert c == d
+
+
+def test_paragraph_spans_delimiter_mode(spark):
+    from hdfs_mapreduce_spark.operators.dedup import paragraph_spans
+
+    df = spark.createDataFrame(
+        [(1, "para one here\n\nsecond para\n\n\nthird"), (2, ""), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = paragraph_spans(df, "doc_id", "text", delim_regex="\n\n+").collect()
+    got = {(r["doc"], r["pidx"]): r["p"] for r in rows}
+    assert got == {
+        (1, 0): "para one here",
+        (1, 1): "second para",
+        (1, 2): "third",
+        (3, 0): "solo",
+    }
+
+
+def test_paragraph_dedup_and_scrub_window_mode(spark):
+    import hashlib
+
+    from hdfs_mapreduce_spark.operators.dedup import (
+        paragraph_dedup,
+        paragraph_scrub,
+    )
+
+    # window=2 chunks: doc1 -> ["a b", "c d"], doc2 -> ["c d", "e f"];
+    # "c d" is duplicated; doc3 is empty and must vanish.
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "c d e f"), (3, "")],
+        "doc_id long, text string",
+    )
+    dup = paragraph_dedup(df, "doc_id", "text", window=2).collect()
+    assert len(dup) == 1
+    assert dup[0]["n_copies"] == 2 and dup[0]["n_docs"] == 2
+    assert dup[0]["first_doc"] == 1
+
+    scrub = {r["doc"]: r for r in paragraph_scrub(df, "doc_id", "text", window=2).collect()}
+    assert set(scrub) == {1, 2}
+    # doc1 keeps both spans; doc2 loses its copy of "c d"
+    assert scrub[1]["n_kept"] == 2
+    assert scrub[2]["n_kept"] == 1
+    assert scrub[1]["scrubbed_hash"] == hashlib.md5(b"a b c d").hexdigest()
+    assert scrub[2]["scrubbed_hash"] == hashlib.md5(b"e f").hexdigest()

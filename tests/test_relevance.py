@@ -82,3 +82,21 @@ def test_tfidf_common_term_scores_zero(spark):
             assert r["tfidf"] == 0.0
         else:
             assert r["tfidf"] > 0.0
+
+
+def test_unigram_lm_scores_hand_computed(spark):
+    from hdfs_mapreduce_spark.operators.relevance import unigram_lm_scores
+
+    # Corpus: 4 tokens total; 'a' appears 2x (p=0.5), 'b' and 'c' once
+    # (p=0.25 each).
+    df = spark.createDataFrame(
+        [(1, "a a"), (2, "b c"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_scores(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # empty doc drops
+    assert out[1]["logprob_mean"] == pytest.approx(math.log(0.5), rel=1e-12)
+    assert out[2]["logprob_mean"] == pytest.approx(math.log(0.25), rel=1e-12)
+    assert out[1]["ppl"] == pytest.approx(2.0, rel=1e-12)
+    assert out[2]["ppl"] == pytest.approx(4.0, rel=1e-12)
+    # rarer tokens => higher perplexity: the curation signal direction
+    assert out[2]["ppl"] > out[1]["ppl"]

@@ -168,3 +168,42 @@ def test_stream_dedup_collapses_duplicates(spark):
         "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream"
     ).collect()[0]
     assert out["n"] == out["d"] == batch_n
+
+
+def test_stream_sliding_equals_batch(spark):
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.events import (
+        SLIDE_DUR_MIN,
+        sliding_event_stats,
+        stream_sliding_event_stats,
+    )
+
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in sliding_event_stats(spark, SF).collect()
+    }
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_sliding_event_stats(spark, SF, checkpoint_dir=ckpt)
+            .format("memory")
+            .queryName("sliding_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    stream = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM sliding_stream").collect()
+    }
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    closed = {
+        k: v
+        for k, v in batch.items()
+        if k[0] + timedelta(minutes=SLIDE_DUR_MIN) <= max_ts - timedelta(hours=1)
+    }
+    assert stream == closed
+    assert len(closed) > 100

@@ -221,6 +221,41 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SKEW_SALTS = 8
+
+
+def events_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-dim enrichment: events left-join customer on
+    user_id via the deterministic salted join (functions/skew.py), then
+    revenue-by-segment. The declared query pins the salted plan as the
+    *verified* path — the oracle is the plain join, so the check proves
+    salting changes the distribution, never the answer. At 100 TB this is
+    the shape for a hot-key join where AQE's runtime skew split isn't
+    enough (one user id owning a measurable fraction of the fact table);
+    the small side replicates SKEW_SALTS times, the hot key spreads over
+    SKEW_SALTS shuffle partitions."""
+    from hdfs_mapreduce_spark.functions.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = salted_join(
+        events, cust, "user_id", "c_custkey", distributor="event_id",
+        n_salts=SKEW_SALTS, how="left",
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 SCALAR_EPOCH = "1999-01-01"
 
 
@@ -263,9 +298,17 @@ QUERIES = {
     "events_props_json": events_props_json,
     "q24_exact_percentile": q24_exact_percentile,
     "events_anomaly": events_anomaly,
+    "events_skew_join": events_skew_join,
 }
 
 ORACLE_SQL = {
+    # The oracle is the UNSALTED join: the check proves salting is purely
+    # a physical-distribution change.
+    "events_skew_join": """
+        SELECT c.c_mktsegment, COUNT(*) AS n_events, SUM(e.value) AS sum_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY c_mktsegment
+    """,
     "scalar_funcs": f"""
         SELECT o_orderkey,
                year(o_orderdate) AS yr,

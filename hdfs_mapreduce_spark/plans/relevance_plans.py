@@ -41,6 +41,44 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(docs, "doc_id", "text")
 
 
+VOCAB_TOP = 50
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: top-VOCAB_TOP tokens by corpus frequency
+    with each token's cumulative share of all token occurrences — the
+    table a tokenizer/vocab-size decision is made from. The corpus reduces
+    to one (token, count) aggregate; the running total is a window over
+    the tiny vocab relation (single-partition by construction — the
+    aggregate output is vocabulary-sized, not corpus-sized), and the
+    grand total is an exact integer sum."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    from hdfs_mapreduce_spark.functions.text import tokens as _tokens
+    from pyspark.sql import functions as F
+
+    tok = docs.select(
+        F.explode(_tokens(F.lower(F.col("text")))).alias("token")
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy()
+    return (
+        vocab.select(
+            "token",
+            "cnt",
+            (F.sum("cnt").over(w).cast("double") / F.sum("cnt").over(total)).alias(
+                "cum_share"
+            ),
+        )
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(VOCAB_TOP)
+    )
+
+
 def _bm25_sql() -> str:
     tf_cols = ",\n               ".join(
         f"len(list_filter({_TOKS}, t -> t = '{t}')) AS tf_{t}"
@@ -123,14 +161,30 @@ def _lm_sql() -> str:
     """
 
 
+def _vocab_sql() -> str:
+    return f"""
+        WITH tok AS (
+            SELECT unnest({_TOKS}) AS token FROM documents
+        ),
+        vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1)
+        SELECT token, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token
+                                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                   / SUM(cnt) OVER () AS cum_share
+        FROM vocab ORDER BY cnt DESC, token LIMIT {VOCAB_TOP}
+    """
+
+
 QUERIES = {
     "text_bm25": text_bm25,
     "text_tfidf": text_tfidf,
     "text_lm_score": text_lm_score,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLE_SQL = {
     "text_bm25": _bm25_sql(),
     "text_tfidf": _tfidf_sql(),
     "text_lm_score": _lm_sql(),
+    "vocab_coverage": _vocab_sql(),
 }

@@ -207,3 +207,37 @@ def test_stream_sliding_equals_batch(spark):
     }
     assert stream == closed
     assert len(closed) > 100
+
+
+def test_stream_upsert_builds_latest_snapshot(spark):
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.events import (
+        read_upsert_state,
+        stream_upsert_events,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        state = f"{root}/state"
+        q = (
+            stream_upsert_events(spark, SF, state, checkpoint_dir=f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        snap = read_upsert_state(spark, state)
+        batch = load_table(spark, SF, "events")
+        assert snap.count() == batch.select("event_id").distinct().count()
+        # snapshot content equals the batch table exactly (both directions)
+        cols = ["event_id", "user_id", "event_type", "value"]
+        assert snap.select(cols).exceptAll(batch.select(cols)).count() == 0
+        assert batch.select(cols).exceptAll(snap.select(cols)).count() == 0
+        # re-running the same stream over the same source is a no-op upsert:
+        # a second availableNow pass with a fresh checkpoint re-merges every
+        # row, and the snapshot must not grow
+        q2 = (
+            stream_upsert_events(spark, SF, state, checkpoint_dir=f"{root}/ckpt2")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        assert read_upsert_state(spark, state).count() == snap.count()

@@ -221,6 +221,72 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_WIDTH = 10.0
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type — the distribution
+    profile a pipeline checks before choosing filters/clamps. Bucket =
+    floor(value / width): a pure map expression, so the whole histogram is
+    one partial→final aggregate on the tiny (type, bucket) domain; no
+    sort, no sketch, exact at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / HIST_WIDTH).cast("long")
+    return (
+        events.groupBy(F.col("event_type"), bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of the orders table: per-column null counts,
+    distinct counts, and numeric min/max — the reference's `stats` verb
+    (dfs/storageNode/stats.go:43-108) upgraded from byte counters to
+    content profiling. One pass, every statistic an algebraic or
+    distinct-style aggregate; emitted as one row per profiled column so
+    the result shape survives schema growth."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            c
+            for name in ("o_custkey", "o_totalprice", "o_orderdate")
+            for c in (
+                F.sum(F.col(name).isNull().cast("long")).alias(f"nulls_{name}"),
+                F.count_distinct(F.col(name)).alias(f"distinct_{name}"),
+            )
+        ],
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    cols = ["o_custkey", "o_totalprice", "o_orderdate"]
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("col_name"),
+                F.col(f"nulls_{name}").alias("n_nulls"),
+                F.col(f"distinct_{name}").alias("n_distinct"),
+            )
+            for name in cols
+        ]
+    )
+    return (
+        agg.select(
+            "n_rows", "min_price", "max_price", F.explode(per_col).alias("c")
+        )
+        .select(
+            F.col("c.col_name").alias("col_name"),
+            F.col("c.n_nulls").alias("n_nulls"),
+            F.col("c.n_distinct").alias("n_distinct"),
+            "n_rows",
+            "min_price",
+            "max_price",
+        )
+        .orderBy("col_name")
+    )
+
+
 SKEW_SALTS = 8
 
 
@@ -299,6 +365,8 @@ QUERIES = {
     "q24_exact_percentile": q24_exact_percentile,
     "events_anomaly": events_anomaly,
     "events_skew_join": events_skew_join,
+    "events_histogram": events_histogram,
+    "profile_orders": profile_orders,
 }
 
 ORACLE_SQL = {
@@ -308,6 +376,35 @@ ORACLE_SQL = {
         SELECT c.c_mktsegment, COUNT(*) AS n_events, SUM(e.value) AS sum_value
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1 ORDER BY c_mktsegment
+    """,
+    "events_histogram": f"""
+        SELECT event_type,
+               CAST(floor(value / {HIST_WIDTH}) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
+    """,
+    "profile_orders": """
+        WITH agg AS (
+            SELECT COUNT(*) AS n_rows,
+                   -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which .df()
+                   -- renders as float64 and breaks integer hash parity.
+                   CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_custkey,
+                   COUNT(DISTINCT o_custkey) AS distinct_o_custkey,
+                   CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_totalprice,
+                   COUNT(DISTINCT o_totalprice) AS distinct_o_totalprice,
+                   CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_o_orderdate,
+                   COUNT(DISTINCT o_orderdate) AS distinct_o_orderdate,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders
+        )
+        SELECT c.col_name, c.n_nulls, c.n_distinct, n_rows, min_price, max_price
+        FROM agg, LATERAL (VALUES
+            ('o_custkey', nulls_o_custkey, distinct_o_custkey),
+            ('o_totalprice', nulls_o_totalprice, distinct_o_totalprice),
+            ('o_orderdate', nulls_o_orderdate, distinct_o_orderdate)
+        ) AS c(col_name, n_nulls, n_distinct)
+        ORDER BY c.col_name
     """,
     "scalar_funcs": f"""
         SELECT o_orderkey,

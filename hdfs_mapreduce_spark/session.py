@@ -39,6 +39,14 @@ _DEFAULTS = {
     # costs this working set never amortizes. Raise via env for workloads
     # that genuinely buffer more (big broadcast or collect).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"),
+    # --- JIT code cache: one long-lived session compiles hundreds of
+    # whole-stage-codegen classes (the bench JVM warms + times ~80 plans);
+    # the JVM's 240 MB default starts flushing compiled methods late in
+    # such a run and queries silently fall back toward interpreted speed
+    # (measured 3-5x inflation on late-running queries). 512 MB removes it.
+    "spark.driver.extraJavaOptions": os.environ.get(
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=512m"
+    ),
     # --- Arrow for every pandas UDF / mapInPandas boundary (the reference's
     # exec-per-record plugin protocol becomes per-batch columnar transfer).
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -473,6 +473,52 @@ def paragraph_scrub(
     )
 
 
+CHUNK_SIZE = 24
+CHUNK_STRIDE = 16
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding-prep splitter:
+    windows of ``size`` tokens every ``stride`` tokens (overlap =
+    size − stride), so no span of meaning is cut at a hard boundary.
+    Output: (doc, chunk_idx, chunk, n_tokens) with the trailing partial
+    window kept iff it adds tokens beyond the previous window. Map-only —
+    array-side starts, one explode, no shuffle; at 100 TB this is the scan
+    -speed pass feeding the embedding UDF."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError(f"need 0 < stride <= size, got size={size} stride={stride}")
+    tk = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("doc"), tk.alias("tk")).filter(
+        F.size("tk") > 0
+    )
+    # Chunk k starts at k·stride + 1 for k = 0 .. ceil((n − size)/stride):
+    # the ceil guarantees the last window reaches the document end (it may
+    # be shorter than `size`); docs with n ≤ size get exactly one window.
+    n = F.size("tk")
+    kmax = (
+        F.when(n > size, F.ceil((n - size) / F.lit(stride)))
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), kmax),
+        lambda k: F.concat_ws(" ", F.slice(F.col("tk"), k * stride + 1, size)),
+    )
+    out = base.select("doc", F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    return out.select(
+        "doc",
+        "chunk_idx",
+        "chunk",
+        F.size(F.split("chunk", " ")).alias("n_tokens"),
+    )
+
+
 # --- benchmark decontamination ------------------------------------------------------
 def decontaminate(
     train_df: DataFrame,

@@ -221,6 +221,35 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BLOOM_SEGMENT = "BUILDING"
+
+
+def events_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (functions/joins.py): events by users in
+    one customer segment. The Bloom filter built from the dim's keys drops
+    non-matching fact rows at scan time; the verifying semi join removes
+    false positives, so the oracle — the PLAIN semi join — proves the
+    prefilter is invisible to the result. At 100 TB this cuts the fact
+    shuffle to (matches + ~2% FP) instead of every row."""
+    from hdfs_mapreduce_spark.functions.joins import bloom_semi_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    dim = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == BLOOM_SEGMENT
+    )
+    kept = bloom_semi_join(events, dim, "user_id", "c_custkey")
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 HIST_WIDTH = 10.0
 
 
@@ -367,6 +396,7 @@ QUERIES = {
     "events_skew_join": events_skew_join,
     "events_histogram": events_histogram,
     "profile_orders": profile_orders,
+    "events_bloom_semi": events_bloom_semi,
 }
 
 ORACLE_SQL = {
@@ -376,6 +406,14 @@ ORACLE_SQL = {
         SELECT c.c_mktsegment, COUNT(*) AS n_events, SUM(e.value) AS sum_value
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1 ORDER BY c_mktsegment
+    """,
+    "events_bloom_semi": f"""
+        SELECT event_type, COUNT(*) AS n_events, SUM(value) AS sum_value
+        FROM events e
+        WHERE EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = e.user_id
+                        AND c.c_mktsegment = '{BLOOM_SEGMENT}')
+        GROUP BY 1 ORDER BY event_type
     """,
     "events_histogram": f"""
         SELECT event_type,

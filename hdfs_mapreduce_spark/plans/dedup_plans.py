@@ -22,6 +22,9 @@ from hdfs_mapreduce_spark.operators.dedup import (
     SHINGLE_K,
     SIMHASH_BANDS,
     SIMHASH_BITS,
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    chunk_documents,
     decontaminate,
     exact_dedup,
     incremental_minhash_pairs,
@@ -295,6 +298,13 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping RAG-style chunking of every document (size=CHUNK_SIZE,
+    stride=CHUNK_STRIDE tokens), ordered output. Map-only."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return chunk_documents(docs, "doc_id", "text").orderBy("doc", "chunk_idx")
+
+
 def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return paragraph_dedup(docs, "doc_id", "text", window=PARA_WINDOW)
@@ -311,6 +321,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_paragraph_scrub": dedup_paragraph_scrub,
+    "pipeline_chunk": pipeline_chunk,
     "dedup_decontaminate": dedup_decontaminate,
     "boilerplate_ngrams": boilerplate_ngrams,
     "dedup_minhash_sigs": dedup_minhash_sigs,
@@ -390,6 +401,30 @@ _PARA_CTES = f"""
 """
 
 ORACLE_SQL = {
+    "pipeline_chunk": f"""
+        WITH tkc AS (
+            SELECT doc_id AS doc, {_TOKS.replace("text", "text")} AS tk
+            FROM documents
+        ),
+        starts AS (
+            SELECT doc, tk,
+                   unnest(generate_series(0,
+                       CASE WHEN len(tk) > {CHUNK_SIZE}
+                            THEN CAST(ceil(CAST(len(tk) - {CHUNK_SIZE} AS DOUBLE)
+                                           / {CHUNK_STRIDE}) AS BIGINT)
+                            ELSE 0 END)) AS k
+            FROM tkc WHERE len(tk) > 0
+        )
+        SELECT doc, CAST(k AS INT) AS chunk_idx,
+               array_to_string(list_slice(tk, k * {CHUNK_STRIDE} + 1,
+                                          k * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' ')
+                   AS chunk,
+               len(string_split(array_to_string(
+                   list_slice(tk, k * {CHUNK_STRIDE} + 1,
+                              k * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '), ' '))
+                   AS n_tokens
+        FROM starts ORDER BY doc, chunk_idx
+    """,
     "dedup_paragraphs": f"""
         WITH {_PARA_CTES}
         SELECT md5(p) AS phash, COUNT(*) AS n_copies,

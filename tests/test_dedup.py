@@ -251,3 +251,32 @@ def test_paragraph_dedup_and_scrub_window_mode(spark):
     assert scrub[2]["n_kept"] == 1
     assert scrub[1]["scrubbed_hash"] == hashlib.md5(b"a b c d").hexdigest()
     assert scrub[2]["scrubbed_hash"] == hashlib.md5(b"e f").hexdigest()
+
+
+def test_chunk_documents_overlap_and_tail_coverage(spark):
+    import pytest
+
+    from hdfs_mapreduce_spark.operators.dedup import chunk_documents
+
+    # 10 tokens, size=4, stride=3 -> starts 1,4,7,(ceil(6/3)=2 -> k<=2)…
+    # k_max = ceil((10-4)/3) = 2 -> starts 1, 4, 7; last chunk t7..t10.
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(df, "doc_id", "text", size=4, stride=3).collect()
+    got = {(r["doc"], r["chunk_idx"]): (r["chunk"], r["n_tokens"]) for r in rows}
+    assert got == {
+        (1, 0): ("t1 t2 t3 t4", 4),
+        (1, 1): ("t4 t5 t6 t7", 4),
+        (1, 2): ("t7 t8 t9 t10", 4),
+        (2, 0): ("a b", 2),  # short doc: one window, shorter than size
+    }
+    # every token appears in some chunk (tail is covered)
+    covered = set()
+    for (d, _), (chunk, _) in got.items():
+        if d == 1:
+            covered.update(chunk.split(" "))
+    assert covered == {f"t{i}" for i in range(1, 11)}
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", size=4, stride=5)

@@ -84,14 +84,26 @@ def ann_topk_bruteforce(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_filter: Column | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (queries come from the
     same table; self-matches excluded). Broadcast(query rows) × corpus scan →
-    window top-k. Ties broken by neighbor id for determinism."""
+    window top-k. Ties broken by neighbor id for determinism.
+
+    ``corpus_filter`` restricts the SEARCHED side only (hybrid search:
+    metadata predicate + vector ranking) — the filter sits against the
+    corpus scan, so at 100 TB a selective predicate prunes row groups
+    before a single dot product runs; query vectors still come from the
+    unfiltered table."""
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    corpus = embeddings.select(
+    corpus_src = (
+        embeddings.filter(corpus_filter)
+        if corpus_filter is not None
+        else embeddings
+    )
+    corpus = corpus_src.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
     scored = (

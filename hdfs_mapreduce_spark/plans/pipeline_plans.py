@@ -9,6 +9,7 @@ from hdfs_mapreduce_spark.operators.band import band_join
 from hdfs_mapreduce_spark.operators.multimodal import (
     attach_payload,
     content_dedup,
+    frame_sample,
     payload_stats,
 )
 from hdfs_mapreduce_spark.sources.catalog import load_table
@@ -104,6 +105,31 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_dedup(attach_payload(docs, "doc_id", "text"))
 
 
+FRAME_BYTES = 64
+MAX_FRAMES = 8
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling through the real Arrow plumbing (mapInPandas UDTF
+    shape), summarized as per-frame md5 + byte length so the declared
+    result is hashable. The synthetic payloads are ASCII text bytes, so a
+    DuckDB substr oracle checks the Python path byte-for-byte — the same
+    check a real ffmpeg sampler could not have, which is exactly why the
+    plumbing is verified on deterministic payloads."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = frame_sample(
+        attach_payload(docs, "doc_id", "text"),
+        every_n_bytes=FRAME_BYTES,
+        max_frames=MAX_FRAMES,
+    )
+    return frames.select(
+        "id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").alias("n_bytes"),
+    ).orderBy("id", "frame_idx")
+
+
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution pairs (the batch twin of the stream-stream
     join in streaming/events.py — identical join expression; the streaming
@@ -122,9 +148,28 @@ QUERIES = {
     "events_rollup_time": events_rollup_time,
     "multimodal_stats": multimodal_stats,
     "multimodal_dedup": multimodal_dedup,
+    "multimodal_frames": multimodal_frames,
 }
 
 ORACLE_SQL = {
+    # Byte-exact twin of the Python frame sampler: payloads are ASCII text
+    # bytes, so substr == byte slicing.
+    "multimodal_frames": f"""
+        WITH f AS (
+            SELECT doc_id AS id, text,
+                   unnest(generate_series(0,
+                       least({MAX_FRAMES},
+                             greatest(1, length(text) // {FRAME_BYTES})) - 1))
+                       AS frame_idx
+            FROM documents
+        )
+        SELECT id, CAST(frame_idx AS INT) AS frame_idx,
+               md5(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                          {FRAME_BYTES})) AS frame_md5,
+               length(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
+                             {FRAME_BYTES})) AS n_bytes
+        FROM f ORDER BY id, frame_idx
+    """,
     "events_attribution": f"""
         SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
                c.ts AS click_ts, p.ts AS purchase_ts

@@ -52,6 +52,22 @@ def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_bruteforce(emb, QUERY_IDS, TOP_K)
 
 
+ANN_FILTER_LABEL = 3
+
+
+def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: metadata predicate + exact vector ranking. The label
+    filter restricts the searched corpus at the scan (row-group pruning at
+    scale) while query vectors come from the unfiltered table."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_bruteforce(
+        emb, QUERY_IDS, TOP_K,
+        corpus_filter=F.col("label") == ANN_FILTER_LABEL,
+    )
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_lsh(emb, QUERY_IDS, TOP_K)
@@ -121,6 +137,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
+    "ann_filtered": ann_filtered,
     "embedding_centroids": embedding_centroids,
     "embedding_quantize": embedding_quantize,
     "ann_lsh": ann_lsh,
@@ -171,6 +188,27 @@ ORACLE_SQL = {
                    {_cos('q.qvec', 'e.embedding')} AS cos_sim
             FROM embeddings e, q
             WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    "ann_filtered": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+            WHERE vec_id IN ({_IDS})
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_cos('q.qvec', 'e.embedding')} AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id AND e.label = {ANN_FILTER_LABEL}
         ),
         ranked AS (
             SELECT query_id, neighbor_id, cos_sim,

@@ -232,6 +232,34 @@ def test_tfidf_broadcasts_df_and_group_limits(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_pipeline_chunk_map_only(spark):
+    """Chunking is array-side + one explode: no Python node, no exchange
+    except the presentation sort."""
+    plan = plan_of(QUERIES["pipeline_chunk"](spark, SF), "simple")
+    assert "Python" not in plan
+    assert plan.count("Exchange") <= 2  # spread() repartition + ORDER BY
+
+
+def test_paragraph_scrub_uses_window_group_limit(spark):
+    """The rank<=1 filter must prune span groups partition-side before the
+    window sort — at 100 TB a span hash with a million duplicates would
+    otherwise sort them all to keep one."""
+    plan = plan_of(QUERIES["dedup_paragraph_scrub"](spark, SF), "simple")
+    assert "WindowGroupLimit" in plan
+
+
+def test_bloom_semi_prefilters_before_exchange(spark):
+    """The Bloom probe must sit under the fact side's exchange (filter at
+    the scan stage), and the whole probe stays JVM-side."""
+    plan = plan_of(QUERIES["events_bloom_semi"](spark, SF), "formatted")
+    assert "Python" not in plan
+    assert "might_contain" not in plan  # hand-rolled, no optimizer construct
+    tree = plan.split("\n\n")[0]
+    # the bloom map broadcast feeds a BroadcastNestedLoopJoin/BHJ below the
+    # semi join's exchange: assert a Filter references the bloom map column
+    assert "__bloom" in plan
+
+
 def test_scalar_funcs_map_only(spark):
     """The scalar suite is one codegen'd Project over the scan: no Python
     node, no exchange except the presentation sort."""

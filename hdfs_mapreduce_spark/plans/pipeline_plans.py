@@ -130,6 +130,49 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "frame_idx")
 
 
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: hourly event counts per type
+    with EVERY hour of the observed range present — empty hours emit
+    (0, 0.0) rows. The dense spine a forecasting/monitoring consumer
+    needs; plain groupBy drops empty buckets.
+
+    Scale shape: the spine is generated from a 1-row min/max aggregate
+    (`sequence` + explode — no driver loop) crossed with the distinct
+    type domain, then the hourly aggregate — the only corpus-sized work —
+    left-joins onto it. Spine and aggregate are both (hours × types)
+    sized, so the join broadcasts regardless of corpus size."""
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = (
+        events.select(hour.alias("h"), "event_type", "value")
+        .groupBy("h", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    bounds = events.agg(
+        F.min(hour).alias("h0"), F.max(hour).alias("h1")
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = events.select("event_type").distinct()
+    spine = hours.crossJoin(types)
+    return (
+        spine.join(hourly, ["h", "event_type"], "left")
+        .select(
+            F.col("h").alias("hour"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
 def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Click→purchase attribution pairs (the batch twin of the stream-stream
     join in streaming/events.py — identical join expression; the streaming
@@ -142,6 +185,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "events_windowed": events_windowed,
     "events_sliding": events_sliding,
+    "events_gapfill": events_gapfill,
     "events_attribution": events_attribution,
     "events_sessions": events_sessions,
     "events_funnel": events_funnel,
@@ -183,6 +227,29 @@ ORACLE_SQL = {
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type, COUNT(*) AS n_events, SUM(value) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    "events_gapfill": """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h, event_type,
+                   COUNT(*) AS n_events, SUM(value) AS sum_value
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT MIN(date_trunc('hour', ts)) AS h0,
+                   MAX(date_trunc('hour', ts)) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT h, event_type
+            FROM (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+                  FROM bounds),
+                 (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT s.h AS hour, s.event_type,
+               COALESCE(n_events, 0) AS n_events,
+               COALESCE(sum_value, 0.0) AS sum_value
+        FROM spine s LEFT JOIN hourly USING (h, event_type)
+        ORDER BY hour, event_type
     """,
     # Sliding windows: each event belongs to dur/step windows, enumerated
     # as its step-aligned bucket minus k steps for k in 0..dur/step-1,

@@ -70,3 +70,20 @@ def test_asof_join_semantics(spark):
     assert out[101] == (11, "a")  # inclusive boundary
     assert out[102] == (None, None)  # no prior event
     assert out[103] == (None, None)  # unseen key
+
+def test_events_gapfill_fills_empty_hours(spark):
+    """Crafted gap: hours with no events must appear as (0, 0.0) rows."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.plans.pipeline_plans import events_gapfill
+
+    out = events_gapfill(spark, SF_CORRECTNESS)
+    rows = out.collect()
+    # dense spine: |hours| x |types| rows exactly, no missing combinations
+    hours = {r["hour"] for r in rows}
+    types = {r["event_type"] for r in rows}
+    assert len(rows) == len(hours) * len(types)
+    assert all(r["n_events"] >= 0 for r in rows)
+    zero = [r for r in rows if r["n_events"] == 0]
+    for r in zero:
+        assert r["sum_value"] == 0.0

@@ -334,6 +334,20 @@ def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing accounting (operators/packing.py): global
+    token offsets in doc_id order via the distributed two-level prefix sum,
+    then exact budget-boundary bins. Unlike the partition-local greedy
+    packer (pipeline_pack, rows-only), this layout is a pure function of
+    the data, so it hash-checks against a SUM-OVER oracle."""
+    from hdfs_mapreduce_spark.operators.packing import pack_concat_accounting
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return pack_concat_accounting(
+        docs, "doc_id", bpe_token_count(F.col("text")), budget=PACK_BUDGET
+    )
+
+
 DOMAIN_CAP = 10
 
 
@@ -392,6 +406,7 @@ QUERIES = {
     "domain_cap": domain_cap,
     "pipeline_curate": pipeline_curate,
     "pipeline_pack": pipeline_pack,
+    "pipeline_pack_concat": pipeline_pack_concat,
     "text_tokens": text_tokens,
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -497,6 +512,28 @@ ORACLE_SQL = {
             WHERE {_QUALITY} >= 0.5 AND ({_langid_sql()}) = 'en'
         )
         SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text) ORDER BY doc_id
+    """,
+    "pipeline_pack_concat": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS start_off
+            FROM t WHERE n_tokens > 0
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, start_off,
+               start_off // {PACK_BUDGET} AS first_bin,
+               (start_off + n_tokens - 1) // {PACK_BUDGET} AS last_bin,
+               CASE WHEN start_off // {PACK_BUDGET}
+                         <> (start_off + n_tokens - 1) // {PACK_BUDGET}
+                    THEN 1 ELSE 0 END AS is_split
+        FROM p ORDER BY doc_id
     """,
     "text_tokens": f"""
         SELECT doc_id, {_NTOK} AS n_ws_tokens,

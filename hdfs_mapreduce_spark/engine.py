@@ -90,6 +90,8 @@ class Engine:
             df = reader.options(**read_opts).json(local_path)
         elif fmt == "parquet":
             df = reader.parquet(local_path)
+        elif fmt == "orc":
+            df = reader.orc(local_path)
         else:
             raise ValueError(f"unsupported format: {fmt}")
         if partitions:

@@ -229,6 +229,14 @@ def test_put_csv_and_json_roundtrip(engine, tmp_path):
     assert engine.get("brands_json").count() == 2
     assert set(engine.ls()) >= {"brands_csv", "brands_json"}
 
+    # ORC round-trip: write an ORC source with Spark, ingest via put
+    orc_src = str(tmp_path / "brands_orc_src")
+    engine.get("brands_csv").write.orc(orc_src)
+    engine.put(orc_src, "brands_orc", fmt="orc")
+    got_orc = engine.get("brands_orc")
+    assert got_orc.count() == 3
+    assert set(got_orc.columns) == {"brand", "rating"}
+
 
 def test_engine_sql_over_warehouse(engine, tmp_path):
     csv = tmp_path / "sales.csv"

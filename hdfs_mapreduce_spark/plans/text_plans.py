@@ -307,6 +307,51 @@ def corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "lang_pred")
 
 
+# Target token share per source for the reweighting query; __other__ splits
+# the remainder evenly. Deliberately skewed away from the uniform corpus.
+REWEIGHT_TARGETS = {"src0": 0.4, "src1": 0.3}
+
+
+def corpus_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-weight solver: per-source sampling rates that move the
+    corpus toward a target token mix. rate_s = min(1, target_s · T / tok_s)
+    where T is the total token count — the standard up-capped proportional
+    fit (a source can't contribute more tokens than it has; renormalizing
+    the shortfall is the trainer's loop, not this query's). One tiny
+    (source) aggregate; the global total is a window over the aggregate,
+    not a second scan. Emits achieved share alongside the rate so the gap
+    to target is visible."""
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    agg = (
+        docs.select("source", token_count(F.col("text")).alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    total = F.sum("tokens").over(Window.partitionBy())
+    n_other = F.sum(
+        F.when(~F.col("source").isin(*REWEIGHT_TARGETS), 1).otherwise(0)
+    ).over(Window.partitionBy())
+    other_share = (1.0 - sum(REWEIGHT_TARGETS.values())) / n_other
+    target = F.col("source")
+    expr = F.lit(None).cast("double")
+    for src, share in sorted(REWEIGHT_TARGETS.items()):
+        expr = F.when(target == src, F.lit(share)).otherwise(expr)
+    target_share = F.coalesce(expr, other_share)
+    rate = F.least(F.lit(1.0), target_share * total / F.col("tokens"))
+    return (
+        agg.select(
+            "source",
+            "tokens",
+            target_share.alias("target_share"),
+            rate.alias("sample_rate"),
+            (rate * F.col("tokens") / total).alias("achieved_share"),
+        )
+        .orderBy("source")
+    )
+
+
 PACK_BUDGET = 2048
 
 
@@ -400,6 +445,7 @@ _BPE_SQL = BPE_REGEX.replace("'", "''")
 QUERIES = {
     "pii_scrub": pii_scrub,
     "corpus_mix": corpus_mix,
+    "corpus_reweight": corpus_reweight,
     "dataset_split": dataset_split,
     "dataset_sample": dataset_sample,
     "text_repetition": text_repetition,
@@ -430,6 +476,27 @@ ORACLE_SQL = {
         SELECT source, lang_pred, n_docs, n_tokens,
                CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
         FROM agg ORDER BY source, lang_pred
+    """,
+    "corpus_reweight": f"""
+        WITH agg AS (
+            SELECT source, CAST(SUM({_NTOK}) AS BIGINT) AS tokens
+            FROM documents GROUP BY 1
+        ),
+        w AS (
+            SELECT source, tokens,
+                   SUM(tokens) OVER () AS total,
+                   SUM(CASE WHEN source NOT IN ({", ".join(f"'{s}'" for s in sorted(REWEIGHT_TARGETS))})
+                            THEN 1 ELSE 0 END) OVER () AS n_other,
+                   COALESCE(CASE {" ".join(f"WHEN source = '{s}' THEN {v}" for s, v in sorted(REWEIGHT_TARGETS.items()))} END,
+                            (1.0 - {sum(REWEIGHT_TARGETS.values())}) / n_other)
+                       AS target_share
+            FROM agg
+        )
+        SELECT source, tokens, target_share,
+               least(1.0, (target_share * total) / tokens) AS sample_rate,
+               (least(1.0, (target_share * total) / tokens) * tokens) / total
+                   AS achieved_share
+        FROM w ORDER BY source
     """,
     "pii_scrub": f"""
         WITH d AS (

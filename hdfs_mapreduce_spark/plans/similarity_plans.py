@@ -83,6 +83,43 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, PAIR_THRESHOLD)
 
 
+def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal near-dup agreement: full-outer join of the embedding
+    cosine pair relation against the exact text n-gram Jaccard pair
+    relation on the pair key (the synthetic tables share the 0..N id
+    space). The multimodal consistency report a curation pipeline checks
+    before trusting a cheap signal to stand in for an expensive one:
+    pairs with n_signals=2 agree, n_signals=1 rows show where the two
+    modalities disagree. Both inputs are the already-bucketed pair
+    pipelines — this adds only a pair-keyed join of two tiny relations."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+    from hdfs_mapreduce_spark.sources.catalog import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    epairs = cosine_pairs(emb, PAIR_THRESHOLD).select(
+        F.col("vec_a").alias("ea"), F.col("vec_b").alias("eb"), "cos_sim"
+    )
+    tpairs = ngram_jaccard_pairs(docs, "doc_id", "text", 0.5)
+    joined = epairs.join(
+        tpairs,
+        (F.col("ea") == F.col("doc_a")) & (F.col("eb") == F.col("doc_b")),
+        "full_outer",
+    )
+    return joined.select(
+        F.coalesce("ea", "doc_a").alias("id_a"),
+        F.coalesce("eb", "doc_b").alias("id_b"),
+        "cos_sim",
+        "jaccard",
+        (
+            F.col("cos_sim").isNotNull().cast("int")
+            + F.col("jaccard").isNotNull().cast("int")
+        ).alias("n_signals"),
+    ).orderBy("id_a", "id_b")
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column, one row per (label, dim).
 
@@ -143,9 +180,15 @@ QUERIES = {
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
     "dedup_embedding_pairs": dedup_embedding_pairs,
+    "dedup_crosscheck": dedup_crosscheck,
 }
 
 _IDS = ", ".join(str(i) for i in QUERY_IDS)
+
+# Shared text-shingle fragments (same constants as the text-side pair
+# oracle, so the crosscheck joins exactly the relations the text queries
+# verify).
+from hdfs_mapreduce_spark.plans.dedup_plans import _SH, _TOKS  # noqa: E402
 
 ORACLE_SQL = {
     "embedding_centroids": """
@@ -198,6 +241,44 @@ ORACLE_SQL = {
         SELECT query_id, neighbor_id, rank, cos_sim
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
+    """,
+    "dedup_crosscheck": f"""
+        WITH sets AS (
+            SELECT doc_id AS doc, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= 1
+        ),
+        sizes AS (SELECT doc, len(sh) AS sz FROM sets),
+        inv AS (SELECT doc, unnest(sh) AS h FROM sets),
+        shared AS (
+            SELECT l.doc AS doc_a, r.doc AS doc_b, COUNT(*) AS shared
+            FROM inv l JOIN inv r ON l.h = r.h AND l.doc < r.doc
+            GROUP BY 1, 2
+        ),
+        tpairs AS (
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT s.doc_a, s.doc_b,
+                       CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared)
+                           AS jaccard
+                FROM shared s
+                JOIN sizes sa ON sa.doc = s.doc_a
+                JOIN sizes sb ON sb.doc = s.doc_b
+            ) WHERE jaccard >= 0.5
+        ),
+        epairs AS (
+            SELECT vec_a AS ea, vec_b AS eb, cos_sim FROM (
+                SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                       round({_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            ) WHERE cos_sim >= {PAIR_THRESHOLD}
+        )
+        SELECT COALESCE(ea, doc_a) AS id_a, COALESCE(eb, doc_b) AS id_b,
+               cos_sim, jaccard,
+               (CASE WHEN cos_sim IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN jaccard IS NOT NULL THEN 1 ELSE 0 END) AS n_signals
+        FROM epairs
+        FULL OUTER JOIN tpairs ON ea = doc_a AND eb = doc_b
+        ORDER BY id_a, id_b
     """,
     "ann_filtered": f"""
         WITH q AS (

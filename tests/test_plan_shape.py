@@ -326,3 +326,29 @@ def test_dedup_pair_plans_reuse_exchanges_at_runtime(spark):
         df.collect()
         final = df._jdf.queryExecution().executedPlan().toString()
         assert final.count("ReusedExchange") >= 1, name
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-partitioned writes + a partition-column predicate must prune at
+    planning: the scan's PartitionFilters carries the predicate and only
+    the matching directory is read — at 100 TB this is the difference
+    between scanning one day and scanning the corpus."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources.catalog import load_table, write_table
+
+    events = load_table(spark, SF, "events").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_table(events, path, partition_by=["day"])
+
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    pick = days[len(days) // 2]
+    df = spark.read.parquet(path).filter(F.col("day") == pick)
+    plan = plan_of(df)
+    seg = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "day" in seg, plan
+    # only the one partition's files are planned
+    assert all(f"day={pick}" in f for f in df.inputFiles()), df.inputFiles()[:3]
+    assert df.count() == events.filter(F.col("day") == pick).count()

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 BASE = datetime(2024, 1, 1)
@@ -90,3 +90,41 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         ]
         want[li] = max(cands)[1] if cands else None
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=8
+    ),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=15, deadline=None)
+def test_chunk_documents_covers_every_token(spark, texts, size, stride):
+    """Every token of every doc appears in at least one chunk, chunk_idx is
+    dense from 0, and no chunk exceeds `size` tokens."""
+    from hdfs_mapreduce_spark.operators.dedup import chunk_documents
+
+    assume(stride <= size)
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = chunk_documents(df, "doc_id", "text", size=size, stride=stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc"], []).append(r)
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.lower().split() if t]
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r["chunk_idx"])
+        if not toks:
+            assert not chunks
+            continue
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        seen = []
+        for c in chunks:
+            ctoks = c["chunk"].split(" ")
+            assert len(ctoks) <= size
+            start = c["chunk_idx"] * stride
+            assert ctoks == toks[start : start + size]
+            seen.extend(range(start, start + len(ctoks)))
+        assert set(seen) == set(range(len(toks)))

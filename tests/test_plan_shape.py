@@ -347,8 +347,9 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     pick = days[len(days) // 2]
     df = spark.read.parquet(path).filter(F.col("day") == pick)
     plan = plan_of(df)
+    # the predicate must land in PartitionFilters (directory pruning), not
+    # PushedFilters (row-group filtering after listing every file) —
+    # inputFiles() can't witness this: it lists the relation pre-pruning.
     seg = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "day" in seg, plan
-    # only the one partition's files are planned
-    assert all(f"day={pick}" in f for f in df.inputFiles()), df.inputFiles()[:3]
-    assert df.count() == events.filter(F.col("day") == pick).count()
+    assert df.count() == events.filter(F.col("day") == pick).count() > 0

@@ -122,20 +122,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_THRESHOLD)
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → dedup groups: connected components over the MinHash
-    pair graph, every document mapped to its component's min doc_id (itself
-    when it has no near-dups). ``canonical_id == doc_id`` is the survivor
-    predicate a curation pipeline filters on. The oracle computes the same
-    labeling as a recursive-CTE transitive closure over the identical pair
-    SQL.
-
-    The pair relation is materialized to parquet first — the components
+def _canonical_over_minhash(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> DataFrame:
+    """(doc_id, canonical) over the MinHash pair graph — the shared front
+    half of dedup_components / dedup_keep_best / dataset_split_safe. The
+    pair relation is materialized to parquet first (the components
     module's documented 100 TB pattern: the edge list is orders of
-    magnitude smaller than the corpus, and both the convergence probe and
-    the k unrolled propagation rounds then scan that tiny file instead of
-    re-running the full LSH pipeline (measured ~2.5x faster at sf0.1, same
-    result)."""
+    magnitude smaller than the corpus, so the convergence probe and the k
+    unrolled propagation rounds scan that tiny file instead of re-running
+    the LSH pipeline — measured ~2.5x faster at sf0.1, same result)."""
     import os
     import tempfile
 
@@ -147,13 +143,24 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges_path = os.path.join(
         tempfile.gettempdir(),
         "hdfs_mapreduce_spark",
-        f"dedup_edges_{os.path.basename(sf_dir.rstrip('/'))}",
+        f"{tag}_edges_{os.path.basename(sf_dir.rstrip('/'))}",
     )
     write_table(pairs.select("doc_a", "doc_b"), edges_path)
     edges = spark.read.parquet(edges_path)
-    assign = canonical_assignment(
+    return canonical_assignment(
         docs.select("doc_id"), "doc_id", edges, "doc_a", "doc_b"
     )
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup groups: connected components over the MinHash
+    pair graph, every document mapped to its component's min doc_id (itself
+    when it has no near-dups). ``canonical_id == doc_id`` is the survivor
+    predicate a curation pipeline filters on. The oracle computes the same
+    labeling as a recursive-CTE transitive closure over the identical pair
+    SQL. Edge materialization and the 100 TB rationale:
+    ``_canonical_over_minhash``."""
+    assign = _canonical_over_minhash(spark, sf_dir, "dedup")
     return assign.select(
         "doc_id", F.col("canonical").alias("canonical_id")
     ).orderBy("doc_id")
@@ -169,26 +176,10 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact. Costs one extra broadcast-size join over dedup_components: the
     per-cluster argmax runs on the (doc → canonical) assignment, which is
     corpus-row-count sized but only 3 integer columns wide at 100 TB."""
-    import os
-    import tempfile
-
     from pyspark.sql.window import Window
 
-    from hdfs_mapreduce_spark.operators.components import canonical_assignment
-    from hdfs_mapreduce_spark.sources.catalog import write_table
-
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    pairs = minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
-    edges_path = os.path.join(
-        tempfile.gettempdir(),
-        "hdfs_mapreduce_spark",
-        f"keepbest_edges_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    write_table(pairs.select("doc_a", "doc_b"), edges_path)
-    edges = spark.read.parquet(edges_path)
-    assign = canonical_assignment(
-        docs.select("doc_id"), "doc_id", edges, "doc_a", "doc_b"
-    )
+    assign = _canonical_over_minhash(spark, sf_dir, "keepbest")
     member = assign.join(docs.select("doc_id", "n_chars"), "doc_id")
     w = Window.partitionBy("canonical").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
@@ -207,6 +198,36 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members")
     )
     return best.join(counts, "canonical_id").orderBy("canonical_id")
+
+
+def dataset_split_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash gate runs on the
+    near-dup CLUSTER canonical id, not the doc id, so every member of a
+    near-dup cluster lands in the same split — the guard that stops a
+    training document's near-duplicate from leaking into the eval split.
+    Same 98/1/1 thresholds as dataset_split (text_plans); the difference
+    is exactly one join against the (doc → canonical) assignment. The
+    leakage property itself is asserted in tests/test_dedup.py."""
+    from hdfs_mapreduce_spark.functions.hashing import h56
+    from hdfs_mapreduce_spark.plans.text_plans import SPLIT_MOD, SPLIT_TRAIN
+
+    assign = _canonical_over_minhash(spark, sf_dir, "splitsafe")
+    bucket = h56(F.concat(F.lit("split:"), F.col("canonical"))) % SPLIT_MOD
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket == SPLIT_TRAIN, "val")
+        .otherwise("test")
+    )
+    return (
+        assign.select("doc_id", split.alias("split"), "canonical")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("canonical").alias("n_clusters"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split")
+    )
 
 
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,6 +353,7 @@ QUERIES = {
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
     "dedup_keep_best": dedup_keep_best,
+    "dataset_split_safe": dataset_split_safe,
     "dedup_incremental": dedup_incremental,
 }
 
@@ -612,5 +634,34 @@ ORACLE_SQL = {
     """,
 }
 
-for _k in ("dedup_components", "dedup_keep_best"):
+from hdfs_mapreduce_spark.plans.text_plans import (  # noqa: E402
+    SPLIT_MOD as _SPLIT_MOD,
+    SPLIT_TRAIN as _SPLIT_TRAIN,
+)
+
+ORACLE_SQL["dataset_split_safe"] = f"""
+    WITH RECURSIVE {_BASE_CTE},
+    {_BANDS_CTE},
+    {{component_ctes}},
+    assign AS (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS canonical
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    ),
+    b AS (
+        SELECT doc_id, canonical,
+               CAST('0x' || substr(md5('split:' || canonical), 1, 14) AS BIGINT)
+                   % {_SPLIT_MOD} AS bucket
+        FROM assign
+    )
+    SELECT CASE WHEN bucket < {_SPLIT_TRAIN} THEN 'train'
+                WHEN bucket = {_SPLIT_TRAIN} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT canonical) AS n_clusters,
+           MIN(doc_id) AS first_doc
+    FROM b GROUP BY 1 ORDER BY split
+"""
+
+for _k in ("dedup_components", "dedup_keep_best", "dataset_split_safe"):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{component_ctes}", _COMPONENT_CTES)

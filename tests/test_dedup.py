@@ -280,3 +280,36 @@ def test_chunk_documents_overlap_and_tail_coverage(spark):
     assert covered == {f"t{i}" for i in range(1, 11)}
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", size=4, stride=5)
+
+
+def test_split_safe_never_separates_near_dup_pairs(spark):
+    """The leakage guard: for every MinHash near-dup pair, both docs must
+    land in the same split (they share a canonical, hence a hash gate)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.functions.hashing import h56
+    from hdfs_mapreduce_spark.operators.dedup import minhash_pairs
+    from hdfs_mapreduce_spark.plans.dedup_plans import (
+        MINHASH_THRESHOLD,
+        _canonical_over_minhash,
+    )
+    from hdfs_mapreduce_spark.plans.text_plans import SPLIT_MOD, SPLIT_TRAIN
+    from hdfs_mapreduce_spark.sources.catalog import load_table, spread
+
+    sf = "/root/testdata/sf0.001"
+    docs = spread(load_table(spark, sf, "documents"), spark)
+    assign = _canonical_over_minhash(spark, sf, "splitsafe_test")
+    bucket = h56(F.concat(F.lit("split:"), F.col("canonical"))) % SPLIT_MOD
+    split = (
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket == SPLIT_TRAIN, "val")
+        .otherwise("test")
+    )
+    doc_split = {
+        r["doc_id"]: r["s"]
+        for r in assign.select("doc_id", split.alias("s")).collect()
+    }
+    pairs = minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD).collect()
+    assert pairs, "fixture must contain near-dup pairs"
+    for p in pairs:
+        assert doc_split[p["doc_a"]] == doc_split[p["doc_b"]], p

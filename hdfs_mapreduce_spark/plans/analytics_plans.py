@@ -221,6 +221,31 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Datasketches HLL): per-day user
+    sketches unioned into a corpus total, next to the direct single-pass
+    sketch. At 100 TB this is THE pattern for distinct counts over
+    arbitrary slices: materialize per-partition sketches once, answer any
+    rollup by register-wise union — never rescan. HLL union is exact over
+    registers, so the merged estimate equals the direct estimate
+    bit-for-bit (asserted in pytest, with both within the sketch's error
+    bound of the exact count). Rows-only for the driver: estimates are
+    engine-specific, so no DuckDB hash oracle by design."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    per_day = events.select(day, "user_id").groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_day.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_merged"),
+    )
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("users_direct")
+    )
+    return merged.crossJoin(direct)
+
+
 BLOOM_SEGMENT = "BUILDING"
 
 
@@ -397,6 +422,7 @@ QUERIES = {
     "events_histogram": events_histogram,
     "profile_orders": profile_orders,
     "events_bloom_semi": events_bloom_semi,
+    "events_hll_mergeable": events_hll_mergeable,
 }
 
 ORACLE_SQL = {

@@ -87,3 +87,15 @@ def test_events_gapfill_fills_empty_hours(spark):
     zero = [r for r in rows if r["n_events"] == 0]
     for r in zero:
         assert r["sum_value"] == 0.0
+
+
+def test_hll_mergeable_union_equals_direct(spark, ddb):
+    """Register-wise HLL union must reproduce the direct single-pass
+    sketch exactly, and both sit within the sketch error of exact."""
+    from hdfs_mapreduce_spark.plans.analytics_plans import events_hll_mergeable
+
+    row = events_hll_mergeable(spark, SF_CORRECTNESS).collect()[0]
+    assert row["users_merged"] == row["users_direct"]
+    exact = ddb.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert abs(row["users_merged"] - exact) / exact <= 0.05
+    assert row["n_days"] > 1  # the union genuinely merged multiple sketches

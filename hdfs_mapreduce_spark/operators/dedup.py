@@ -608,3 +608,84 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- exact duplicated-span detection ---------------------------------------------
+DUPSPAN_K = 10
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = DUPSPAN_K
+) -> DataFrame:
+    """Maximal duplicated token spans per document: every position whose
+    k-token window occurs ≥2 times corpus-wide (including same-document
+    repeats) is duplicated; overlapping/contiguous duplicated windows merge
+    into one maximal span. This is the exact-substring dedup signal of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better") re-expressed relationally: the suffix array they build is
+    equivalent, for a fixed window k, to grouping the corpus's k-token
+    shingles — which Spark does as one hash shuffle instead of a global
+    sorted index.
+
+    Returns (doc, span_start, span_end, n_tokens) with token-index bounds,
+    ordered by (doc, span_start).
+
+    Scale shape: map-only shingling (same `transform`+`slice` pattern as
+    shingle_relation — no per-token shuffle), ONE shuffle on the shingle
+    string for the corpus-wide occurrence count (window COUNT, no
+    join-back), then one shuffle on doc for the island merge. Grouping is
+    by the exact shingle text, not a 64-bit hash — at 100 TB a birthday
+    collision on 64 bits would silently mark false duplicates, and the
+    wider shuffle rows are the price of exactness (Lee et al.'s index is
+    exact for the same reason). Because all windows share one length k,
+    span ends are monotone in starts, so the merge is a single
+    lag-gap/island pass, not an interval tree.
+    """
+    from pyspark.sql.window import Window
+
+    tk = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("doc"), tk.alias("tk")).filter(
+        F.size("tk") >= k
+    )
+    shingles = base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, k)),
+            )
+        ).alias("pos", "sh"),
+    )
+    dup = (
+        shingles.select(
+            "doc", "pos", F.count(F.lit(1)).over(Window.partitionBy("sh")).alias("cnt")
+        )
+        .filter(F.col("cnt") >= 2)
+        .select("doc", F.col("pos").cast("long").alias("pos"))
+    )
+    wdoc = Window.partitionBy("doc").orderBy("pos")
+    flagged = dup.select(
+        "doc",
+        "pos",
+        F.when(
+            F.lag("pos").over(wdoc).isNull() | (F.col("pos") > F.lag("pos").over(wdoc) + k),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    islands = flagged.withColumn("span_id", F.sum("new_span").over(wdoc))
+    return (
+        islands.groupBy("doc", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+        .orderBy("doc", "span_start")
+    )

@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 from hdfs_mapreduce_spark.functions.hashing import MERSENNE_31, h56_sql
 from hdfs_mapreduce_spark.operators.dedup import (
     BAND_BITS,
+    DUPSPAN_K,
+    duplicate_spans,
     HAMMING_MAX,
     N_BANDS,
     N_PERM,
@@ -338,8 +340,19 @@ def dedup_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("doc", "doc_id")
 
 
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated DUPSPAN_K-token spans per document (exact
+    substring dedup à la Lee et al. 2021) — see operators/dedup.py
+    duplicate_spans for the plan shape."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return duplicate_spans(docs, "doc_id", "text", k=DUPSPAN_K).withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_spans": dedup_spans,
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_paragraph_scrub": dedup_paragraph_scrub,
     "pipeline_chunk": pipeline_chunk,
@@ -422,7 +435,44 @@ _PARA_CTES = f"""
     )
 """
 
+_DUPSPAN_SHINGLE = " || ' ' || ".join(f"toks[i+{j}]" for j in range(DUPSPAN_K))
+
 ORACLE_SQL = {
+    "dedup_spans": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos, {_DUPSPAN_SHINGLE} AS sh
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks) - {DUPSPAN_K} + 1)) AS i
+                  FROM t WHERE len(toks) >= {DUPSPAN_K})
+        ),
+        dup AS (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY sh) AS cnt FROM sh
+            ) WHERE cnt >= 2
+        ),
+        flagged AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos > lag(pos) OVER w + {DUPSPAN_K}
+                        THEN 1 ELSE 0 END AS new_span
+            FROM dup
+            WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        islands AS (
+            SELECT doc_id, pos,
+                   SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+            FROM flagged
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {DUPSPAN_K} - 1 AS BIGINT) AS span_end,
+               CAST(MAX(pos) + {DUPSPAN_K} - MIN(pos) AS BIGINT) AS n_tokens
+        FROM islands GROUP BY doc_id, span_id
+        ORDER BY doc_id, span_start
+    """,
     "pipeline_chunk": f"""
         WITH tkc AS (
             SELECT doc_id AS doc, {_TOKS.replace("text", "text")} AS tk

@@ -313,3 +313,64 @@ def test_split_safe_never_separates_near_dup_pairs(spark):
     assert pairs, "fixture must contain near-dup pairs"
     for p in pairs:
         assert doc_split[p["doc_a"]] == doc_split[p["doc_b"]], p
+
+
+def test_duplicate_spans_detects_and_merges(spark):
+    """Planted shared prefix: docs A and B share tokens 0..11 (12 tokens);
+    with k=4 every window 0..8 is duplicated in both docs and merges into
+    one maximal span [0, 11]. Doc C shares nothing. A same-document repeat
+    (doc D contains the same 4-token run twice) also counts as duplicated."""
+    from hdfs_mapreduce_spark.operators.dedup import duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 tail1 end1 stop1"),
+            (2, shared + " other2 words2 here2 fin2"),
+            (3, "nothing in common with anything else at all today"),
+            (4, "x0 rep0 rep1 rep2 rep3 y0 y1 y2 rep0 rep1 rep2 rep3 z0"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc"], r["span_start"]): (r["span_end"], r["n_tokens"])
+        for r in duplicate_spans(docs, "doc_id", "text", k=4).collect()
+    }
+    # A/B: one merged maximal span covering the 12 shared tokens.
+    assert out[(1, 0)] == (11, 12)
+    assert out[(2, 0)] == (11, 12)
+    # C: clean.
+    assert not any(doc == 3 for doc, _ in out)
+    # D: both copies of the repeated 4-token run flagged, not merged
+    # (positions 1 and 8, gap > k).
+    assert out[(4, 1)] == (4, 4)
+    assert out[(4, 8)] == (11, 4)
+    assert len(out) == 4
+
+
+def test_duplicate_spans_gap_split(spark):
+    """Two duplicated runs in one doc separated by a fresh token stay two
+    spans; contiguous ones merge."""
+    from hdfs_mapreduce_spark.operators.dedup import duplicate_spans
+
+    run_a = "a0 a1 a2 a3"
+    run_b = "b0 b1 b2 b3"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run_a} gapX {run_b}"),
+            (2, f"{run_a} gapY {run_b}"),
+            (3, f"{run_a} {run_b} trailing filler words here"),
+            (4, f"{run_a} {run_b} and some more padding too"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc"], r["span_start"]): (r["span_end"], r["n_tokens"])
+        for r in duplicate_spans(docs, "doc_id", "text", k=4).collect()
+    }
+    # Docs 1/2: runs split by the unique gap token → two spans each.
+    assert out[(1, 0)] == (3, 4)
+    assert out[(1, 5)] == (8, 4)
+    # Docs 3/4: contiguous 8-token shared prefix → one merged span.
+    assert out[(3, 0)] == (7, 8)
+    assert out[(4, 0)] == (7, 8)

@@ -689,3 +689,71 @@ def duplicate_spans(
         )
         .orderBy("doc", "span_start")
     )
+
+
+def span_scrub(
+    df: DataFrame, id_col: str, text_col: str, k: int = DUPSPAN_K
+) -> DataFrame:
+    """Keep-first exact-substring scrub (the removal half of Lee et al. '21):
+    every duplicated k-token window keeps its corpus-wide first occurrence
+    (ordered by (doc, pos)) and is scrubbed everywhere else; each document
+    is rebuilt from its surviving (lowercased) tokens.
+
+    A token is removed iff some duplicated window covers it and NO kept
+    (first-occurrence) window does — so canonical copies survive intact and
+    later copies lose exactly the replicated run.
+
+    Returns (doc, n_removed, n_kept, scrubbed_hash), ordered by doc.
+
+    Scale shape: shingle shuffle (per-shingle count + first-occurrence rank
+    in one window), a ×k coverage expansion (linear — k is a small
+    constant) aggregated per (doc, token-index), then ONE doc-keyed join
+    that hands each doc its scrub-position array for a map-side rebuild —
+    tokens themselves are never shuffled, only the (doc, pos) integers.
+    """
+    from pyspark.sql.window import Window
+
+    tk = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("doc"), tk.alias("tk"))
+    shingled = base.filter(F.size("tk") >= k).select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, k)),
+            )
+        ).alias("pos", "sh"),
+    )
+    wsh = Window.partitionBy("sh")
+    occ = shingled.select(
+        "doc",
+        "pos",
+        F.count(F.lit(1)).over(wsh).alias("cnt"),
+        F.row_number().over(wsh.orderBy("doc", "pos")).alias("rn"),
+    ).filter(F.col("cnt") >= 2)
+    cover = occ.select(
+        "doc",
+        F.explode(F.sequence("pos", F.col("pos") + k - 1)).alias("i"),
+        (F.col("rn") == 1).alias("kept"),
+    )
+    scrub = (
+        cover.groupBy("doc", "i")
+        .agg(F.max("kept").alias("any_kept"))
+        .filter(~F.col("any_kept"))
+        .groupBy("doc")
+        .agg(F.sort_array(F.collect_list("i")).alias("scrub_pos"))
+    )
+    joined = base.join(scrub, "doc", "left").select(
+        "doc",
+        "tk",
+        F.coalesce("scrub_pos", F.array().cast("array<int>")).alias("scrub_pos"),
+    )
+    rebuilt = F.array_join(
+        F.filter("tk", lambda x, i: ~F.array_contains(F.col("scrub_pos"), i)), " "
+    )
+    return joined.select(
+        "doc",
+        F.size("scrub_pos").cast("long").alias("n_removed"),
+        (F.size("tk") - F.size("scrub_pos")).cast("long").alias("n_kept"),
+        F.md5(rebuilt).alias("scrubbed_hash"),
+    ).orderBy("doc")

@@ -15,6 +15,7 @@ from hdfs_mapreduce_spark.operators.dedup import (
     BAND_BITS,
     DUPSPAN_K,
     duplicate_spans,
+    span_scrub,
     HAMMING_MAX,
     N_BANDS,
     N_PERM,
@@ -340,6 +341,15 @@ def dedup_paragraph_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("doc", "doc_id")
 
 
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact-substring scrub over DUPSPAN_K-token windows —
+    see operators/dedup.py span_scrub."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return span_scrub(docs, "doc_id", "text", k=DUPSPAN_K).withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
 def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal duplicated DUPSPAN_K-token spans per document (exact
     substring dedup à la Lee et al. 2021) — see operators/dedup.py
@@ -353,6 +363,7 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_spans": dedup_spans,
+    "dedup_span_scrub": dedup_span_scrub,
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_paragraph_scrub": dedup_paragraph_scrub,
     "pipeline_chunk": pipeline_chunk,
@@ -472,6 +483,51 @@ ORACLE_SQL = {
                CAST(MAX(pos) + {DUPSPAN_K} - MIN(pos) AS BIGINT) AS n_tokens
         FROM islands GROUP BY doc_id, span_id
         ORDER BY doc_id, span_start
+    """,
+    "dedup_span_scrub": f"""
+        WITH t AS (
+            SELECT doc_id, {_TOKS} AS toks FROM documents
+        ),
+        sh AS (
+            SELECT doc_id, i - 1 AS pos, {_DUPSPAN_SHINGLE} AS sh
+            FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks) - {DUPSPAN_K} + 1)) AS i
+                  FROM t WHERE len(toks) >= {DUPSPAN_K})
+        ),
+        occ AS (
+            SELECT doc_id, pos,
+                   COUNT(*) OVER (PARTITION BY sh) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos) AS rn
+            FROM sh
+        ),
+        cover AS (
+            SELECT doc_id,
+                   unnest(generate_series(pos, pos + {DUPSPAN_K} - 1)) AS i,
+                   rn = 1 AS kept
+            FROM occ WHERE cnt >= 2
+        ),
+        scrub AS (
+            SELECT doc_id, list_sort(list(i)) AS sp
+            FROM (SELECT doc_id, i, MAX(kept) AS any_kept
+                  FROM cover GROUP BY doc_id, i)
+            WHERE NOT any_kept GROUP BY doc_id
+        ),
+        j AS (
+            SELECT t.doc_id, toks, COALESCE(sp, CAST([] AS BIGINT[])) AS sp
+            FROM t LEFT JOIN scrub USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(len(sp) AS BIGINT) AS n_removed,
+               CAST(len(toks) - len(sp) AS BIGINT) AS n_kept,
+               -- array_to_string([]) is NULL in DuckDB but '' in Spark's
+               -- array_join: coalesce so fully-scrubbed docs hash alike.
+               md5(COALESCE(array_to_string(
+                   list_filter(
+                       list_transform(generate_series(1, len(toks)),
+                           jj -> CASE WHEN list_contains(sp, jj - 1)
+                                      THEN NULL ELSE toks[jj] END),
+                       x -> x IS NOT NULL), ' '), '')) AS scrubbed_hash
+        FROM j ORDER BY doc_id
     """,
     "pipeline_chunk": f"""
         WITH tkc AS (

@@ -374,3 +374,36 @@ def test_duplicate_spans_gap_split(spark):
     # Docs 3/4: contiguous 8-token shared prefix → one merged span.
     assert out[(3, 0)] == (7, 8)
     assert out[(4, 0)] == (7, 8)
+
+
+def test_span_scrub_keeps_first_occurrence(spark):
+    """Docs 1 and 2 share an 8-token run; doc 1 (first by (doc, pos)) keeps
+    it, doc 2 loses exactly those tokens. Doc 3 (unique) is untouched; a doc
+    that is ALL duplicate text scrubs to the empty string."""
+    from hdfs_mapreduce_spark.operators.dedup import span_scrub
+
+    run = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, run + " unique1 tail1"),
+            (2, "head2 " + run + " tail2"),
+            (3, "totally unrelated words live here today ok fine"),
+            (4, run),  # entire doc duplicated → fully scrubbed
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc"]: r for r in span_scrub(docs, "doc_id", "text", k=4).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 1: canonical copy, nothing removed.
+    assert rows[1]["n_removed"] == 0
+    assert rows[1]["scrubbed_hash"] == md5(run + " unique1 tail1")
+    # doc 2: the 8 replicated tokens removed, frame kept.
+    assert rows[2]["n_removed"] == 8
+    assert rows[2]["scrubbed_hash"] == md5("head2 tail2")
+    # doc 3: untouched.
+    assert rows[3]["n_removed"] == 0
+    # doc 4: everything scrubbed → md5('').
+    assert rows[4]["n_kept"] == 0
+    assert rows[4]["scrubbed_hash"] == md5("")

@@ -12,12 +12,13 @@ Scale shapes:
   token explode, no shuffle of token rows); the corpus statistics (N,
   avgdl, per-term document frequencies) reduce to a single row that is
   broadcast back. Total: one scan + a 1-row aggregate + TakeOrdered top-k.
-* ``tfidf_top_terms`` — the full-vocabulary case: token explode →
-  (doc, token) partial-agg shuffle for tf, a tiny (token) aggregate for
-  document frequencies that is **broadcast** back (vocabularies are
-  millions of rows where corpora are billions), and a per-doc window top-n
-  that Catalyst executes as WindowGroupLimit — each shuffle partition
-  keeps only its local top-n per doc before the window sort.
+* ``tfidf_top_terms`` — the full-vocabulary case: token explode → ONE
+  doc-keyed shuffle that serves both the (doc, token) tf aggregate and the
+  per-doc window top-n (Catalyst runs it as WindowGroupLimit — each
+  partition keeps only its local top-n per doc before the window sort);
+  document frequencies come from a map-side ``array_distinct`` explode
+  whose vocab-sized result is **broadcast** back (vocabularies are
+  millions of rows where corpora are billions).
 
 Determinism: every score is a pure function of integer counts (tf, df, N,
 doc length) and one exact integer-sum average, so Spark and DuckDB compute
@@ -121,7 +122,11 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     )
     vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    # Corpus token total map-side from array sizes — no explode, so this
+    # broadcast branch is a bare scan instead of a re-run of the tokenizer.
+    total = df.select(
+        F.size(tokens(F.lower(F.col(text_col)))).alias("n")
+    ).agg(F.sum("n").alias("total"))
     lp = (
         tok.join(F.broadcast(vocab), "token")
         .crossJoin(F.broadcast(total))
@@ -156,8 +161,28 @@ def tfidf_top_terms(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     )
-    tf = tok.groupBy("doc", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfr = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # ONE shuffle on doc serves both the tf aggregate (hash(doc) clusters
+    # (doc, token)) and the final per-doc window — the naive shape
+    # (groupBy(doc,token) then window(doc)) shuffles twice and, because
+    # ReuseExchange doesn't fire into the broadcast subquery, re-ran the
+    # whole scan+explode for df(t). Measured 0.95s → 0.62s at sf0.1.
+    # Skew unit is tokens-per-doc (bounded by doc length), same exposure
+    # as the per-doc window the query inherently needs.
+    tf = tok.repartition("doc").groupBy("doc", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # df(t) straight from the scan: each doc's DISTINCT tokens explode
+    # map-side (array_distinct), partial counts combine before the tiny
+    # vocab-sized exchange — no (doc, token) shuffle in this branch at all.
+    dfr = (
+        df.select(
+            F.explode(F.array_distinct(tokens(F.lower(F.col(text_col))))).alias(
+                "token"
+            )
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(F.broadcast(dfr), "token")

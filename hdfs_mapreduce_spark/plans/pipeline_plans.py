@@ -19,6 +19,7 @@ from hdfs_mapreduce_spark.streaming.events import (
     SLIDE_DUR_MIN,
     SLIDE_STEP_MIN,
     attribution_pairs,
+    enriched_event_stats,
     session_stats,
     sliding_event_stats,
     windowed_event_stats,
@@ -33,6 +34,13 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sliding_event_stats(spark, sf_dir)
+
+
+def events_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment join (events ⋈ broadcast
+    customer⋈nation lookup → hourly window per nation). The streaming form
+    is stream_enriched_event_stats; stream ≡ batch in tests/test_streaming."""
+    return enriched_event_stats(spark, sf_dir)
 
 
 def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,6 +195,7 @@ QUERIES = {
     "events_sliding": events_sliding,
     "events_gapfill": events_gapfill,
     "events_attribution": events_attribution,
+    "events_enriched": events_enriched,
     "events_sessions": events_sessions,
     "events_funnel": events_funnel,
     "events_rollup_time": events_rollup_time,
@@ -227,6 +236,14 @@ ORACLE_SQL = {
         SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                event_type, COUNT(*) AS n_events, SUM(value) AS sum_value
         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    "events_enriched": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+               n_name, COUNT(*) AS n_events, SUM(value) AS sum_value
+        FROM events
+        JOIN customer ON user_id = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2 ORDER BY window_start, n_name
     """,
     "events_gapfill": """
         WITH hourly AS (

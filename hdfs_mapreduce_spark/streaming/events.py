@@ -459,3 +459,62 @@ def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+# --- stream-static enrichment join ----------------------------------------------
+def _nation_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation collapsed to the (c_custkey → n_name) lookup —
+    dimension tables are bounded (customers ≪ events at any SF), so the
+    stream side joins them as a broadcast static relation."""
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "n_name")
+
+
+def _enriched_agg(events: DataFrame, dims: DataFrame) -> DataFrame:
+    """events enriched with the user's nation, then 1-hour windows per
+    nation: the stream-static join shape (static side broadcast; no state,
+    no watermark needed for the join itself — only the downstream window
+    aggregate holds state)."""
+    return (
+        events.join(F.broadcast(dims), events.user_id == dims.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("n_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_name",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def enriched_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static enrichment (oracle-checked)."""
+    events = load_table(spark, sf_dir, "events")
+    return _enriched_agg(events, _nation_dims(spark, sf_dir)).orderBy(
+        "window_start", "n_name"
+    )
+
+
+def stream_enriched_event_stats(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+):
+    """Streaming form: parquet event stream → broadcast join against the
+    static customer⋈nation lookup → watermarked tumbling-window aggregate.
+    Stream-static joins are stateless on the stream side (each micro-batch
+    probes the broadcast hash relation); the 1-hour watermark bounds only
+    the window state, exactly as in stream_windowed_event_stats."""
+    stream = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = _enriched_agg(stream, _nation_dims(spark, sf_dir))
+    writer = agg.writeStream.outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer

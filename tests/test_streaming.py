@@ -241,3 +241,46 @@ def test_stream_upsert_builds_latest_snapshot(spark):
         )
         q2.awaitTermination(120)
         assert read_upsert_state(spark, state).count() == snap.count()
+
+
+def test_stream_static_enrichment_equals_batch(spark):
+    """Stream-static join: the streaming enrichment (event stream ⋈
+    broadcast customer⋈nation) must equal its batch twin on every window
+    the watermark has closed."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.events import (
+        enriched_event_stats,
+        stream_enriched_event_stats,
+    )
+
+    batch = {
+        (r["window_start"], r["n_name"]): (r["n_events"], r["sum_value"])
+        for r in enriched_event_stats(spark, SF).collect()
+    }
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_enriched_event_stats(spark, SF, checkpoint_dir=ckpt)
+            .format("memory")
+            .queryName("enriched_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    stream = {
+        (r["window_start"], r["n_name"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM enriched_stream").collect()
+    }
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    closed = {
+        k: v
+        for k, v in batch.items()
+        if k[0] + timedelta(hours=1) <= max_ts - timedelta(hours=1)
+    }
+    assert closed, "fixture must close at least one window"
+    for k, v in closed.items():
+        assert stream[k] == v
+    assert set(stream).issubset(set(batch))

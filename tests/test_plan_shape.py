@@ -353,3 +353,27 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     seg = plan.split("PartitionFilters: [")[1].split("]")[0]
     assert "day" in seg, plan
     assert df.count() == events.filter(F.col("day") == pick).count() > 0
+
+
+def test_dup_span_plans_no_cartesian_single_token_scan(spark):
+    """dedup_spans / dedup_span_scrub: the exact-substring plans must stay
+    linear — no cartesian/nested-loop join anywhere, and the span detection
+    must read the corpus once (one Generate for the shingle explode in
+    dedup_spans; the scrub reads it a second time only for the rebuild
+    join, which keys on doc, not on pairs)."""
+    plan = plan_of(QUERIES["dedup_spans"](spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate") >= 1
+    scrub = plan_of(QUERIES["dedup_span_scrub"](spark, SF))
+    assert "CartesianProduct" not in scrub and "BroadcastNestedLoopJoin" not in scrub
+    # the rebuild join is doc-keyed (SortMergeJoin/ShuffledHashJoin on doc)
+    assert "doc" in scrub
+
+
+def test_events_enriched_broadcasts_static_dims(spark):
+    """Stream-static twin: the dimension lookup must broadcast — the event
+    side (the stream at scale) never shuffles for the join."""
+    plan = plan_of(QUERIES["events_enriched"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # events scan feeds the window agg without an exchange before the join
+    assert "CartesianProduct" not in plan

@@ -204,3 +204,100 @@ def tfidf_top_terms(
         .withColumnRenamed("doc", id_col)
         .orderBy(id_col, "rnk")
     )
+
+
+NB_CLASSES = ("de", "en", "es", "fr", "zh")
+
+
+def nb_classify(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    classes: Sequence[str] = NB_CLASSES,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus's own labels and
+    scored back over it — the model-based filter stage (fastText-style
+    language/quality classifiers) in its simplest exactly-reproducible
+    form. Laplace add-one smoothing over the corpus vocabulary V:
+
+        score(d, c) = ln(n_docs_c / N) + Σ_t tf(d,t) · ln((cnt(t,c)+1) / (tok_c + V))
+
+    Prediction is argmax, ties broken by declared class order. Returns
+    (id, label, pred) per document, ordered by id.
+
+    Scale shape ("fit tiny model, broadcast"): the fitted model is the
+    per-token class-count pivot — vocabulary-sized where the corpus is
+    token-sized — built with one (token) shuffle of map-side partials and
+    **broadcast** back; class totals/priors/V reduce to ONE row that also
+    broadcasts. Scoring is then a map-side model probe plus one doc-keyed
+    aggregate: two corpus passes, one corpus shuffle. Argmax compares
+    log-scores that differ by whole units between classes, so the
+    double-precision fold order (Spark partials vs any sequential engine)
+    cannot flip predictions on real text.
+    """
+    classes = list(classes)
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(label_col).alias("label"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    # Fitted model: per-token count under each class (vocab-sized pivot).
+    model = (
+        tok.groupBy("token")
+        .pivot("label", classes)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, classes)
+        .select("token", *[F.col(c).alias(f"cnt_{c}") for c in classes])
+    )
+    # One-row corpus stats: per-class token totals + doc priors + |V|.
+    stats = tok.agg(
+        *[
+            F.sum((F.col("label") == c).cast("long")).alias(f"tok_{c}")
+            for c in classes
+        ],
+        *[
+            F.count_distinct(
+                F.when(F.col("label") == c, F.col("doc"))
+            ).alias(f"docs_{c}")
+            for c in classes
+        ],
+        F.count_distinct("token").alias("v"),
+        F.count_distinct("doc").alias("n_docs"),
+    )
+    scored = (
+        tok.join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc", "label")
+        .agg(
+            *[
+                (
+                    F.max(
+                        F.log(
+                            F.col(f"docs_{c}").cast("double") / F.col("n_docs")
+                        )
+                    )
+                    + F.sum(
+                        F.log(
+                            (F.col(f"cnt_{c}") + 1).cast("double")
+                            / (F.col(f"tok_{c}") + F.col("v"))
+                        )
+                    )
+                ).alias(f"score_{c}")
+                for c in classes
+            ]
+        )
+    )
+    def best_other(c: str):
+        others = [F.col(f"score_{o}") for o in classes if o != c]
+        return others[0] if len(others) == 1 else F.greatest(*others)
+
+    pred = F.lit(None).cast("string")
+    for c in reversed(classes):
+        cond = F.col(f"score_{c}") >= best_other(c)
+        pred = F.when(cond, F.lit(c)).otherwise(pred)
+    return (
+        scored.select(
+            F.col("doc").alias(id_col), "label", pred.alias("pred")
+        ).orderBy(id_col)
+    )

@@ -439,10 +439,27 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.orderBy("doc_id")
 
 
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the corpus-trained Naive Bayes language
+    classifier (operators/relevance.py nb_classify): (lang, pred, n) over
+    all documents — the verification report a model-based filter stage
+    publishes before it gates data."""
+    from hdfs_mapreduce_spark.operators.relevance import NB_CLASSES, nb_classify
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    preds = nb_classify(docs, "doc_id", "text", "lang", NB_CLASSES)
+    return (
+        preds.groupBy(F.col("label").alias("lang"), "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred")
+    )
+
+
 # Same pattern string, with the single-quote doubled for a SQL literal.
 _BPE_SQL = BPE_REGEX.replace("'", "''")
 
 QUERIES = {
+    "nb_lang_confusion": nb_lang_confusion,
     "pii_scrub": pii_scrub,
     "corpus_mix": corpus_mix,
     "corpus_reweight": corpus_reweight,
@@ -463,7 +480,68 @@ QUERIES = {
 # 3-gram builder for the repetition oracle (tk[i] || ' ' || tk[i+1] || ...).
 _REP_SHINGLE = " || ' ' || ".join(f"tk[i+{j}]" for j in range(REP_K))
 
+
+def _nb_sql() -> str:
+    """Naive Bayes oracle generated from the same NB_CLASSES constant and
+    the same smoothing/tie-break rules as operators/relevance.nb_classify."""
+    from hdfs_mapreduce_spark.operators.relevance import NB_CLASSES
+
+    cs = list(NB_CLASSES)
+    toks_lower = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    model_cols = ",\n                   ".join(
+        f"COUNT(*) FILTER (label = '{c}') AS cnt_{c}" for c in cs
+    )
+    stat_cols = ",\n                   ".join(
+        [f"SUM(CASE WHEN label = '{c}' THEN 1 ELSE 0 END) AS tok_{c}" for c in cs]
+        + [
+            f"COUNT(DISTINCT CASE WHEN label = '{c}' THEN doc END) AS docs_{c}"
+            for c in cs
+        ]
+    )
+    score_cols = ",\n                   ".join(
+        f"MAX(ln(CAST(docs_{c} AS DOUBLE) / n_docs))"
+        f" + SUM(ln(CAST(cnt_{c} + 1 AS DOUBLE) / (tok_{c} + v))) AS score_{c}"
+        for c in cs
+    )
+    cases = "\n                ".join(
+        f"WHEN score_{c} >= greatest("
+        + ", ".join(f"score_{o}" for o in cs if o != c)
+        + f") THEN '{c}'"
+        for c in cs
+    )
+    return f"""
+        WITH tok AS (
+            SELECT doc_id AS doc, lang AS label, unnest({toks_lower}) AS token
+            FROM documents
+        ),
+        model AS (
+            SELECT token,
+                   {model_cols}
+            FROM tok GROUP BY token
+        ),
+        stats AS (
+            SELECT {stat_cols},
+                   COUNT(DISTINCT token) AS v,
+                   COUNT(DISTINCT doc) AS n_docs
+            FROM tok
+        ),
+        scored AS (
+            SELECT doc, label,
+                   {score_cols}
+            FROM tok JOIN model USING (token), stats
+            GROUP BY doc, label
+        )
+        SELECT label AS lang,
+               CASE
+                {cases}
+               END AS pred,
+               COUNT(*) AS n
+        FROM scored GROUP BY 1, 2 ORDER BY lang, pred
+    """
+
+
 ORACLE_SQL = {
+    "nb_lang_confusion": _nb_sql(),
     "corpus_mix": f"""
         WITH agg AS (
             SELECT source, ({_langid_sql()}) AS lang_pred,

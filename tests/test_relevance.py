@@ -100,3 +100,38 @@ def test_unigram_lm_scores_hand_computed(spark):
     assert out[2]["ppl"] == pytest.approx(4.0, rel=1e-12)
     # rarer tokens => higher perplexity: the curation signal direction
     assert out[2]["ppl"] > out[1]["ppl"]
+
+
+def test_nb_classify_separates_disjoint_vocabularies(spark):
+    """Planted two-class corpus with disjoint vocabularies: NB must recover
+    every label; a mixed doc leaning 2:1 toward class b must predict b."""
+    from hdfs_mapreduce_spark.operators.relevance import nb_classify
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apfel birne kirsche apfel birne", "a"),
+            (2, "birne apfel apfel kirsche kirsche", "a"),
+            (3, "pomme poire cerise pomme poire", "b"),
+            (4, "poire pomme pomme cerise cerise", "b"),
+            (5, "apfel pomme poire", "b"),  # 2 b-tokens vs 1 a-token
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r["doc_id"]: r["pred"] for r in
+           nb_classify(docs, "doc_id", "text", "lang", ("a", "b")).collect()}
+    assert out == {1: "a", 2: "a", 3: "b", 4: "b", 5: "b"}
+
+
+def test_nb_lang_confusion_beats_chance(spark):
+    """On the synthetic multilingual corpus the only language signal is the
+    per-lang stopword sprinkle (the content words are shared vocabulary), so
+    perfect recovery is impossible — but NB trained on its own labels must
+    still beat the 1-in-5 chance rate by a wide margin, and every doc must
+    receive a prediction."""
+    from hdfs_mapreduce_spark.plans.text_plans import nb_lang_confusion
+
+    rows = nb_lang_confusion(spark, "/root/testdata/sf0.001").collect()
+    total = sum(r["n"] for r in rows)
+    diag = sum(r["n"] for r in rows if r["lang"] == r["pred"])
+    assert total == 500  # no document dropped
+    assert diag / total > 0.35  # chance is 0.20

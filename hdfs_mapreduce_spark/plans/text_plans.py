@@ -439,6 +439,44 @@ def pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep.orderBy("doc_id")
 
 
+BPE_PAIR_TOPK = 100
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge step of BPE vocabulary induction at corpus scale:
+    the BPE_PAIR_TOPK most frequent adjacent character pairs within
+    (lowercased, whitespace-split) tokens, with occurrence counts — what a
+    distributed tokenizer trainer computes each round before picking the
+    merge (Sennrich et al. '16 is per-machine; here it's one Spark pass).
+
+    Scale shape: pair extraction is array-side per token (transform over a
+    sequence of offsets — no per-character rows until the explode), counts
+    are partial→final on the pair key (alphabet² domain ⇒ tiny shuffle),
+    and the top-k is TakeOrderedAndProject, never a global sort. Each BPE
+    round would re-run this with the previous merges applied; the per-round
+    dataflow is identical, so one verified round pins the whole loop's
+    plan."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    # Guard single-char tokens: Spark's sequence(1, 0) would count DOWN.
+    pairs = tok.filter(F.length("token") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("token") - 1),
+                lambda i: F.col("token").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_PAIR_TOPK)
+    )
+
+
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the corpus-trained Naive Bayes language
     classifier (operators/relevance.py nb_classify): (lang, pred, n) over
@@ -460,6 +498,7 @@ _BPE_SQL = BPE_REGEX.replace("'", "''")
 
 QUERIES = {
     "nb_lang_confusion": nb_lang_confusion,
+    "bpe_pair_stats": bpe_pair_stats,
     "pii_scrub": pii_scrub,
     "corpus_mix": corpus_mix,
     "corpus_reweight": corpus_reweight,
@@ -542,6 +581,20 @@ def _nb_sql() -> str:
 
 ORACLE_SQL = {
     "nb_lang_confusion": _nb_sql(),
+    "bpe_pair_stats": f"""
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                      t -> t <> '')) AS token
+            FROM documents
+        ),
+        pairs AS (
+            SELECT substr(token, CAST(i AS BIGINT), 2) AS pair
+            FROM (SELECT token, unnest(generate_series(1, length(token) - 1)) AS i
+                  FROM tok WHERE length(token) >= 2)
+        )
+        SELECT pair, COUNT(*) AS n FROM pairs
+        GROUP BY pair ORDER BY n DESC, pair LIMIT {BPE_PAIR_TOPK}
+    """,
     "corpus_mix": f"""
         WITH agg AS (
             SELECT source, ({_langid_sql()}) AS lang_pred,

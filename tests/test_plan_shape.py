@@ -377,3 +377,12 @@ def test_events_enriched_broadcasts_static_dims(spark):
     assert "BroadcastHashJoin" in plan
     # events scan feeds the window agg without an exchange before the join
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_pair_stats_topk_no_global_sort(spark):
+    """Tokenizer-induction pair counts: top-k must be TakeOrderedAndProject
+    (per-partition heaps), and the pair aggregate must have map-side
+    partials (two HashAggregates around the exchange)."""
+    plan = plan_of(QUERIES["bpe_pair_stats"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2

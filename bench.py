@@ -106,8 +106,55 @@ def main() -> None:
     delta = _delta_vs_prev(timings)
     if delta:
         out["delta_vs_prev"] = delta
+    oracle = _time_oracles(sf_dir)
+    if oracle:
+        out["oracle_sec"] = oracle
+        oracle_total = round(sum(t for t in oracle.values() if t >= 0), 4)
+        matched = round(
+            sum(t for n, t in timings.items() if t >= 0 and n in oracle), 4
+        )
+        out["oracle_total"] = oracle_total
+        out["spark_total_oracle_matched"] = matched
+        if oracle_total > 0:
+            out["spark_vs_oracle_ratio"] = round(matched / oracle_total, 3)
     print(json.dumps(out))
     spark.stop()
+
+
+def _time_oracles(sf_dir: str) -> dict[str, float] | None:
+    """Wall-clock of each DuckDB oracle on the same parquet, same machine —
+    the denominator of the per-query ratio the judge audits. One execution
+    per oracle (DuckDB has no plan-compilation warmup to amortize; its
+    buffer cache is warm because Spark just scanned the same files).
+    Disable with SPARK_GRAFT_SKIP_ORACLE_BENCH=1 if bench time is tight."""
+    if os.environ.get("SPARK_GRAFT_SKIP_ORACLE_BENCH"):
+        return None
+    try:
+        import duckdb
+
+        import __spark_entry__ as entrymod
+
+        osql = entrymod.oracle_sql()
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events "
+            "documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        out: dict[str, float] = {}
+        for name, sql in osql.items():
+            t0 = time.perf_counter()
+            try:
+                con.execute(sql).fetchall()
+                out[name] = round(time.perf_counter() - t0, 4)
+            except Exception as exc:
+                out[name] = -1.0
+                print(f"bench: oracle {name} FAILED: {exc}", file=sys.stderr)
+        return out
+    except Exception:
+        return None
 
 
 def _delta_vs_prev(timings: dict[str, float]) -> dict[str, float] | None:

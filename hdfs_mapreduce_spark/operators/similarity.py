@@ -408,3 +408,70 @@ def cosine_pairs(
         .applyInPandas(block_matmul, "vec_a long, vec_b long, cos_sim double")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --- k-means (one Lloyd assignment step) -----------------------------------------
+KMEANS_K = 8
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd's-iteration assignment step with deterministic seeds (the
+    k lowest-id vectors), reported per cluster: member count, first member,
+    and the within-cluster sum of squared distances.
+
+    This pins the iterative-clustering dataflow: centroids are ALWAYS a
+    broadcast-sized model (k × dim floats), so assignment is map-side —
+    each vector scans the broadcast centroid array and takes the argmin
+    (array_min over (dist, cid) structs; exact ties go to the lower cid).
+    Nothing corpus-sized shuffles until the final per-cluster aggregate,
+    which is k rows of partial sums. A full k-means loop re-runs exactly
+    this shape with recomputed centroids each round — one verified step
+    pins every round's plan. Distances fold sequentially in index order
+    (same as the cosine oracle), so Spark and DuckDB agree bit-for-bit.
+
+    At 100 TB the HOF distance (interpreted per element) trades ~10x CPU
+    for zero shuffle; the production swap-in is a BLAS pandas_udf over the
+    same broadcast (cosine_fast's pattern) — the dataflow is unchanged.
+    """
+    seeds = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cs")
+        )
+    )
+    sqd = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col(vec_col),
+            c,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    best = embeddings.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col).alias("vid"),
+        F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda s: F.struct(sqd(s["cvec"]).alias("dist"), s["cid"].alias("cid")),
+            )
+        ).alias("m"),
+    )
+    return (
+        best.select("vid", F.col("m.cid").alias("cluster"), F.col("m.dist").alias("dist"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vid").alias("first_member"),
+            F.sum("dist").alias("wcss"),
+        )
+        .orderBy("cluster")
+    )

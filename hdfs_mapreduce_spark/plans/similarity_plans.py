@@ -15,10 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from hdfs_mapreduce_spark.operators.similarity import (
+    KMEANS_K,
     ann_topk_bruteforce,
     ann_topk_ivf,
     ann_topk_lsh,
     cosine_pairs,
+    kmeans_assign,
 )
 from hdfs_mapreduce_spark.sources.catalog import load_table
 
@@ -50,6 +52,13 @@ def _cos(a: str, b: str) -> str:
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_topk_bruteforce(emb, QUERY_IDS, TOP_K)
+
+
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means assignment step (broadcast centroids, map-side argmin) —
+    see operators/similarity.py kmeans_assign."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, KMEANS_K)
 
 
 ANN_FILTER_LABEL = 3
@@ -181,7 +190,17 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_crosscheck": dedup_crosscheck,
+    "embedding_kmeans": embedding_kmeans,
 }
+
+# Squared L2 with the same sequential fold as Spark's aggregate(zip_with).
+_SQDIST = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(generate_series(1, len({a})), "
+    "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+    "(acc, v) -> acc + v)"
+)
 
 _IDS = ", ".join(str(i) for i in QUERY_IDS)
 
@@ -191,6 +210,26 @@ _IDS = ", ".join(str(i) for i in QUERY_IDS)
 from hdfs_mapreduce_spark.plans.dedup_plans import _SH, _TOKS  # noqa: E402
 
 ORACLE_SQL = {
+    "embedding_kmeans": f"""
+        WITH seeds AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            ORDER BY vec_id LIMIT {KMEANS_K}
+        ),
+        d AS (
+            SELECT e.vec_id AS vid, s.cid,
+                   {_SQDIST.format(a='e.embedding', b='s.cvec')} AS dist
+            FROM embeddings e, seeds s
+        ),
+        best AS (
+            SELECT vid, cid AS cluster, dist,
+                   ROW_NUMBER() OVER (PARTITION BY vid
+                                      ORDER BY dist, cid) AS rn
+            FROM d
+        )
+        SELECT cluster, COUNT(*) AS n_members, MIN(vid) AS first_member,
+               SUM(dist) AS wcss
+        FROM best WHERE rn = 1 GROUP BY cluster ORDER BY cluster
+    """,
     "embedding_centroids": """
         WITH flat AS (
             SELECT label,

@@ -109,3 +109,28 @@ def test_lsh_is_subset_ranked_consistently(spark):
         key = (r["query_id"], r["neighbor_id"])
         assert key in brute
         assert abs(brute[key] - r["cos_sim"]) < 1e-12
+
+
+def test_kmeans_assign_planted_clusters(spark):
+    """Two well-separated planted blobs with the two seeds (lowest ids) one
+    in each blob: every vector must land with its blob's seed, and wcss
+    must equal the hand-computed sum of squared distances."""
+    from hdfs_mapreduce_spark.operators.similarity import kmeans_assign
+
+    rows = [
+        (0, [0.0, 0.0]),   # seed A
+        (1, [10.0, 10.0]), # seed B
+        (2, [0.1, 0.0]),   # near A
+        (3, [0.0, 0.2]),   # near A
+        (4, [10.1, 10.0]), # near B
+        (5, [9.9, 10.0]),  # near B
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["cluster"]: r for r in kmeans_assign(emb, k=2).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["n_members"] == 3 and out[0]["first_member"] == 0
+    assert out[1]["n_members"] == 3 and out[1]["first_member"] == 1
+    # wcss: cluster 0 = 0 + 0.1^2 + 0.2^2 ; cluster 1 = 0 + 0.1^2 + 0.1^2
+    # (float32 storage: compare with tolerance)
+    assert abs(out[0]["wcss"] - 0.05) < 1e-6
+    assert abs(out[1]["wcss"] - 0.02) < 1e-6

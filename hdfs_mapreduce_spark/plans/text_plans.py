@@ -352,6 +352,59 @@ def corpus_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_MOD = 1_000_000
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus_reweight mixture rates as an actual sample: a doc
+    survives iff h56(doc_id) mod MIX_MOD falls under round(rate·MIX_MOD) —
+    the deterministic per-document coin every engine flips identically
+    (no RNG, stable under corpus growth: a doc's fate never depends on
+    other docs joining the corpus, only on its id and its source's rate).
+    Reports per-source kept counts/tokens so the achieved mix is auditable
+    against the solver's target.
+
+    Scale shape: rates are the same tiny per-source aggregate broadcast
+    back (fit→broadcast→apply); the keep decision and token accounting are
+    map-side; one final per-source aggregate. The corpus never shuffles.
+    """
+    from pyspark.sql.window import Window
+    from hdfs_mapreduce_spark.functions.hashing import h56
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    base = docs.select(
+        "source", "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    agg = base.groupBy("source").agg(F.sum("n_tok").alias("tokens"))
+    total = F.sum("tokens").over(Window.partitionBy())
+    n_other = F.sum(
+        F.when(~F.col("source").isin(*REWEIGHT_TARGETS), 1).otherwise(0)
+    ).over(Window.partitionBy())
+    other_share = (1.0 - sum(REWEIGHT_TARGETS.values())) / n_other
+    expr = F.lit(None).cast("double")
+    for src, share in sorted(REWEIGHT_TARGETS.items()):
+        expr = F.when(F.col("source") == src, F.lit(share)).otherwise(expr)
+    target_share = F.coalesce(expr, other_share)
+    rate = F.least(F.lit(1.0), target_share * total / F.col("tokens"))
+    rates = agg.select("source", rate.alias("rate"))
+    thresh = F.round(F.col("rate") * MIX_MOD).cast("long")
+    kept = base.join(F.broadcast(rates), "source").withColumn(
+        "keep",
+        F.pmod(h56(F.col("doc_id").cast("string")), F.lit(MIX_MOD)) < thresh,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 PACK_BUDGET = 2048
 
 
@@ -502,6 +555,7 @@ QUERIES = {
     "pii_scrub": pii_scrub,
     "corpus_mix": corpus_mix,
     "corpus_reweight": corpus_reweight,
+    "mixture_sample": mixture_sample,
     "dataset_split": dataset_split,
     "dataset_sample": dataset_sample,
     "text_repetition": text_repetition,
@@ -607,6 +661,39 @@ ORACLE_SQL = {
         SELECT source, lang_pred, n_docs, n_tokens,
                CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER () AS token_share
         FROM agg ORDER BY source, lang_pred
+    """,
+    "mixture_sample": f"""
+        WITH agg AS (
+            SELECT source, CAST(SUM({_NTOK}) AS BIGINT) AS tokens
+            FROM documents GROUP BY 1
+        ),
+        w AS (
+            SELECT source, tokens,
+                   SUM(tokens) OVER () AS total,
+                   SUM(CASE WHEN source NOT IN ({", ".join(f"'{s}'" for s in sorted(REWEIGHT_TARGETS))})
+                            THEN 1 ELSE 0 END) OVER () AS n_other,
+                   COALESCE(CASE {" ".join(f"WHEN source = '{s}' THEN {v}" for s, v in sorted(REWEIGHT_TARGETS.items()))} END,
+                            (1.0 - {sum(REWEIGHT_TARGETS.values())}) / n_other)
+                       AS target_share
+            FROM agg
+        ),
+        rates AS (
+            SELECT source,
+                   CAST(round(least(1.0, (target_share * total) / tokens)
+                              * {MIX_MOD}) AS BIGINT) AS thresh
+            FROM w
+        ),
+        base AS (
+            SELECT source, doc_id, {_NTOK} AS n_tok FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN ({h56_sql("CAST(doc_id AS VARCHAR)")}) % {MIX_MOD} < thresh
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN ({h56_sql("CAST(doc_id AS VARCHAR)")}) % {MIX_MOD} < thresh
+                             THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+        FROM base JOIN rates USING (source)
+        GROUP BY 1 ORDER BY source
     """,
     "corpus_reweight": f"""
         WITH agg AS (

@@ -48,3 +48,32 @@ def test_fingerprint_order_sensitive(spark):
     fps = [r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
     assert fps[0] == fps[2]  # identical text → identical fingerprint
     assert fps[0] != fps[1]  # reordered tokens → different fingerprint
+
+
+def test_mixture_sample_tracks_solver_rates(spark):
+    """The deterministic sample's achieved kept-token share per source must
+    land near the solver's achieved_share (hash thresholding is the only
+    noise), and rate-1.0 sources must keep every document."""
+    import pytest
+
+    from hdfs_mapreduce_spark.plans.text_plans import corpus_reweight, mixture_sample
+
+    sf = "/root/testdata/sf0.001"
+    rates = {r["source"]: r for r in corpus_reweight(spark, sf).collect()}
+    sample = {r["source"]: r for r in mixture_sample(spark, sf).collect()}
+    assert set(rates) == set(sample)
+    exp_total = 0.0
+    kept_total = 0
+    for src, r in rates.items():
+        s = sample[src]
+        if r["sample_rate"] >= 1.0:
+            # A capped (rate-1.0) source keeps every document exactly.
+            assert s["n_kept"] == s["n_docs"]
+        else:
+            # ~25 docs per source flip the hash coin — per-source noise is
+            # huge, so only sanity-check the bounds here and test the
+            # expectation on the aggregate below.
+            assert 0 <= s["n_kept"] < s["n_docs"]
+            exp_total += r["sample_rate"] * r["tokens"]
+            kept_total += s["kept_tokens"]
+    assert kept_total == pytest.approx(exp_total, rel=0.35)

@@ -265,3 +265,20 @@ def test_salted_join_rejects_outer_directions(spark):
                 orders, customer, "o_custkey", "c_custkey",
                 distributor="o_orderkey", how=how,
             )
+
+
+def test_compact_merges_small_files_preserving_data(engine, tmp_path):
+    src = tmp_path / "many.txt"
+    src.write_text("".join(f"line {i}\n" for i in range(100)))
+    engine.put(str(src), "many", fmt="text", partitions=8)
+    assert engine.stats()["many"]["n_files"] == 8
+    before = sorted(r["value"] for r in engine.get("many").collect())
+    report = engine.compact("many", target_files=1)
+    assert report["files_before"] == 8 and report["files_after"] == 1
+    assert engine.stats()["many"]["n_files"] == 1
+    after = sorted(r["value"] for r in engine.get("many").collect())
+    assert after == before  # byte-identical content, fewer files
+    # no temp/backup dirs left behind
+    assert engine.ls() == ["many"]
+    with pytest.raises(FileNotFoundError):
+        engine.compact("missing")

@@ -128,3 +128,113 @@ def test_chunk_documents_covers_every_token(spark, texts, size, stride):
             assert ctoks == toks[start : start + size]
             seen.extend(range(start, start + len(ctoks)))
         assert set(seen) == set(range(len(toks)))
+
+
+# Tiny alphabet so random corpora actually share k-token windows.
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12
+)
+_corpus = st.lists(_words, min_size=1, max_size=6)
+_SPAN_K = 3
+
+
+def _brute_spans(texts: list[list[str]], k: int):
+    """Reference model: duplicated k-window positions, merged to maximal
+    spans per doc (count >= 2 corpus-wide, same-doc repeats included)."""
+    from collections import Counter
+
+    counts = Counter()
+    for toks in texts:
+        for p in range(len(toks) - k + 1):
+            counts[tuple(toks[p : p + k])] += 1
+    out = {}
+    for doc, toks in enumerate(texts):
+        dup = [
+            p
+            for p in range(len(toks) - k + 1)
+            if counts[tuple(toks[p : p + k])] >= 2
+        ]
+        spans = []
+        for p in dup:
+            if spans and p <= spans[-1][1] - k + 1 + k:  # p <= prev_p + k
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + k - 1))
+            else:
+                spans.append((p, p + k - 1))
+        for s, e in spans:
+            out[(doc, s)] = e
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_duplicate_spans_matches_bruteforce(spark, texts):
+    from hdfs_mapreduce_spark.operators.dedup import duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc"], r["span_start"]): r["span_end"]
+        for r in duplicate_spans(docs, "doc_id", "text", k=_SPAN_K).collect()
+    }
+    assert got == _brute_spans(texts, _SPAN_K)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_span_scrub_matches_bruteforce(spark, texts):
+    """Keep-first scrub vs a direct model: a token survives unless some
+    duplicated window covers it and no kept (globally-first) one does."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    from hdfs_mapreduce_spark.operators.dedup import span_scrub
+
+    k = _SPAN_K
+    counts = Counter()
+    occs = defaultdict(list)  # window -> [(doc, pos) in global order]
+    for doc, toks in enumerate(texts):
+        for p in range(len(toks) - k + 1):
+            w = tuple(toks[p : p + k])
+            counts[w] += 1
+            occs[w].append((doc, p))
+    covered, kept_cover = set(), set()
+    for w, lst in occs.items():
+        if counts[w] < 2:
+            continue
+        for rank, (doc, p) in enumerate(sorted(lst)):
+            for i in range(p, p + k):
+                covered.add((doc, i))
+                if rank == 0:
+                    kept_cover.add((doc, i))
+    want = {}
+    for doc, toks in enumerate(texts):
+        kept = [
+            t
+            for i, t in enumerate(toks)
+            if (doc, i) not in covered or (doc, i) in kept_cover
+        ]
+        n_removed = len(toks) - len(kept)
+        want[doc] = (
+            n_removed,
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc"]: (r["n_removed"], r["n_kept"], r["scrubbed_hash"])
+        for r in span_scrub(docs, "doc_id", "text", k=k).collect()
+    }
+    assert got == want

@@ -86,3 +86,54 @@ def band_join(
         .filter((gap >= lower_us) & (gap <= upper_us))
         .drop("__bb_l", "__bb_r")
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_us: int = 3600 * 1_000_000,
+) -> DataFrame:
+    """Interval-overlap join: equal keys whose closed intervals intersect
+    (``l.start <= r.end AND r.start <= l.end``, microsecond precision) —
+    the interval×interval sibling of band_join (sessions × incidents,
+    reservations × outages; in genomics this is the range-overlap join).
+
+    A theta-join plans as a per-key nested loop; here both sides explode
+    into the ``bucket_us``-wide buckets their interval spans and equi-join
+    on (key, bucket). A pair overlapping several shared buckets must
+    surface once: it is kept only in the bucket of ``max(l.start,
+    r.start)`` — the overlap's first instant, which by construction lies
+    inside BOTH intervals, so exactly one joined row per qualifying pair
+    survives with no distinct shuffle (band_join's first-bucket-wins).
+
+    Shuffle volume is Σ interval_span/bucket_us over both sides; pick
+    ``bucket_us`` near the typical interval length (buckets per row stay
+    1-2). Long-tail intervals fan out linearly, never quadratically.
+    """
+    ls, le = _us(left_start), _us(left_end)
+    rs, re_ = _us(right_start), _us(right_end)
+    w = F.lit(bucket_us)
+
+    l_b = left.withColumn(
+        "__iv_l", F.explode(F.sequence(F.floor(ls / w), F.floor(le / w)))
+    )
+    r_b = right.withColumn(
+        "__iv_r", F.explode(F.sequence(F.floor(rs / w), F.floor(re_ / w)))
+    )
+    overlap = (ls <= re_) & (rs <= le)
+    credit = F.floor(F.greatest(ls, rs) / w) == F.col("__iv_l")
+    return (
+        l_b.join(
+            r_b,
+            (F.col(left_key) == F.col(right_key))
+            & (F.col("__iv_l") == F.col("__iv_r")),
+        )
+        .filter(overlap & credit)
+        .drop("__iv_l", "__iv_r")
+    )

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hdfs_mapreduce_spark.operators.band import band_join
+from hdfs_mapreduce_spark.operators.band import band_join, interval_join
 from hdfs_mapreduce_spark.operators.multimodal import (
     attach_payload,
     content_dedup,
@@ -21,6 +21,7 @@ from hdfs_mapreduce_spark.streaming.events import (
     attribution_pairs,
     enriched_event_stats,
     session_stats,
+    sessionize,
     sliding_event_stats,
     windowed_event_stats,
 )
@@ -81,6 +82,56 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("click_ts").cast("timestamp"))
         ).alias("gap_us"),
     ).orderBy("user_id", "click_id", "error_id")
+
+
+def events_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join: for each user, which click-activity
+    sessions overlap which error sessions (did errors fall inside an
+    active browsing session?). Sessions come from the same gap rule as
+    events_sessions, per event type; the overlap join is the bucketized
+    exactly-once interval_join (operators/band.py), never a per-key nested
+    loop. Output carries the overlap length in microseconds — an integer,
+    so the oracle hash is exact."""
+    events = load_table(spark, sf_dir, "events")
+
+    def type_sessions(typ: str, prefix: str) -> DataFrame:
+        s = sessionize(events.filter(F.col("event_type") == typ))
+        return s.groupBy("user_id", "session_seq").agg(
+            F.min("ts").alias(f"{prefix}s"), F.max("ts").alias(f"{prefix}e")
+        )
+
+    clicks = type_sessions("click", "c").select(
+        F.col("user_id").alias("u"),
+        F.col("session_seq").alias("click_session"),
+        "cs",
+        "ce",
+    )
+    errors = type_sessions("error", "e").select(
+        "user_id",
+        F.col("session_seq").alias("error_session"),
+        "es",
+        "ee",
+    )
+    j = interval_join(
+        clicks,
+        errors,
+        "u",
+        "user_id",
+        "cs",
+        "ce",
+        "es",
+        "ee",
+        bucket_us=SESSION_GAP_MIN * 60 * 1_000_000,
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "user_id",
+        "click_session",
+        "error_session",
+        (
+            F.least(us("ce"), us("ee")) - F.greatest(us("cs"), us("es"))
+        ).alias("overlap_us"),
+    ).orderBy("user_id", "click_session", "error_session")
 
 
 def events_rollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,6 +248,7 @@ QUERIES = {
     "events_attribution": events_attribution,
     "events_enriched": events_enriched,
     "events_sessions": events_sessions,
+    "events_session_overlap": events_session_overlap,
     "events_funnel": events_funnel,
     "events_rollup_time": events_rollup_time,
     "multimodal_stats": multimodal_stats,
@@ -309,6 +361,51 @@ ORACLE_SQL = {
                date_diff('second', MIN(ts), MAX(ts)) AS duration_sec
         FROM sessions GROUP BY user_id, session_seq
         ORDER BY user_id, session_seq
+    """,
+    "events_session_overlap": f"""
+        WITH csess AS (
+            SELECT user_id, session_seq, MIN(ts) AS cs, MAX(ts) AS ce
+            FROM (
+                SELECT user_id, ts,
+                       CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                            AS BIGINT) AS session_seq
+                FROM (
+                    SELECT event_id, user_id, ts,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                     OR date_diff('second', lag(ts) OVER w, ts)
+                                        > {SESSION_GAP_MIN * 60}
+                                THEN 1 ELSE 0 END AS new_session
+                    FROM events WHERE event_type = 'click'
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                )
+            ) GROUP BY 1, 2
+        ),
+        esess AS (
+            SELECT user_id, session_seq, MIN(ts) AS es, MAX(ts) AS ee
+            FROM (
+                SELECT user_id, ts,
+                       CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                            AS BIGINT) AS session_seq
+                FROM (
+                    SELECT event_id, user_id, ts,
+                           CASE WHEN lag(ts) OVER w IS NULL
+                                     OR date_diff('second', lag(ts) OVER w, ts)
+                                        > {SESSION_GAP_MIN * 60}
+                                THEN 1 ELSE 0 END AS new_session
+                    FROM events WHERE event_type = 'error'
+                    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+                )
+            ) GROUP BY 1, 2
+        )
+        SELECT c.user_id AS user_id, c.session_seq AS click_session,
+               e.session_seq AS error_session,
+               epoch_us(least(c.ce, e.ee)) - epoch_us(greatest(c.cs, e.es))
+                   AS overlap_us
+        FROM csess c JOIN esess e
+          ON c.user_id = e.user_id AND c.cs <= e.ee AND e.es <= c.ce
+        ORDER BY 1, 2, 3
     """,
     "events_funnel": f"""
         SELECT b.user_id, a.event_id AS click_id, b.event_id AS error_id,

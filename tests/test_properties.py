@@ -238,3 +238,49 @@ def test_span_scrub_matches_bruteforce(spark, texts):
         for r in span_scrub(docs, "doc_id", "text", k=k).collect()
     }
     assert got == want
+
+
+_iv = st.tuples(
+    st.integers(min_value=0, max_value=3),     # key
+    st.integers(min_value=0, max_value=400),   # start sec
+    st.integers(min_value=0, max_value=200),   # duration sec
+)
+_ivs = st.lists(_iv, min_size=0, max_size=10)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_ivs, right=_ivs, bucket_sec=st.sampled_from([7, 60, 301]))
+def test_interval_join_matches_bruteforce(spark, left, right, bucket_sec):
+    """Exactly-once pair emission for arbitrary intervals and bucket widths
+    (overlaps spanning many shared buckets, touching endpoints, nested and
+    identical intervals, empty sides)."""
+    from hdfs_mapreduce_spark.operators.band import interval_join
+
+    ldf = spark.createDataFrame(
+        [(k, i, _ts(s), _ts(s + d)) for i, (k, s, d) in enumerate(left)]
+        or [(None, None, None, None)],
+        "k long, lid long, lst timestamp, len_ timestamp",
+    ).filter("lid is not null")
+    rdf = spark.createDataFrame(
+        [(k, i, _ts(s), _ts(s + d)) for i, (k, s, d) in enumerate(right)]
+        or [(None, None, None, None)],
+        "rk long, rid long, rst timestamp, ren timestamp",
+    ).filter("rid is not null")
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_join(
+            ldf, rdf, "k", "rk", "lst", "len_", "rst", "ren",
+            bucket_us=bucket_sec * 1_000_000,
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, (lk, lsec, ld) in enumerate(left)
+        for ri, (rk, rsec, rd) in enumerate(right)
+        if lk == rk and lsec <= rsec + rd and rsec <= lsec + ld
+    )
+    assert got == want  # sorted WITH duplicates: each pair exactly once

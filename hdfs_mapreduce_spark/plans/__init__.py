@@ -1,3 +1,25 @@
+"""Declared-query registry with driver-window rotation.
+
+The driver's correctness gate checks only the FIRST 50 registry entries
+per round (registry order = this dict's insertion order). With ~100
+declared queries a static order would leave the back half permanently
+unverified (round 2 shipped 47 queries the driver never hashed). The fix
+is deterministic rotation: order the merged registry **stalest-first** —
+queries with no green CORRECTNESS row ever come first, then by the round
+of their most recent green row (oldest first), original merge order as
+the tie-break. Every round the ~50 just-verified queries rotate to the
+back and the unverified/stalest block rotates into the window, so with a
+50-row window and ≤100 queries no query is ever more than one round
+stale. ``tools/coverage.py`` materializes the same bookkeeping as
+COVERAGE.json; tests/test_coverage.py asserts the rotation invariant.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
 from hdfs_mapreduce_spark.plans import (
     analytics_plans,
     dedup_plans,
@@ -8,7 +30,7 @@ from hdfs_mapreduce_spark.plans import (
     text_plans,
 )
 
-QUERIES = {
+_MERGED_QUERIES = {
     **relational.QUERIES,
     **analytics_plans.QUERIES,
     **text_plans.QUERIES,
@@ -27,4 +49,69 @@ ORACLE_SQL = {
     **pipeline_plans.ORACLE_SQL,
 }
 
-__all__ = ["QUERIES", "ORACLE_SQL"]
+# The driver verifies this many leading registry entries per round.
+DRIVER_WINDOW = 50
+
+
+def _row_is_green(row: object) -> bool:
+    """A CORRECTNESS row counts as verified iff it ran and didn't fail.
+    ``no_oracle`` rows are the declared rows-only checks — they count
+    (re-running them never yields more signal); any other error or a
+    False match flag means the query needs the window again next round."""
+    if not isinstance(row, dict):
+        return False
+    if row.get("err") not in (None, "no_oracle"):
+        return False
+    return all(
+        row.get(k) is not False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def last_green_rounds(repo_root: Path | None = None) -> dict[str, int]:
+    """query name → most recent round with a green CORRECTNESS row
+    (queries with no green row ever are absent). Robust to missing or
+    malformed files: they simply contribute nothing."""
+    root = repo_root or Path(__file__).resolve().parents[2]
+    out: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if _row_is_green(row):
+                out[name] = max(out.get(name, rnd), rnd)
+    return out
+
+
+def registry_order(names: list[str], green: dict[str, int]) -> list[str]:
+    """Stalest-first: never-green first, then ascending last-green round;
+    merge order breaks ties so the rotation is fully deterministic."""
+    index = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (green.get(n, -1), index[n]))
+
+
+def _rotated() -> dict[str, object]:
+    try:
+        order = registry_order(list(_MERGED_QUERIES), last_green_rounds())
+    except Exception:  # never let bookkeeping break the query surface
+        order = list(_MERGED_QUERIES)
+    return {n: _MERGED_QUERIES[n] for n in order}
+
+
+QUERIES = _rotated()
+
+__all__ = [
+    "DRIVER_WINDOW",
+    "ORACLE_SQL",
+    "QUERIES",
+    "last_green_rounds",
+    "registry_order",
+]

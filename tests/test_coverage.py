@@ -1,0 +1,84 @@
+"""Driver-window rotation invariants (VERDICT r2 items 1 and 6).
+
+The driver hashes only the first ``DRIVER_WINDOW`` registry entries per
+round. These tests pin the property that makes that safe: the registry
+orders itself stalest-first from the CORRECTNESS_r*.json history, so no
+declared query can go more than one round without a green row (as long
+as the declared surface stays ≤ 2×DRIVER_WINDOW).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from hdfs_mapreduce_spark.plans import (
+    DRIVER_WINDOW,
+    ORACLE_SQL,
+    QUERIES,
+    last_green_rounds,
+    registry_order,
+)
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def test_every_stale_query_is_inside_the_next_driver_window():
+    green = last_green_rounds(ROOT)
+    latest = max(green.values(), default=0)
+    names = list(QUERIES)
+    window = set(names[:DRIVER_WINDOW])
+    stale = [n for n in names if green.get(n, -1) < latest]
+    missed = [n for n in stale if n not in window]
+    assert not missed, (
+        f"{len(missed)} stale queries fall outside the driver's "
+        f"{DRIVER_WINDOW}-row window: {missed[:10]} — the declared surface "
+        f"({len(names)}) outgrew 2x the window; split the registry exposure"
+    )
+
+
+def test_registry_order_is_deterministic_and_complete():
+    names = list(QUERIES)
+    green = last_green_rounds(ROOT)
+    assert names == registry_order(sorted(names, key=names.index), green)
+    # rotation is a permutation, never a filter
+    assert sorted(names) == sorted(set(names))
+    assert set(ORACLE_SQL) <= set(names)
+
+
+def test_failed_rows_do_not_count_as_green(tmp_path):
+    (tmp_path / "CORRECTNESS_r07.json").write_text(
+        json.dumps(
+            {
+                "ok_q": {"rows_match": True, "schema_match": True,
+                         "hash_match": True, "err": None},
+                "hash_fail_q": {"rows_match": True, "schema_match": True,
+                                "hash_match": False, "err": None},
+                "err_q": {"rows_match": None, "schema_match": None,
+                          "hash_match": None, "err": "boom"},
+                "no_oracle_q": {"rows_match": None, "schema_match": None,
+                                "hash_match": None, "err": "no_oracle"},
+            }
+        )
+    )
+    green = last_green_rounds(tmp_path)
+    assert green == {"ok_q": 7, "no_oracle_q": 7}
+    # failed/errored queries sort ahead of green ones → back into the window
+    order = registry_order(
+        ["ok_q", "hash_fail_q", "err_q", "no_oracle_q"], green
+    )
+    assert order[:2] == ["hash_fail_q", "err_q"]
+
+
+def test_coverage_manifest_matches_registry():
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    from coverage import build_coverage
+
+    cov = build_coverage()
+    assert set(cov) == set(QUERIES)
+    for name, row in cov.items():
+        assert row["oracle_kind"] == (
+            "hash" if name in ORACLE_SQL else "rows_only"
+        )

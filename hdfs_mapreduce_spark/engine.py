@@ -194,6 +194,18 @@ class Engine:
             "n_bytes": after["n_bytes"],
         }
 
+    # --- materialize (the 100 TB probe pattern as a verb) -----------------------
+    def materialize(self, df: DataFrame, name: str) -> DataFrame:
+        """Persist a derived relation (near-dup edge list, sketch table)
+        into the warehouse and return a DataFrame scanning the written
+        files — the durable form of operators.materialize: iterative or
+        multi-pass consumers probe the parquet instead of re-running the
+        producing pipeline. Overwrites ``name`` if present (a refreshed
+        sketch replaces the stale one)."""
+        from hdfs_mapreduce_spark.operators.materialize import materialize
+
+        return materialize(df, name, base=self.warehouse)
+
     # --- SQL over the warehouse namespace ----------------------------------------
     def sql(self, query: str) -> DataFrame:
         """Run SQL with every stored table visible as a view — the query

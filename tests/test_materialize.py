@@ -1,0 +1,82 @@
+"""Materialize-then-probe API (r2 verdict item 2): session-unique
+scratch paths, round-trip fidelity, and no fixed /tmp collisions."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hdfs_mapreduce_spark.operators.materialize import (
+    materialize,
+    materialize_minhash_pairs,
+    purge_scratch,
+    session_scratch_dir,
+)
+from hdfs_mapreduce_spark.sources.catalog import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_scratch_dir_is_keyed_by_application_id(spark):
+    path = session_scratch_dir(spark)
+    app_id = spark.sparkContext.applicationId
+    assert app_id in path
+    # two sessions (distinct applicationIds by construction) can never
+    # share a scratch tree — the path is a pure function of the id
+    class _Ctx:
+        applicationId = "app-other-999"
+
+    class _Sess:
+        sparkContext = _Ctx()
+
+    other = session_scratch_dir(_Sess())
+    assert os.path.dirname(other) == os.path.dirname(path)
+    assert other != path
+
+
+def test_materialize_round_trip_and_cleanup(spark):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("mod")
+    )
+    out = materialize(df, "mat_test")
+    assert sorted(r["id"] for r in out.collect()) == list(range(100))
+    # the files landed under this session's scratch, nowhere else
+    files = out.inputFiles()
+    assert files and all(session_scratch_dir(spark) in f for f in files)
+    # overwrite with new content: the probe re-read sees the fresh rows
+    out2 = materialize(spark.range(5).select("id"), "mat_test2")
+    assert out2.count() == 5
+    purge_scratch(spark)
+    assert not os.path.exists(session_scratch_dir(spark))
+
+
+def test_materialized_pairs_match_live_pipeline(spark):
+    from hdfs_mapreduce_spark.operators.dedup import minhash_pairs
+    from hdfs_mapreduce_spark.plans.dedup_plans import MINHASH_THRESHOLD
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    live = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    mat = {
+        (r["doc_a"], r["doc_b"])
+        for r in materialize_minhash_pairs(
+            docs, "doc_id", "text", MINHASH_THRESHOLD, name="pairs_rt"
+        ).collect()
+    }
+    assert mat == live
+
+
+def test_engine_materialize_writes_into_warehouse(spark, tmp_path):
+    from hdfs_mapreduce_spark.engine import Engine
+
+    eng = Engine(spark, str(tmp_path / "wh"))
+    out = eng.materialize(spark.range(10).select("id"), "edges")
+    assert out.count() == 10
+    assert "edges" in eng.ls()
+    # durable: survives independent of the session scratch
+    assert all(str(tmp_path / "wh") in f for f in out.inputFiles())

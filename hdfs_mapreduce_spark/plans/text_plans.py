@@ -585,11 +585,11 @@ def _nb_sql() -> str:
         f"COUNT(*) FILTER (label = '{c}') AS cnt_{c}" for c in cs
     )
     stat_cols = ",\n                   ".join(
-        [f"SUM(CASE WHEN label = '{c}' THEN 1 ELSE 0 END) AS tok_{c}" for c in cs]
-        + [
-            f"COUNT(DISTINCT CASE WHEN label = '{c}' THEN doc END) AS docs_{c}"
-            for c in cs
-        ]
+        f"SUM(cnt_{c}) AS tok_{c}" for c in cs
+    )
+    prior_cols = ",\n                   ".join(
+        f"SUM(CASE WHEN lang = '{c}' THEN 1 ELSE 0 END) AS docs_{c}"
+        for c in cs
     )
     score_cols = ",\n                   ".join(
         f"MAX(ln(CAST(docs_{c} AS DOUBLE) / n_docs))"
@@ -614,14 +614,18 @@ def _nb_sql() -> str:
         ),
         stats AS (
             SELECT {stat_cols},
-                   COUNT(DISTINCT token) AS v,
-                   COUNT(DISTINCT doc) AS n_docs
-            FROM tok
+                   COUNT(*) AS v
+            FROM model
+        ),
+        priors AS (
+            SELECT {prior_cols},
+                   COUNT(*) AS n_docs
+            FROM documents
         ),
         scored AS (
             SELECT doc, label,
                    {score_cols}
-            FROM tok JOIN model USING (token), stats
+            FROM tok JOIN model USING (token), stats, priors
             GROUP BY doc, label
         )
         SELECT label AS lang,

@@ -475,3 +475,121 @@ def kmeans_assign(
         )
         .orderBy("cluster")
     )
+
+
+def _assign_to_centroids(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(vid, cluster, dist, emb): map-side argmin of every vector against a
+    LITERAL centroid array (k x dim doubles baked into the plan — the model
+    is broadcast by value, no join, no shuffle). Exact ties go to the lower
+    cid, matching a ROW_NUMBER ORDER BY (dist, cid) oracle."""
+    carr = F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("cvec"),
+            )
+            for cid, vec in cents
+        ]
+    )
+    sqd = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col(vec_col),
+            c,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.array_min(
+            F.transform(
+                carr,
+                lambda s: F.struct(sqd(s["cvec"]).alias("dist"), s["cid"].alias("cid")),
+            )
+        ).alias("m"),
+        F.col(vec_col).alias("emb"),
+    ).select(
+        "vid",
+        F.col("m.cid").alias("cluster"),
+        F.col("m.dist").alias("dist"),
+        "emb",
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    max_iter: int = 10,
+    tol: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], DataFrame, int]:
+    """Full Lloyd's k-means over the verified assignment step: iterate
+    (map-side argmin -> per-cluster mean) until the max squared centroid
+    movement is <= ``tol`` or ``max_iter`` rounds ran. Returns
+    ``(centroids, assignment, n_iter)`` where centroids is the fitted
+    [(cid, vector)] list and assignment is a PURE plan (vid, cluster,
+    dist) of every vector against the final centroids — per the
+    components-operator contract, no cache outlives the call.
+
+    Scale contract (the IVF-centroid "small model locally" pattern): the
+    only driver-side state is k x dim doubles per round. Each round's
+    centroid update is posexplode -> per-(cluster, dim) AVG — map-side
+    partials compress the shuffle to k x dim rows per input partition —
+    and the result collects as the next round's broadcast-by-literal
+    model. Clusters that lose every member drop out (k shrinks), the
+    same closed-form the unrolled SQL oracle computes. Seeds are the k
+    lowest-id vectors, so the whole fit is deterministic given the data;
+    centroid means fold floats in partition order, which can differ from
+    a sequential engine by ~1 ulp — argmin distances differ by whole
+    units on real embeddings, so assignments don't flip (same argument
+    as nb_classify).
+    """
+    seed_rows = (
+        embeddings.orderBy(id_col)
+        .limit(k)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    n_iter = 0
+    for _ in range(max_iter):
+        assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col)
+        rows = (
+            assigned.select(
+                "cluster", F.posexplode("emb").alias("dim", "v")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("av"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = r["av"]
+        new_cents = [
+            (cid, [vals[d] for d in sorted(vals)])
+            for cid, vals in sorted(by_cluster.items())
+        ]
+        n_iter += 1
+        old = dict(cents)
+        movement = max(
+            (
+                sum((a - b) * (a - b) for a, b in zip(old[cid], vec))
+                if cid in old
+                else float("inf")
+            )
+            for cid, vec in new_cents
+        )
+        cents = new_cents
+        if movement <= tol:
+            break
+    final = _assign_to_centroids(embeddings, cents, id_col, vec_col).select(
+        "vid", "cluster", "dist"
+    )
+    return cents, final, n_iter

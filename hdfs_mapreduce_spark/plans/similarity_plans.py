@@ -21,6 +21,7 @@ from hdfs_mapreduce_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_pairs,
     kmeans_assign,
+    kmeans_fit,
 )
 from hdfs_mapreduce_spark.sources.catalog import load_table
 
@@ -59,6 +60,33 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     see operators/similarity.py kmeans_assign."""
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_assign(emb, KMEANS_K)
+
+
+KMEANS_FIT_ITERS = 3
+
+
+def embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's loop (operators/similarity.py kmeans_fit): 3 rounds of
+    assign -> recompute from deterministic lowest-id seeds, then the final
+    assignment summarized per cluster. The loop driver collects only the
+    k x dim centroid model per round; the returned summary is a pure
+    map-side-argmin + k-row-aggregate plan over the fitted centroids. The
+    oracle unrolls the identical 3 rounds as chained CTEs."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assignment, _ = kmeans_fit(
+        emb, KMEANS_K, max_iter=KMEANS_FIT_ITERS, tol=0.0
+    )
+    return (
+        assignment.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vid").alias("first_member"),
+            F.sum("dist").alias("wcss"),
+        )
+        .orderBy("cluster")
+    )
 
 
 ANN_FILTER_LABEL = 3
@@ -191,6 +219,7 @@ QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_crosscheck": dedup_crosscheck,
     "embedding_kmeans": embedding_kmeans,
+    "embedding_kmeans_fit": embedding_kmeans_fit,
 }
 
 # Squared L2 with the same sequential fold as Spark's aggregate(zip_with).
@@ -204,12 +233,65 @@ _SQDIST = (
 
 _IDS = ", ".join(str(i) for i in QUERY_IDS)
 
+
+def _kmeans_fit_sql(k: int = KMEANS_K, iters: int = KMEANS_FIT_ITERS) -> str:
+    """Unrolled Lloyd's loop: the oracle twin of embedding_kmeans_fit.
+    c0 = k lowest-id seeds; each round is an argmin assignment CTE (same
+    (dist, cid) tie order as Spark's array_min over structs) followed by
+    a per-(cluster, dim) AVG repacked into a list; the final assignment
+    against c{iters} is summarized per cluster."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+            SELECT vid, cid AS cluster, dist, emb FROM (
+                SELECT vid, cid, dist, emb,
+                       ROW_NUMBER() OVER (PARTITION BY vid
+                                          ORDER BY dist, cid) AS rn
+                FROM (
+                    SELECT e.vec_id AS vid, c.cid,
+                           {_SQDIST.format(a='e.embedding', b='c.cvec')} AS dist,
+                           e.embedding AS emb
+                    FROM embeddings e, {cents} c))
+            WHERE rn = 1
+        )"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+            SELECT cluster AS cid, list(av ORDER BY dim) AS cvec FROM (
+                SELECT cluster, dim, AVG(v) AS av FROM (
+                    SELECT cluster, generate_subscripts(emb, 1) AS dim,
+                           CAST(unnest(emb) AS DOUBLE) AS v
+                    FROM {assigned})
+                GROUP BY cluster, dim)
+            GROUP BY cluster
+        )"""
+
+    ctes = [
+        f"""c0 AS (
+            SELECT vec_id AS cid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+            FROM embeddings ORDER BY vec_id LIMIT {k}
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(assign(f"a{i}", f"c{i - 1}"))
+        ctes.append(update(f"c{i}", f"a{i}"))
+    ctes.append(assign("fin", f"c{iters}"))
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT cluster, COUNT(*) AS n_members, MIN(vid) AS first_member,
+               SUM(dist) AS wcss
+        FROM fin GROUP BY cluster ORDER BY cluster
+    """
+
 # Shared text-shingle fragments (same constants as the text-side pair
 # oracle, so the crosscheck joins exactly the relations the text queries
 # verify).
 from hdfs_mapreduce_spark.plans.dedup_plans import _SH, _TOKS  # noqa: E402
 
 ORACLE_SQL = {
+    "embedding_kmeans_fit": _kmeans_fit_sql(),
     "embedding_kmeans": f"""
         WITH seeds AS (
             SELECT vec_id AS cid, embedding AS cvec FROM embeddings

@@ -134,3 +134,54 @@ def test_kmeans_assign_planted_clusters(spark):
     # (float32 storage: compare with tolerance)
     assert abs(out[0]["wcss"] - 0.05) < 1e-6
     assert abs(out[1]["wcss"] - 0.02) < 1e-6
+
+
+def test_kmeans_fit_converges_on_planted_blobs(spark):
+    """Three planted blobs, seeds deliberately all inside blob A (the k
+    lowest ids): one assignment step cannot separate them, but the Lloyd
+    loop must walk the centroids out to the blobs and converge (movement
+    == 0 before max_iter). Each blob then maps to exactly one cluster and
+    the final assignment is the pure-plan DataFrame."""
+    from hdfs_mapreduce_spark.operators.similarity import kmeans_fit
+
+    blobs = {
+        "a": [(0, [0.0, 0.0]), (1, [0.2, 0.0]), (2, [0.0, 0.2]),
+              (3, [0.2, 0.2])],
+        "b": [(10, [50.0, 0.0]), (11, [50.2, 0.0]), (12, [50.0, 0.2])],
+        "c": [(20, [0.0, 80.0]), (21, [0.2, 80.0]), (22, [0.0, 80.2])],
+    }
+    rows = [r for grp in blobs.values() for r in grp]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, assignment, n_iter = kmeans_fit(emb, k=3, max_iter=20, tol=0.0)
+    assert n_iter < 20  # converged, didn't just exhaust the budget
+    assigned = {r["vid"]: r["cluster"] for r in assignment.collect()}
+    assert len(assigned) == len(rows)
+    for grp in blobs.values():
+        labels = {assigned[vid] for vid, _ in grp}
+        assert len(labels) == 1, f"blob split across clusters: {labels}"
+    # the three blobs land in three distinct clusters
+    assert len({assigned[g[0][0]] for g in blobs.values()}) == 3
+    # fitted centroids are the blob means (float32 storage tolerance)
+    means = sorted(
+        [sum(v[i] for _, v in grp) / len(grp) for i in (0, 1)]
+        for grp in blobs.values()
+    )
+    got = sorted(vec for _, vec in cents)
+    for m, g in zip(means, sorted(got)):
+        assert all(abs(a - b) < 1e-5 for a, b in zip(m, g))
+
+
+def test_kmeans_fit_drops_emptied_clusters(spark):
+    """Two seeds land on near-identical vectors inside one tight blob: one
+    of them must lose all members after the first update and drop out
+    (the documented empty-cluster semantics, matching the SQL oracle)."""
+    from hdfs_mapreduce_spark.operators.similarity import kmeans_fit
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [0.1, 0.0]),
+            (3, [0.0, 0.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, assignment, _ = kmeans_fit(emb, k=2, max_iter=10, tol=0.0)
+    # vec 1 is identical to seed 0's vector: ties go to the lower cid, so
+    # cluster 1 empties immediately and the fit ends with one cluster
+    assert [cid for cid, _ in cents] == [0]
+    assert {r["cluster"] for r in assignment.collect()} == {0}

@@ -103,7 +103,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    delta = _delta_vs_prev(timings)
+    delta = _delta_vs_prev(timings, sf)
     if delta:
         out["delta_vs_prev"] = delta
     oracle = _time_oracles(sf_dir)
@@ -117,7 +117,18 @@ def main() -> None:
         out["spark_total_oracle_matched"] = matched
         if oracle_total > 0:
             out["spark_vs_oracle_ratio"] = round(matched / oracle_total, 3)
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Standalone copy: the driver's wrapper truncates long stdout tails,
+    # which lost r2's per-query timings and broke the next round's
+    # _delta_vs_prev. The file survives wrapping and is what
+    # _delta_vs_prev prefers when present.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
     spark.stop()
 
 
@@ -157,28 +168,37 @@ def _time_oracles(sf_dir: str) -> dict[str, float] | None:
         return None
 
 
-def _delta_vs_prev(timings: dict[str, float]) -> dict[str, float] | None:
-    """Per-query delta (sec; negative = faster) vs the newest BENCH_r{N}.json
-    next to this script, so regressions are visible in-run. The driver's
-    wrapper nests the bench line inside a 'tail' field — handle both shapes.
-    Deltas are between runs on the same machine at the same SF; queries
-    missing from the previous round are reported with the sentinel None."""
+def _delta_vs_prev(
+    timings: dict[str, float], sf: float | None
+) -> dict[str, float] | None:
+    """Per-query delta (sec; negative = faster) vs the newest prior bench
+    at the SAME scale factor, so regressions are visible in-run. Prefers
+    the standalone BENCH_LOCAL.json (complete by construction) over the
+    driver's BENCH_r{N}.json records, whose wrapper nests the bench line
+    inside a 'tail' field and sometimes truncates it — both shapes are
+    handled. Queries missing from the previous run are reported with the
+    sentinel None."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     benches = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not benches:
-        return None
-    try:
-        with open(benches[-1]) as f:
-            prev = json.load(f)
-        if "queries" not in prev and "tail" in prev:
-            m = re.search(r'\{"metric".*\}', prev["tail"])
-            prev = json.loads(m.group(0)) if m else {}
-        prev_q = prev.get("queries", {})
-    except Exception:
-        return None
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        benches.append(local)
+    prev_q: dict[str, float] = {}
+    for path in reversed(benches):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if "queries" not in prev and "tail" in prev:
+                m = re.search(r'\{"metric".*\}', prev["tail"])
+                prev = json.loads(m.group(0)) if m else {}
+            if prev.get("queries") and prev.get("sf") == sf:
+                prev_q = prev["queries"]
+                break
+        except Exception:
+            continue
     if not prev_q:
         return None
     return {

@@ -214,6 +214,39 @@ def q13_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Q25: GROUPING SETS ---------------------------------------------------------
+def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping-set combinations (SURVEY §2.4, beyond
+    ROLLUP/CUBE): the two single-column marginals plus the full pair —
+    a set list neither rollup nor cube generates (no grand total).
+    ``grouping_id`` disambiguates which set produced each row (Spark and
+    DuckDB share the bit convention: bit set = column aggregated away).
+    One Expand + one aggregate in the plan — same execution shape as
+    rollup, the sets are just explicit."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                [F.col("o_orderstatus"), F.col("o_orderpriority")],
+                [F.col("o_orderstatus")],
+                [F.col("o_orderpriority")],
+            ],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum("o_totalprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy(
+            "gid",
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 # --- Q14: UNION ALL + EXCEPT ----------------------------------------------------
 def q14_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-op coverage: (event users ∪ALL supplier keys) minus customer keys,
@@ -443,6 +476,7 @@ QUERIES = {
     "q11_semi_join": q11_semi_join,
     "q12_rollup": q12_rollup,
     "q13_cube": q13_cube,
+    "q25_grouping_sets": q25_grouping_sets,
     "q14_union_except": q14_union_except,
     "q15_asof_join": q15_asof_join,
     "q16_approx_distinct": q16_approx_distinct,
@@ -535,6 +569,16 @@ ORACLE_SQL = {
               FROM events)
         GROUP BY CUBE(event_type, user_bucket)
         ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST
+    """,
+    "q25_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+               SUM(o_totalprice) AS sum_price, COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        ORDER BY gid, o_orderstatus NULLS FIRST,
+                 o_orderpriority NULLS FIRST
     """,
     "q14_union_except": """
         SELECT DISTINCT id FROM (

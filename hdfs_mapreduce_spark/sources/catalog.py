@@ -159,7 +159,10 @@ def ingest_text_with_lineno(spark: SparkSession, path: str) -> DataFrame:
     input_file_name) hash-exchanges the entire corpus AND serializes each
     file into a single window partition — a straggler at any real file
     size. Determinism note: both passes plan splits from the same
-    files/conf, so partition ids line up."""
+    files/conf, so partition ids line up — and pass 2 VERIFIES that: each
+    task recounts its (pid, file) rows against pass 1's counts and raises
+    on any mismatch (a file appended/replaced between passes, or a split
+    replan) instead of silently mis-numbering."""
     import pandas as pd
 
     base = spark.read.text(path).select(
@@ -171,11 +174,15 @@ def ingest_text_with_lineno(spark: SparkSession, path: str) -> DataFrame:
         base.groupBy("pid", "file").count().orderBy("pid").collect()
     )
     offsets: dict[tuple[int, str], int] = {}
+    expected: dict[tuple[int, str], int] = {}
     totals: dict[str, int] = {}
     for row in counts:
-        offsets[(row["pid"], row["file"])] = totals.get(row["file"], 0)
+        key = (row["pid"], row["file"])
+        offsets[key] = totals.get(row["file"], 0)
+        expected[key] = row["count"]
         totals[row["file"]] = totals.get(row["file"], 0) + row["count"]
     b_offsets = spark.sparkContext.broadcast(offsets)
+    b_expected = spark.sparkContext.broadcast(expected)
 
     def assign(batches):
         seen: dict[tuple[int, str], int] = {}
@@ -185,12 +192,27 @@ def ingest_text_with_lineno(spark: SparkSession, path: str) -> DataFrame:
             for k in keys:
                 nxt = seen.get(k)
                 if nxt is None:
-                    nxt = b_offsets.value.get(k, 0)
+                    if k not in b_offsets.value:
+                        raise ValueError(
+                            f"ingest_text_with_lineno: split {k} exists in "
+                            "pass 2 but not pass 1 — input changed between "
+                            "passes; re-run the ingest"
+                        )
+                    nxt = b_offsets.value[k]
                 linenos.append(nxt)
                 seen[k] = nxt + 1
             yield pd.DataFrame(
                 {"file": pdf["file"], "line_no": linenos, "value": pdf["value"]}
             )
+        for k, nxt in seen.items():
+            got = nxt - b_offsets.value[k]
+            want = b_expected.value.get(k)
+            if got != want:
+                raise ValueError(
+                    f"ingest_text_with_lineno: split {k} produced {got} rows "
+                    f"in pass 2 but {want} in pass 1 — input changed between "
+                    "passes; line numbers would be wrong, re-run the ingest"
+                )
 
     return base.mapInPandas(assign, "file string, line_no long, value string")
 

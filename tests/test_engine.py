@@ -137,6 +137,28 @@ def test_ingest_text_with_lineno_multifile(spark, tmp_path):
         assert r["line_no"] == int(i)
 
 
+def test_ingest_text_with_lineno_raises_if_input_changes_between_passes(
+    spark, tmp_path
+):
+    """The two-pass numbering plans splits twice; a file that grows between
+    pass 1 (count) and pass 2 (assign) must fail LOUDLY, not silently
+    mis-number (r2 verdict item 9). The append happens after the eager
+    count collect but before the lazy second scan executes."""
+    import pytest
+
+    from hdfs_mapreduce_spark.sources.catalog import ingest_text_with_lineno
+
+    d = tmp_path / "texts"
+    d.mkdir()
+    f = d / "grow.txt"
+    f.write_text("".join(f"line{i}\n" for i in range(50)))
+    df = ingest_text_with_lineno(spark, str(d))  # pass 1 runs here
+    with f.open("a") as fh:
+        fh.write("appended-after-pass-1\n")
+    with pytest.raises(Exception, match="input changed between passes"):
+        df.collect()  # pass 2 recounts and must detect the drift
+
+
 def test_salted_aggregate_equals_plain(spark):
     from pyspark.sql import functions as F
 

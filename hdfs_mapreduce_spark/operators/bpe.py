@@ -1,0 +1,109 @@
+"""BPE vocabulary induction: the full merge loop over a corpus.
+
+``plans/text_plans.bpe_pair_stats`` verifies ONE pair-count round at
+corpus scale; this module drives the actual loop (Sennrich et al. '16,
+"Neural Machine Translation of Rare Words with Subword Units") the way a
+distributed trainer runs it:
+
+* The corpus is scanned ONCE into the (word, n) frequency table — BPE
+  statistics are identical over word types weighted by frequency, and
+  the word-type relation is vocabulary-sized where the corpus is
+  token-sized, so every merge round runs on the tiny relation.
+* Each round: adjacent symbol pairs explode with their word weights,
+  a partial→final aggregate reduces them (alphabet²-bounded domain ⇒
+  tiny shuffle), and the argmax pair comes back as ONE collected row
+  (count desc, then lexicographic (a, b) — fully deterministic).
+* The chosen merge applies array-side: a sequential left-fold over each
+  word's symbol array replaces adjacent (a, b) with a+b, left-priority
+  non-overlapping — exactly the reference algorithm's scan order.
+
+Driver-side state is one (a, b) string pair per round; no cache
+outlives the call (the components-operator contract). Lineage grows by
+one transform per round over the vocab-sized relation — for vocab-scale
+merge counts (10k+), materialize the symbol table every ~100 rounds via
+operators.materialize; the loop shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, n): lowercased whitespace word types with corpus counts —
+    the one corpus-sized pass of BPE training."""
+    return (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _chars(col: Column) -> Column:
+    return F.filter(F.split(col, ""), lambda x: x != F.lit(""))
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(a, b, cnt): adjacent-symbol pair totals weighted by word count.
+    Zero per-character rows until the explode; partial aggregation
+    collapses the pair domain before the shuffle."""
+    size = F.size("sym")
+    pairs = words.select(
+        "n",
+        F.explode(
+            F.zip_with(
+                F.slice("sym", 1, size - 1),
+                F.slice("sym", 2, size - 1),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.sum("n").alias("cnt")
+    )
+
+
+def _apply_merge(sym: Column, a: str, b: str) -> Column:
+    """Left-priority non-overlapping replacement of adjacent (a, b) with
+    a+b via a sequential fold — the same scan order as the reference
+    algorithm, so "aaaa" under merge (a,a) becomes ["aa","aa"]."""
+    merged = F.lit(a + b)
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_learn(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
+    merge list and the final (word, n, sym) symbol table. Stops early
+    when no adjacent pair remains (every word fused to one symbol)."""
+    words = word_frequencies(df, text_col).select(
+        "word", "n", _chars(F.col("word")).alias("sym")
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        words = words.select(
+            "word", "n", _apply_merge(F.col("sym"), a, b).alias("sym")
+        )
+    return merges, words

@@ -1,0 +1,119 @@
+"""BPE merge loop (r2 verdict item 8): the distributed loop must
+reproduce a sequential reference implementation's merge sequence
+exactly, and every round's pair-count plan must stay partial-agg +
+TakeOrdered."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdfs_mapreduce_spark.operators.bpe import (
+    _pair_counts,
+    bpe_learn,
+    word_frequencies,
+)
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Sequential Sennrich-style BPE with the same determinism rules:
+    argmax by (count desc, pair lexicographic), left-priority
+    non-overlapping replacement."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = (
+                    counts.get((sym[i], sym[i + 1]), 0) + n
+                )
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p))
+        merges.append(pair)
+        a, b = pair
+        new_vocab = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges, vocab
+
+
+SENNRICH_CORPUS = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+
+def test_bpe_learn_matches_reference_merge_sequence(spark):
+    rows = [(" ".join([w] * n),) for w, n in SENNRICH_CORPUS.items()]
+    df = spark.createDataFrame(rows, "text string")
+    got_merges, words = bpe_learn(df, "text", n_merges=8)
+    want_merges, want_vocab = _reference_bpe(SENNRICH_CORPUS, 8)
+    assert got_merges == want_merges
+    got_vocab = {
+        tuple(r["sym"]): r["n"] for r in words.select("sym", "n").collect()
+    }
+    assert got_vocab == want_vocab
+
+
+def test_bpe_learn_random_corpus_property(spark):
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcd"
+    counts = {
+        "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(1, 7))
+        ): rng.randint(1, 9)
+        for _ in range(30)
+    }
+    rows = [(" ".join([w] * n),) for w, n in counts.items()]
+    df = spark.createDataFrame(rows, "text string")
+    got, _ = bpe_learn(df, "text", n_merges=12)
+    want, _ = _reference_bpe(counts, 12)
+    assert got == want
+
+
+def test_bpe_learn_early_stops_when_fully_fused(spark):
+    df = spark.createDataFrame([("ab ab ab",)], "text string")
+    merges, words = bpe_learn(df, "text", n_merges=10)
+    assert merges == [("a", "b")]
+    assert [tuple(r["sym"]) for r in words.collect()] == [("ab",)]
+
+
+def test_bpe_pair_count_plan_stays_takeordered_partial_agg(spark):
+    """The per-round argmax must plan as partial+final HashAggregate and
+    TakeOrderedAndProject at every round — the loop never degrades into
+    a global sort or a single-stage aggregate."""
+    df = spark.createDataFrame(
+        [(" ".join([w] * n),) for w, n in SENNRICH_CORPUS.items()],
+        "text string",
+    )
+    from hdfs_mapreduce_spark.operators.bpe import _chars
+
+    words = word_frequencies(df, "text").select(
+        "word", "n", _chars(F.col("word")).alias("sym")
+    )
+    from hdfs_mapreduce_spark.operators.bpe import _apply_merge
+
+    for a, b in [("e", "s"), ("es", "t")]:  # rounds 0, 1, 2 plan shapes
+        plan = (
+            _pair_counts(words)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert plan.count("HashAggregate") >= 2  # partial + final
+        assert "Sort " not in plan  # no global sort sneaks in
+        words = words.select(
+            "word", "n", _apply_merge(F.col("sym"), a, b).alias("sym")
+        )

@@ -374,6 +374,84 @@ def read_upsert_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
 
 
+# --- bucketed upsert state (the 100 TB swap, wired) -------------------------------
+def _bucketed_state_versions(spark: SparkSession, state_table: str) -> list[int]:
+    prefix = f"{state_table}_v"
+    return sorted(
+        int(t.name[len(prefix):])
+        for t in spark.catalog.listTables()
+        if t.name.startswith(prefix) and t.name[len(prefix):].isdigit()
+    )
+
+
+def upsert_batch_into_bucketed_state(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_table: str,
+    key: str = "event_id",
+    n_buckets: int = 32,
+) -> int:
+    """One upsert merge against a BUCKETED state table (new rows win).
+    Returns the version number written.
+
+    This is stream_upsert_events' documented 100 TB swap, actually
+    wired: the state versions are managed tables bucketed on the key
+    (sources/catalog.write_bucketed), so the per-batch anti-join reads
+    the state side with its bucket partitioning intact — NO Exchange
+    ever touches the state relation, only the micro-batch (orders of
+    magnitude smaller) hashes to align with it
+    (tests/test_streaming.py asserts the Exchange count). The versioned
+    snapshot contract is identical to the directory variant: readers see
+    v{N} or v{N+1}, never a mix, and a failed batch leaves v{N} intact."""
+    from hdfs_mapreduce_spark.sources.catalog import write_bucketed
+
+    batch = batch_df.dropDuplicates([key])
+    versions = _bucketed_state_versions(spark, state_table)
+    if versions:
+        state = spark.table(f"{state_table}_v{versions[-1]}")
+        merged = state.join(
+            batch.select(key), key, "left_anti"
+        ).unionByName(batch)
+        next_v = versions[-1] + 1
+    else:
+        merged, next_v = batch, 0
+    write_bucketed(
+        merged, f"{state_table}_v{next_v}", [key], n_buckets=n_buckets
+    )
+    return next_v
+
+
+def stream_upsert_events_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    state_table: str,
+    checkpoint_dir: str | None = None,
+    n_buckets: int = 32,
+):
+    """stream_upsert_events with bucketed managed-table state: identical
+    dataflow, but the steady-state merge join is exchange-free on the
+    state side (see upsert_batch_into_bucketed_state)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_batch_into_bucketed_state(
+            spark, batch_df, state_table, n_buckets=n_buckets
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    writer = stream.writeStream.foreachBatch(merge)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
+def read_bucketed_upsert_state(
+    spark: SparkSession, state_table: str
+) -> DataFrame:
+    """Latest snapshot of a bucketed upsert state table."""
+    versions = _bucketed_state_versions(spark, state_table)
+    return spark.table(f"{state_table}_v{versions[-1]}")
+
+
 ATTRIB_WINDOW_MIN = 60
 
 

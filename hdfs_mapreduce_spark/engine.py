@@ -46,6 +46,7 @@ class Engine:
     def __init__(self, spark: SparkSession, warehouse: str):
         self.spark = spark
         self.warehouse = warehouse
+        self._registered_views: set[str] = set()
         fs, path = self._fs_path(warehouse)
         fs.mkdirs(path)
 
@@ -143,6 +144,9 @@ class Engine:
         if not fs.exists(path):
             raise FileNotFoundError(name)
         fs.delete(path, True)
+        # a later put() may reuse the name with different files — force
+        # sql() to re-register it instead of serving the stale view
+        self._registered_views.discard(name)
 
     # --- stats (S8) -------------------------------------------------------------
     def stats(self) -> dict[str, dict[str, int]]:
@@ -187,6 +191,9 @@ class Engine:
         fs.rename(cur, old)
         fs.rename(tmp, cur)
         fs.delete(old, True)
+        # the rewrite replaced every file — a registered view's captured
+        # listing is gone; re-register on next sql()
+        self._registered_views.discard(name)
         after = self.stats()[name]
         return {
             "files_before": before,
@@ -204,15 +211,34 @@ class Engine:
         sketch replaces the stale one)."""
         from hdfs_mapreduce_spark.operators.materialize import materialize
 
-        return materialize(df, name, base=self.warehouse)
+        out = materialize(df, name, base=self.warehouse)
+        # overwrite semantics: any view registered for this name captured
+        # the OLD file listing — re-register on next sql()
+        self._registered_views.discard(name)
+        return out
 
     # --- SQL over the warehouse namespace ----------------------------------------
     def sql(self, query: str) -> DataFrame:
         """Run SQL with every stored table visible as a view — the query
         language the reference never had (its only 'plan' was a compiled
-        plugin binary; SURVEY §3.4)."""
-        for name in self.ls():
+        plugin binary; SURVEY §3.4).
+
+        The view registration is incremental: only tables that appeared
+        since the last call are (re)registered, so repeated ``sql`` calls
+        don't re-list + re-read footers for the whole warehouse — against
+        an object store every listStatus/footer read is a round-trip, and
+        a dashboard issuing hundreds of queries was paying all of them
+        per query. Tables written through this Engine (put/compute/
+        materialize) mutate the namespace through ``ls`` anyway; external
+        writers landing files mid-session are picked up because ``ls``
+        itself is always fresh — only the per-table re-registration is
+        skipped."""
+        current = set(self.ls())
+        for name in current - self._registered_views:
             self.get(name).createOrReplaceTempView(name)
+        for name in self._registered_views - current:
+            self.spark.catalog.dropTempView(name)
+        self._registered_views = current
         return self.spark.sql(query)
 
     # --- COMPUTE (§3.1): the reference's MapReduce job verb ---------------------

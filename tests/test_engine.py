@@ -270,6 +270,33 @@ def test_engine_sql_over_warehouse(engine, tmp_path):
     assert [(r["brand"], r["total"]) for r in rows] == [("acme", 30), ("globex", 5)]
 
 
+def test_engine_sql_view_cache_sees_mutations(engine, tmp_path):
+    """sql() registers views incrementally (not a full warehouse re-list
+    per call) but must never serve stale views: rm + re-put under the
+    same name, and a materialize overwrite, both show fresh data."""
+    csv1 = tmp_path / "v1.csv"
+    csv1.write_text("k,v\na,1\n")
+    engine.put(str(csv1), "t", fmt="csv", header=True, inferSchema=True)
+    assert engine.sql("SELECT SUM(v) AS s FROM t").collect()[0]["s"] == 1
+    engine.rm("t")
+    csv2 = tmp_path / "v2.csv"
+    csv2.write_text("k,v\na,5\nb,6\n")
+    engine.put(str(csv2), "t", fmt="csv", header=True, inferSchema=True)
+    assert engine.sql("SELECT SUM(v) AS s FROM t").collect()[0]["s"] == 11
+    # materialize overwrite under a registered name
+    spark = engine.spark
+    engine.materialize(spark.range(3).selectExpr("id AS v"), "m")
+    assert engine.sql("SELECT SUM(v) AS s FROM m").collect()[0]["s"] == 3
+    engine.materialize(spark.range(10).selectExpr("id AS v"), "m")
+    assert engine.sql("SELECT SUM(v) AS s FROM m").collect()[0]["s"] == 45
+    # a removed table disappears from the namespace
+    engine.rm("m")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        engine.sql("SELECT * FROM m").collect()
+
+
 def test_salted_join_rejects_outer_directions(spark):
     """right/full would replicate unmatched small-side rows n_salts times —
     rejected rather than silently wrong."""

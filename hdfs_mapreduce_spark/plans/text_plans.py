@@ -238,6 +238,44 @@ def dataset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHUFFLE_SHARDS = 16
+SHUFFLE_SEED = 42
+
+
+def dataset_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle into training shards: every
+    document gets a shard (seeded hash mod SHUFFLE_SHARDS) and a position
+    within its shard (rank of a second independent seeded hash) — the
+    write-order randomization a training run needs, with none of
+    ``rand()``'s irreproducibility: the permutation is a pure function of
+    (doc_id, seed), stable across runs, engines, and corpus growth.
+
+    Scale shape: ONE hash exchange on the shard key, then a per-shard
+    sort — a window whose partition is a shard, so shard count is chosen
+    to make each shard a task-sized unit (at 100 TB: tens of thousands of
+    shards of a few GB, not 16). The hash ranking also means shard files
+    can be written directly with partitionBy(shard) + sortWithinPartitions
+    and the pos column never materializes driver-side."""
+    from hdfs_mapreduce_spark.functions.hashing import h56
+    from pyspark.sql.window import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    shard = h56(
+        F.concat(F.lit(f"shard:{SHUFFLE_SEED}:"), F.col("doc_id"))
+    ) % SHUFFLE_SHARDS
+    posh = h56(F.concat(F.lit(f"pos:{SHUFFLE_SEED}:"), F.col("doc_id")))
+    w = Window.partitionBy("shard").orderBy("posh", "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"), posh.alias("posh"))
+        .select(
+            "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+            "doc_id",
+        )
+        .orderBy("shard", "pos")
+    )
+
+
 # PII scrubbing patterns — identical strings are valid in both Java regex
 # (Spark) and RE2 (DuckDB): character classes, bounded repetition, no
 # lookarounds.
@@ -558,6 +596,7 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "dataset_split": dataset_split,
     "dataset_sample": dataset_sample,
+    "dataset_shuffle": dataset_shuffle,
     "text_repetition": text_repetition,
     "domain_cap": domain_cap,
     "pipeline_curate": pipeline_curate,
@@ -772,6 +811,19 @@ ORACLE_SQL = {
                     THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh)
                     ELSE 0.0 END AS dup_shingle_frac
         FROM s ORDER BY doc_id
+    """,
+    "dataset_shuffle": f"""
+        SELECT shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY posh, doc_id) AS BIGINT) AS pos,
+               doc_id
+        FROM (
+            SELECT doc_id,
+                   {h56_sql(f"'shard:{SHUFFLE_SEED}:' || doc_id")}
+                       % {SHUFFLE_SHARDS} AS shard,
+                   {h56_sql(f"'pos:{SHUFFLE_SEED}:' || doc_id")} AS posh
+            FROM documents)
+        ORDER BY shard, pos
     """,
     "dataset_sample": f"""
         WITH s AS (

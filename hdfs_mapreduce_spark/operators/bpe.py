@@ -82,6 +82,63 @@ def _apply_merge(sym: Column, a: str, b: str) -> Column:
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Encode a corpus with a learned merge list: (id, tokens, n_tokens)
+    where tokens is each document's subword sequence in document order.
+
+    Scale shape (the standard trainer/encoder split): merges apply to the
+    DISTINCT word types (vocabulary-sized), never to the corpus — each
+    merge is one array fold over the word table, and the finished
+    word -> subwords dictionary **broadcasts** back onto the corpus token
+    stream (corpora repeat words; vocabularies don't). Word order inside
+    each document survives via posexplode position + an array_sort on
+    (pos, subwords) structs before the flatten — no window, one doc-keyed
+    shuffle. For vocab-scale merge lists (10k+), checkpoint the word
+    table every ~100 merges (operators/materialize) to bound the nested
+    expression depth; the dataflow is unchanged."""
+    words = (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+        .select("word", _chars(F.col("word")).alias("sym"))
+    )
+    for a, b in merges:
+        words = words.select("word", _apply_merge(F.col("sym"), a, b).alias("sym"))
+    tok = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), r"\s+"),
+                    lambda w: w != F.lit(""),
+                )
+            ).alias("pos", "word"),
+        )
+        .join(F.broadcast(words), "word")
+        .groupBy("doc")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "sym"))),
+                    lambda s: s["sym"],
+                )
+            ).alias("tokens")
+        )
+    )
+    return tok.select(
+        F.col("doc").alias(id_col),
+        "tokens",
+        F.size("tokens").alias("n_tokens"),
+    )
+
+
 def bpe_learn(
     df: DataFrame, text_col: str, n_merges: int
 ) -> tuple[list[tuple[str, str]], DataFrame]:

@@ -117,3 +117,60 @@ def test_bpe_pair_count_plan_stays_takeordered_partial_agg(spark):
         words = words.select(
             "word", "n", _apply_merge(F.col("sym"), a, b).alias("sym")
         )
+
+
+def _reference_encode(word: str, merges) -> list[str]:
+    sym = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_encode_matches_reference_and_preserves_order(spark):
+    """Encoding with learned merges must tokenize each document exactly as
+    the sequential reference encoder does, with subwords in document
+    order across word boundaries."""
+    from hdfs_mapreduce_spark.operators.bpe import bpe_encode
+
+    rows = [(i, " ".join([w] * n)) for i, (w, n) in
+            enumerate(SENNRICH_CORPUS.items())]
+    rows.append((99, "newest lower widest low"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, _ = _reference_bpe(SENNRICH_CORPUS, 6)
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"])
+        for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    for doc_id, text in rows:
+        want = [
+            t for w in text.split() for t in _reference_encode(w, merges)
+        ]
+        assert got[doc_id] == (want, len(want)), f"doc {doc_id}"
+
+
+def test_bpe_encode_roundtrip_with_learn(spark):
+    """Encoding the training corpus with its own learned merges must
+    reproduce bpe_learn's final symbol table, word for word."""
+    from hdfs_mapreduce_spark.operators.bpe import bpe_encode, bpe_learn
+
+    rows = [(i, " ".join([w] * n)) for i, (w, n) in
+            enumerate(SENNRICH_CORPUS.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, words = bpe_learn(df, "text", n_merges=5)
+    final = {r["word"]: list(r["sym"]) for r in words.collect()}
+    enc = bpe_encode(df, "doc_id", "text", merges)
+    for (doc_id, text), _ in zip(rows, range(len(rows))):
+        toks = [
+            list(r["tokens"])
+            for r in enc.filter(F.col("doc_id") == doc_id).collect()
+        ][0]
+        want = [t for w in text.split() for t in final[w]]
+        assert toks == want

@@ -1,0 +1,101 @@
+"""Count-min sketch: mergeable approximate frequency counts.
+
+Completes the sketch family (HLL distinct counts, GK quantiles — both
+Spark built-ins) with the classic heavy-hitter/point-query sketch
+[Cormode & Muthukrishnan '05]: a depth x width counter grid where item v
+increments cell (d, h_d(v)) in every row d, and a point query reads the
+MIN over the d cells — always an overestimate, within eN/width with
+probability 1 - exp(-depth).
+
+Why this shape for 100 TB: the sketch relation is depth x width rows
+(a few thousand) regardless of corpus size, built in ONE corpus pass —
+each record explodes to its depth (row, bucket) cells map-side and the
+partial aggregation collapses them before the tiny shuffle. Sketches
+over different partitions/days MERGE by cell-wise addition (exactly the
+property counts need for incremental pipelines), and the merge is a
+union + re-aggregate of two tiny relations. Hashes are the shared
+engine-agnostic h56 (functions/hashing.py), so a sketch built by Spark
+can be probed by any engine that can compute md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hdfs_mapreduce_spark.functions.hashing import h56
+
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _cell(col: Column, d: int, width: int) -> Column:
+    return h56(F.concat(F.lit(f"cm{d}:"), col)) % width
+
+
+def cm_sketch(
+    df: DataFrame,
+    col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """(row, bucket, cnt): the counter grid for the values of ``col``.
+    One scan — the depth cells per record are built array-side and
+    exploded, partials combine before the (row, bucket) shuffle whose
+    domain is depth x width cells."""
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("row"),
+                _cell(F.col(col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise addition — sketch(A ++ B) == cm_merge(sketch(A), sketch(B))
+    exactly (not approximately): both sides count the same cells."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+) -> DataFrame:
+    """(item, est): point-query estimates for every row of ``items`` —
+    min over the depth cells, 0 for never-seen values (their cells may be
+    absent from the sketch). The sketch side is depth x width rows, so it
+    **broadcasts**; the probe is map-side."""
+    probes = items.select(
+        F.col(col).alias("item"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        _cell(F.col(col), d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select("item", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .groupBy("item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

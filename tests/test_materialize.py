@@ -71,6 +71,50 @@ def test_materialized_pairs_match_live_pipeline(spark):
     assert mat == live
 
 
+def test_two_concurrent_sessions_do_not_collide(spark, tmp_path):
+    """A SECOND real SparkSession (separate JVM, own applicationId)
+    materializes under the same logical name at the same time as this
+    session; both must read back their own rows — the r2 fixed-/tmp bug
+    had the second write clobbering the first reader."""
+    import subprocess
+    import sys
+    import textwrap
+
+    mine = materialize(
+        spark.range(100).selectExpr("id AS v"), "collide_test"
+    )
+    script = textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from hdfs_mapreduce_spark.session import get_spark
+        from hdfs_mapreduce_spark.operators.materialize import (
+            materialize, session_scratch_dir,
+        )
+        spark = get_spark("collide-other")
+        spark.sparkContext.setLogLevel("ERROR")
+        out = materialize(spark.range(7).selectExpr("id AS v"), "collide_test")
+        assert out.count() == 7
+        print("OTHER_SCRATCH=" + session_scratch_dir(spark))
+        spark.stop()
+        """
+    )
+    env = dict(os.environ, SPARK_GRAFT_CPUS="2")
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    other = [
+        line.split("=", 1)[1]
+        for line in proc.stdout.splitlines()
+        if line.startswith("OTHER_SCRATCH=")
+    ][0]
+    assert other != session_scratch_dir(spark)
+    # this session's artifact survived the other session's same-name write
+    assert mine.count() == 100
+
+
 def test_engine_materialize_writes_into_warehouse(spark, tmp_path):
     from hdfs_mapreduce_spark.engine import Engine
 

@@ -386,3 +386,59 @@ def test_bpe_pair_stats_topk_no_global_sort(spark):
     plan = plan_of(QUERIES["bpe_pair_stats"](spark, SF))
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q25_grouping_sets_expand_plus_partial_agg(spark):
+    """Arbitrary grouping sets must execute as ONE Expand + partial/final
+    aggregate pair — the same single-pass shape as rollup, never one scan
+    per set."""
+    df = QUERIES["q25_grouping_sets"](spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Expand") >= 1
+    assert plan.count("HashAggregate") >= 2
+    assert plan_of(df, "simple").count("Scan parquet") == 1  # one orders pass
+
+
+def test_dataset_shuffle_single_exchange_before_shard_sort(spark):
+    """The seeded shard shuffle is one hash exchange on the shard key into
+    the per-shard window sort; no second corpus shuffle beyond the
+    presentation sort."""
+    plan = plan_of(QUERIES["dataset_shuffle"](spark, SF), "simple")
+    assert plan.count("Scan parquet") == 1
+    # window's partitioning exchange + the final orderBy range exchange
+    assert plan.count("Exchange") <= 3
+
+
+def test_nb_lang_confusion_reuses_the_tf_exchange(spark):
+    """The single-tokenize Naive Bayes contract: model fit and scoring
+    must share the (doc, token, tf) shuffle — the executed plan carries a
+    ReusedExchange and only tokenizes the corpus once per consumer tree."""
+    df = QUERIES["nb_lang_confusion"](spark, SF)
+    df.collect()  # AQE defers exchange reuse to runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_kmeans_fit_assignment_is_shuffle_free(spark):
+    """The fitted-centroid assignment (the plan kmeans_fit returns) is a
+    pure map pass: the model rides in the Arrow kernel's closure, so the
+    plan has no Exchange and no join at all."""
+    from hdfs_mapreduce_spark.operators.similarity import kmeans_fit
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    _, assignment, _ = kmeans_fit(emb, k=4, max_iter=1, tol=0.0)
+    plan = plan_of(assignment)
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_bucketed_upsert_control_pair_is_asserted_in_streaming_tests():
+    """Placeholder cross-reference: the exchange-free bucketed upsert
+    merge (1 Exchange vs 2 for the parquet control) is asserted with live
+    state tables in tests/test_streaming.py::
+    test_bucketed_upsert_state_join_is_exchange_free_on_state_side."""
+    import pathlib
+
+    src = pathlib.Path(__file__).with_name("test_streaming.py").read_text()
+    assert "bucketed_plan.count(\"Exchange\") == 1" in src

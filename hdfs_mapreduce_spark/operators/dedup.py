@@ -236,8 +236,32 @@ def incremental_minhash_pairs(
     candidates from shared LSH bands, each pair emitted once
     (first-band-wins, no distinct shuffle).
     """
+    return incremental_pairs_against_sketch(
+        _banded_sketch(corpus_df, id_col, text_col),
+        new_df,
+        id_col,
+        text_col,
+        threshold,
+    )
+
+
+def incremental_pairs_against_sketch(
+    corpus_sketch: DataFrame,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production form of ``incremental_minhash_pairs``: probe a
+    PRE-BUILT corpus sketch (the relation ``_banded_sketch`` computes —
+    persist it once via ``operators.materialize
+    .materialize_banded_sketch`` or ``Engine.materialize``) so the
+    nightly batch check never touches corpus text: the probe is a scan
+    of the sketch parquet joined against the broadcast batch sketch.
+    Returns the same (new_doc, dup_of, jaccard) relation as the
+    self-contained variant (tested equal)."""
     nb = _banded_sketch(new_df, id_col, text_col).alias("n")
-    cb = _banded_sketch(corpus_df, id_col, text_col).alias("c")
+    cb = corpus_sketch.alias("c")
     return (
         cb.join(
             F.broadcast(nb),

@@ -94,6 +94,23 @@ def materialize_minhash_pairs(
     return materialize(pairs.select("doc_a", "doc_b"), name, base)
 
 
+def materialize_banded_sketch(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    name: str = "banded_sketch",
+    base: str | None = None,
+) -> DataFrame:
+    """The banded MinHash sketch (band rows + shingle sets), materialized —
+    the probe table for incremental dedup: a nightly batch checks itself
+    against this parquet via ``operators.dedup
+    .incremental_pairs_against_sketch`` without ever re-reading corpus
+    text. Rebuild (or append-merge) when the corpus grows."""
+    from hdfs_mapreduce_spark.operators.dedup import _banded_sketch
+
+    return materialize(_banded_sketch(docs, id_col, text_col), name, base)
+
+
 def materialize_minhash_signatures(
     docs: DataFrame,
     id_col: str,

@@ -115,6 +115,43 @@ def test_two_concurrent_sessions_do_not_collide(spark, tmp_path):
     assert mine.count() == 100
 
 
+def test_incremental_probe_against_materialized_sketch(spark):
+    """The production incremental-dedup path: materialize the corpus's
+    banded sketch once, then probe it with a new batch — results must
+    equal the self-contained text-path variant, and the probe plan must
+    scan the sketch parquet, never the corpus text."""
+    from hdfs_mapreduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        incremental_pairs_against_sketch,
+    )
+    from hdfs_mapreduce_spark.operators.materialize import (
+        materialize_banded_sketch,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    want = {
+        (r["new_doc"], r["dup_of"])
+        for r in incremental_minhash_pairs(
+            corpus, batch, "doc_id", "text", 0.5
+        ).collect()
+    }
+    sketch = materialize_banded_sketch(
+        corpus, "doc_id", "text", name="inc_sketch"
+    )
+    probe = incremental_pairs_against_sketch(
+        sketch, batch, "doc_id", "text", 0.5
+    )
+    got = {(r["new_doc"], r["dup_of"]) for r in probe.collect()}
+    assert got == want
+    # the corpus side of the probe is the sketch parquet, not documents
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]  # AQE echoes the initial plan too
+    assert "inc_sketch" in final
+    assert final.count("documents.parquet") == 1  # batch side only
+
+
 def test_engine_materialize_writes_into_warehouse(spark, tmp_path):
     from hdfs_mapreduce_spark.engine import Engine
 

@@ -245,21 +245,61 @@ def nb_classify(
     per-occurrence sums) cannot flip predictions on real text.
     """
     classes = list(classes)
-    dt = (
+    model, priors = nb_fit(df, text_col, label_col, classes)
+    scored = _nb_scored(df, id_col, text_col, model, priors, classes)
+    labels = df.select(
+        F.col(id_col).alias("doc"), F.col(label_col).alias("label")
+    )
+    return (
+        scored.join(labels, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "label",
+            _nb_argmax(classes).alias("pred"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def _tf_relation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, token, tf): the single tokenizing pass — both the model fit
+    and scoring consume this identical subplan, so Catalyst serves the
+    second read from a ReusedExchange (plan-asserted)."""
+    return (
         df.select(
             F.col(id_col).alias("doc"),
-            F.col(label_col).alias("label"),
             F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
         )
-        .groupBy("doc", "label", "token")
+        .groupBy("doc", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    # Fitted model from the tf relation (NOT a corpus re-scan), with class
-    # token totals and |V| attached as whole-relation window constants and
-    # the smoothing log evaluated vocab-side: the broadcast carries the
-    # finished per-token log-weights.
+
+
+def nb_fit(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    classes: Sequence[str] = NB_CLASSES,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Fit the classifier; returns ``(model, priors)`` — the reusable
+    production form (fit on a labeled corpus once, score anything later;
+    both relations are broadcast-sized and Engine.materialize-able).
+
+    ``model``: (token, lw_<c>...) per-token class log-weights
+    (vocab-sized). ``priors``: ONE row with ln-priors ``prior_<c>`` and
+    the unseen-token fallback ``unk_<c>`` = ln(1 / (tok_c + V)) — the
+    Laplace mass a token absent from the training vocabulary gets, which
+    is what makes scoring NEW corpora well-defined. Class token totals
+    and |V| are window sums over the vocab-sized token aggregate; priors
+    come from a label-only scan of the corpus."""
+    classes = list(classes)
+    lbl = df.select(
+        F.col(id_col).alias("doc"), F.col(label_col).alias("label")
+    )
+    dt = _tf_relation(df, id_col, text_col).join(F.broadcast(lbl), "doc")
     wall = Window.partitionBy()
-    model = (
+    counts = (
         dt.groupBy("token")
         .agg(
             *[
@@ -277,47 +317,71 @@ def nb_classify(
             ],
             F.count(F.lit(1)).over(wall).alias("v"),
         )
-        .select(
-            "token",
-            *[
-                F.log(
-                    (F.col(f"cnt_{c}") + 1).cast("double")
-                    / (F.col(f"tok_{c}") + F.col("v"))
-                ).alias(f"lw_{c}")
-                for c in classes
-            ],
-        )
     )
-    # Doc priors from the documents relation directly: a one-row aggregate
-    # over just the label column (column pruning keeps text out of the
-    # scan). Identical to counting distinct docs in the token relation
-    # because every document tokenizes to >= 1 token; the formula is the
-    # standard NB prior over all labeled documents either way.
-    priors = df.agg(
+    model = counts.select(
+        "token",
         *[
-            F.sum((F.col(label_col) == c).cast("long")).alias(f"docs_{c}")
+            F.log(
+                (F.col(f"cnt_{c}") + 1).cast("double")
+                / (F.col(f"tok_{c}") + F.col("v"))
+            ).alias(f"lw_{c}")
             for c in classes
         ],
-        F.count(F.lit(1)).alias("n_docs"),
     )
-    scored = (
-        dt.join(F.broadcast(model), "token")
+    stats = counts.limit(1).select(
+        *[
+            F.log(1.0 / (F.col(f"tok_{c}") + F.col("v"))).alias(f"unk_{c}")
+            for c in classes
+        ]
+    )
+    priors = df.agg(
+        *[
+            F.log(
+                F.sum((F.col(label_col) == c).cast("long")).cast("double")
+                / F.count(F.lit(1))
+            ).alias(f"prior_{c}")
+            for c in classes
+        ],
+    ).crossJoin(F.broadcast(stats))
+    return model, priors
+
+
+def _nb_scored(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: DataFrame,
+    priors: DataFrame,
+    classes: Sequence[str],
+) -> DataFrame:
+    """(doc, score_<c>...): per-class log-scores of every document in
+    ``df`` under a fitted (model, priors). Map-side broadcast probe —
+    unknown tokens fall back to the priors row's unk_<c> mass — plus one
+    doc-keyed aggregate."""
+    dt = _tf_relation(df, id_col, text_col)
+    return (
+        dt.join(F.broadcast(model), "token", "left")
         .crossJoin(F.broadcast(priors))
-        .groupBy("doc", "label")
+        .groupBy("doc")
         .agg(
             *[
                 (
-                    F.max(
-                        F.log(
-                            F.col(f"docs_{c}").cast("double") / F.col("n_docs")
-                        )
+                    F.max(F.col(f"prior_{c}"))
+                    + F.sum(
+                        F.col("tf")
+                        * F.coalesce(F.col(f"lw_{c}"), F.col(f"unk_{c}"))
                     )
-                    + F.sum(F.col("tf") * F.col(f"lw_{c}"))
                 ).alias(f"score_{c}")
                 for c in classes
             ]
         )
     )
+
+
+def _nb_argmax(classes: Sequence[str]):
+    """Argmax over score_<c> columns, ties to the earliest declared class."""
+    classes = list(classes)
+
     def best_other(c: str):
         others = [F.col(f"score_{o}") for o in classes if o != c]
         return others[0] if len(others) == 1 else F.greatest(*others)
@@ -326,8 +390,23 @@ def nb_classify(
     for c in reversed(classes):
         cond = F.col(f"score_{c}") >= best_other(c)
         pred = F.when(cond, F.lit(c)).otherwise(pred)
-    return (
-        scored.select(
-            F.col("doc").alias(id_col), "label", pred.alias("pred")
-        ).orderBy(id_col)
-    )
+    return pred
+
+
+def nb_score(
+    model: DataFrame,
+    priors: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    classes: Sequence[str] = NB_CLASSES,
+) -> DataFrame:
+    """Score an arbitrary corpus under a fitted (model, priors): returns
+    (id, pred) per document, ordered by id — the model-based filter gate
+    a curation pipeline applies to unlabeled data. Tokens outside the
+    training vocabulary get the Laplace unk mass (see nb_fit)."""
+    classes = list(classes)
+    scored = _nb_scored(df, id_col, text_col, model, priors, classes)
+    return scored.select(
+        F.col("doc").alias(id_col), _nb_argmax(classes).alias("pred")
+    ).orderBy(id_col)

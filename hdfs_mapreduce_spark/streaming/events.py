@@ -374,6 +374,57 @@ def read_upsert_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
 
 
+# --- streaming count-min sketch ---------------------------------------------------
+def stream_cm_sketch(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+    col: str = "user_id",
+    depth: int = 4,
+    width: int = 1024,
+):
+    """Maintain a count-min sketch of a streaming column via foreachBatch:
+    each micro-batch's sketch (depth x width, tiny) merges cell-wise into
+    the versioned state — the exact mergeability the sketch guarantees,
+    so the maintained state equals the batch sketch of everything seen
+    (tested cell for cell). Same immutable-version contract as
+    stream_upsert_events: readers always see a complete snapshot. This is
+    the streaming form of frequency monitoring (heavy-hitter users,
+    trending tokens) whose state stays O(depth x width) forever while the
+    stream is unbounded."""
+    from hdfs_mapreduce_spark.operators.sketches import cm_merge, cm_sketch
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cm_sketch(
+            batch_df.select(F.col(col).cast("string").alias("item")),
+            "item",
+            depth,
+            width,
+        )
+        versions = sorted(
+            int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+        )
+        if versions:
+            prev = spark.read.parquet(
+                os.path.join(state_dir, f"v{versions[-1]}")
+            )
+            merged, next_v = cm_merge(prev, sk), versions[-1] + 1
+        else:
+            merged, next_v = sk, 0
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{next_v}")
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    writer = stream.writeStream.foreachBatch(merge)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 # --- bucketed upsert state (the 100 TB swap, wired) -------------------------------
 def _bucketed_state_versions(spark: SparkSession, state_table: str) -> list[int]:
     prefix = f"{state_table}_v"

@@ -379,3 +379,41 @@ def test_bucketed_upsert_stream_equals_batch_distinct(spark):
         for t in list(spark.catalog.listTables()):
             if t.name.startswith(tbl):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_stream_cm_sketch_equals_batch_sketch_exactly(spark):
+    """The streamed, per-batch-merged count-min sketch must equal the
+    batch sketch of the whole events table cell for cell — mergeability
+    carried through a live foreachBatch pipeline."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.sketches import cm_sketch
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.events import (
+        read_upsert_state,
+        stream_cm_sketch,
+    )
+
+    with tempfile.TemporaryDirectory() as root:
+        state = f"{root}/state"
+        q = (
+            stream_cm_sketch(spark, SF, state, checkpoint_dir=f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in read_upsert_state(spark, state).collect()
+        }
+        events = load_table(spark, SF, "events")
+        batch = {
+            (r["row"], r["bucket"]): r["cnt"]
+            for r in cm_sketch(
+                events.select(
+                    F.col("user_id").cast("string").alias("item")
+                ),
+                "item",
+            ).collect()
+        }
+        assert streamed == batch

@@ -140,16 +140,37 @@ def bpe_encode(
 
 
 def bpe_learn(
-    df: DataFrame, text_col: str, n_merges: int
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    checkpoint_every: int = 100,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     merge list and the final (word, n, sym) symbol table. Stops early
-    when no adjacent pair remains (every word fused to one symbol)."""
+    when no adjacent pair remains (every word fused to one symbol).
+
+    Every ``checkpoint_every`` merges the symbol table is eagerly
+    localCheckpoint'ed: each merge nests one more fold expression, and an
+    unbounded chain makes round k re-evaluate all k folds AND grows the
+    analyzed plan superlinearly — the checkpoint truncates lineage so a
+    10k-merge vocabulary run stays O(checkpoint_every) deep. Checkpoints
+    are freed as soon as the next one lands (and on every exit path), so
+    no cache outlives the call beyond the final table's one live
+    checkpoint, which Spark frees with the session."""
+    sc = df.sparkSession.sparkContext
     words = word_frequencies(df, text_col).select(
         "word", "n", _chars(F.col("word")).alias("sym")
     )
+    before = set(sc._jsc.getPersistentRDDs().keySet())
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+
+    def _free_all_but_latest() -> None:
+        jmap = sc._jsc.getPersistentRDDs()
+        stale = set(jmap.keySet()) - before
+        for rid in sorted(stale)[:-1]:  # keep the newest checkpoint live
+            jmap.get(rid).unpersist()
+
+    for i in range(n_merges):
         top = (
             _pair_counts(words)
             .orderBy(F.col("cnt").desc(), "a", "b")
@@ -163,4 +184,7 @@ def bpe_learn(
         words = words.select(
             "word", "n", _apply_merge(F.col("sym"), a, b).alias("sym")
         )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+            _free_all_but_latest()
     return merges, words

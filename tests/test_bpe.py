@@ -174,3 +174,29 @@ def test_bpe_encode_roundtrip_with_learn(spark):
         ][0]
         want = [t for w in text.split() for t in final[w]]
         assert toks == want
+
+
+def test_bpe_learn_long_run_with_checkpointing(spark):
+    """A long merge run with frequent checkpoints must reproduce the
+    reference merge sequence exactly (lineage truncation cannot change
+    results) and must not leak cached RDDs beyond the single live
+    checkpoint."""
+    import random
+
+    from hdfs_mapreduce_spark.operators.bpe import bpe_learn
+
+    rng = random.Random(11)
+    counts = {
+        "".join(rng.choice("abcdef") for _ in range(rng.randint(2, 10))):
+        rng.randint(1, 9)
+        for _ in range(40)
+    }
+    rows = [(" ".join([w] * n),) for w, n in counts.items()]
+    df = spark.createDataFrame(rows, "text string")
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet())
+    got, _ = bpe_learn(df, "text", n_merges=30, checkpoint_every=5)
+    want, _ = _reference_bpe(counts, 30)
+    assert got == want
+    leaked = set(sc._jsc.getPersistentRDDs().keySet()) - before
+    assert len(leaked) <= 1  # only the newest checkpoint may remain live

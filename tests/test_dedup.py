@@ -407,3 +407,53 @@ def test_span_scrub_keeps_first_occurrence(spark):
     # doc 4: everything scrubbed → md5('').
     assert rows[4]["n_kept"] == 0
     assert rows[4]["scrubbed_hash"] == md5("")
+
+
+def test_logrounds_components_match_union_find(spark):
+    """Large-star/small-star must produce the identical min-id labeling
+    as union-find on every graph shape — including the long chains that
+    are min-label propagation's worst case (O(diameter) rounds vs
+    O(log n) here)."""
+    import random
+
+    from hdfs_mapreduce_spark.operators.components import (
+        connected_components_logrounds,
+    )
+
+    def union_find_labels(edge_list):
+        parent = {}
+
+        def find(x):
+            while parent.get(x, x) != x:
+                parent[x] = parent.get(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {n for e in edge_list for n in e}
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(3)
+    cases = {
+        "long_path": [(i, i + 1) for i in range(500)],
+        "two_cliques": [(a, b) for a in range(5) for b in range(a + 1, 5)]
+        + [(a, b) for a in range(100, 104) for b in range(a + 1, 104)],
+        "random_sparse": [
+            (rng.randrange(300), rng.randrange(300)) for _ in range(200)
+        ],
+        "star": [(0, i) for i in range(1, 50)],
+        "reversed_path": [(i + 1, i) for i in range(200)],
+    }
+    for name, edge_list in cases.items():
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        df = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components_logrounds(df).collect()
+        }
+        want = union_find_labels(edge_list)
+        want = {n: lbl for n, lbl in want.items() if n != lbl}
+        assert got == want, f"{name}: mismatch"

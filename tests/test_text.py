@@ -77,3 +77,36 @@ def test_mixture_sample_tracks_solver_rates(spark):
             exp_total += r["sample_rate"] * r["tokens"]
             kept_total += s["kept_tokens"]
     assert kept_total == pytest.approx(exp_total, rel=0.35)
+
+
+def test_dataset_shuffle_is_a_stable_permutation(spark):
+    """The seeded shard shuffle must be a bijection docs <-> (shard, pos)
+    with dense 1..n positions per shard, identical across runs (the whole
+    point vs rand()), and actually shuffled (not id order)."""
+    from hdfs_mapreduce_spark.plans.text_plans import (
+        SHUFFLE_SHARDS,
+        dataset_shuffle,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows1 = [tuple(r) for r in dataset_shuffle(spark, sf).collect()]
+    rows2 = [tuple(r) for r in dataset_shuffle(spark, sf).collect()]
+    assert rows1 == rows2  # deterministic, run to run
+    shards = {}
+    doc_ids = set()
+    for shard, pos, doc_id in rows1:
+        assert 0 <= shard < SHUFFLE_SHARDS
+        shards.setdefault(shard, []).append(pos)
+        doc_ids.add(doc_id)
+    assert len(doc_ids) == len(rows1)  # bijection: every doc exactly once
+    for shard, positions in shards.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # genuinely permuted: within some shard, doc_ids are not monotone
+    by_pos = {}
+    for shard, pos, doc_id in rows1:
+        by_pos.setdefault(shard, []).append((pos, doc_id))
+    monotone = all(
+        [d for _, d in sorted(v)] == sorted(d for _, d in v)
+        for v in by_pos.values()
+    )
+    assert not monotone

@@ -245,20 +245,38 @@ def nb_classify(
     per-occurrence sums) cannot flip predictions on real text.
     """
     classes = list(classes)
-    model, priors = nb_fit(df, text_col, label_col, classes)
-    scored = _nb_scored(df, id_col, text_col, model, priors, classes)
-    labels = df.select(
-        F.col(id_col).alias("doc"), F.col(label_col).alias("label")
-    )
-    return (
-        scored.join(labels, "doc")
-        .select(
-            F.col("doc").alias(id_col),
-            "label",
-            _nb_argmax(classes).alias("pred"),
+    # Label-carrying tf relation: fit AND score read this one subplan, so
+    # the label rides the existing shuffle for free — no extra label join
+    # on either face (the generic nb_fit/nb_score pay one broadcast join
+    # each because they cannot assume the scored corpus is the fitted one).
+    dt = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.col(label_col).alias("label"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
         )
-        .orderBy(id_col)
+        .groupBy("doc", "label", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
+    model, stats = _fit_from_dt(dt, classes)
+    priors = _priors_of(df, label_col, classes).crossJoin(F.broadcast(stats))
+    scored = (
+        dt.join(F.broadcast(model), "token")  # no OOV on the fit corpus
+        .crossJoin(F.broadcast(priors))
+        .groupBy("doc", "label")
+        .agg(
+            *[
+                (
+                    F.max(F.col(f"prior_{c}"))
+                    + F.sum(F.col("tf") * F.col(f"lw_{c}"))
+                ).alias(f"score_{c}")
+                for c in classes
+            ]
+        )
+    )
+    return scored.select(
+        F.col("doc").alias(id_col), "label", _nb_argmax(classes).alias("pred")
+    ).orderBy(id_col)
 
 
 def _tf_relation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -298,6 +316,19 @@ def nb_fit(
         F.col(id_col).alias("doc"), F.col(label_col).alias("label")
     )
     dt = _tf_relation(df, id_col, text_col).join(F.broadcast(lbl), "doc")
+    model, stats = _fit_from_dt(dt, classes)
+    priors = _priors_of(df, label_col, classes).crossJoin(F.broadcast(stats))
+    return model, priors
+
+
+def _fit_from_dt(
+    dt: DataFrame, classes: list[str]
+) -> tuple[DataFrame, DataFrame]:
+    """(model, stats) from a (doc, label, token, tf) relation: the
+    per-token class log-weights (vocab-sized) and the ONE-row unseen-token
+    Laplace masses. Class token totals and |V| are whole-relation window
+    sums over the vocab-sized aggregate; the smoothing log evaluates once
+    per vocab row."""
     wall = Window.partitionBy()
     counts = (
         dt.groupBy("token")
@@ -334,7 +365,14 @@ def nb_fit(
             for c in classes
         ]
     )
-    priors = df.agg(
+    return model, stats
+
+
+def _priors_of(
+    df: DataFrame, label_col: str, classes: list[str]
+) -> DataFrame:
+    """One row of ln document priors from a label-only scan."""
+    return df.agg(
         *[
             F.log(
                 F.sum((F.col(label_col) == c).cast("long")).cast("double")
@@ -342,8 +380,7 @@ def nb_fit(
             ).alias(f"prior_{c}")
             for c in classes
         ],
-    ).crossJoin(F.broadcast(stats))
-    return model, priors
+    )
 
 
 def _nb_scored(

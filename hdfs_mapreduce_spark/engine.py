@@ -72,8 +72,15 @@ class Engine:
         name: str,
         fmt: str = "text",
         partitions: int | None = None,
+        partition_by: list[str] | None = None,
         **read_opts,
     ) -> None:
+        """Ingest a local file as a warehouse table. ``partition_by``
+        hive-partitions the layout on the given columns, so every later
+        query with a predicate on them prunes whole directories at
+        planning (PartitionFilters — asserted in tests); at 100 TB this
+        is the difference between scanning one day/source and scanning
+        the corpus."""
         base = local_path.rstrip("/").rsplit("/", 1)[-1]
         if base.startswith(("_", ".")):
             # Hadoop's input format treats _/.-prefixed paths as hidden
@@ -98,7 +105,23 @@ class Engine:
             raise ValueError(f"unsupported format: {fmt}")
         if partitions:
             df = df.repartition(partitions)
-        df.write.mode("errorifexists").parquet(self._path(name))
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(name))
+
+    # --- append (incremental ingest) -------------------------------------------
+    def append(self, df: DataFrame, name: str) -> None:
+        """Append rows to an existing table (or create it) — the
+        incremental-ingest verb the reference never had (its chunked PUT
+        was write-once). Appends land as new parquet files; run
+        ``compact`` periodically to fold the accumulating small files,
+        and ``materialize``d sketches/edge lists are rebuilt (or
+        incrementally probed via operators.dedup
+        .incremental_pairs_against_sketch) when the table grows."""
+        df.write.mode("append").parquet(self._path(name))
+        # any registered view captured the pre-append file listing
+        self._registered_views.discard(name)
 
     # --- GET (S3) -------------------------------------------------------------
     def get(self, name: str) -> DataFrame:

@@ -331,3 +331,52 @@ def test_compact_merges_small_files_preserving_data(engine, tmp_path):
     assert engine.ls() == ["many"]
     with pytest.raises(FileNotFoundError):
         engine.compact("missing")
+
+
+def test_put_partition_by_prunes_at_planning(engine, tmp_path):
+    """A hive-partitioned put + a predicate on the partition column must
+    prune directories at planning (PartitionFilters), and sql() over the
+    table sees the partition column reconstructed."""
+    import contextlib
+    import io
+
+    src = tmp_path / "ev.csv"
+    src.write_text(
+        "day,n\n" + "".join(f"d{i % 3},{i}\n" for i in range(30))
+    )
+    engine.put(
+        str(src), "ev", fmt="csv", header=True, inferSchema=True,
+        partition_by=["day"],
+    )
+    from pyspark.sql import functions as F
+
+    q = engine.get("ev").filter(F.col("day") == "d1")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "day" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert q.count() == 10
+    rows = engine.sql(
+        "SELECT day, COUNT(*) AS c FROM ev GROUP BY day ORDER BY day"
+    ).collect()
+    assert [(r["day"], r["c"]) for r in rows] == [
+        ("d0", 10), ("d1", 10), ("d2", 10)
+    ]
+
+
+def test_append_grows_table_and_compact_folds_files(engine, spark):
+    """The incremental-ingest arc: append -> row count grows and sql()
+    sees fresh data -> compact folds the accumulated files to one."""
+    engine.materialize(spark.range(10).selectExpr("id AS v"), "inc")
+    for k in range(3):
+        engine.append(
+            spark.range(5).selectExpr(f"id + {100 + k * 10} AS v"), "inc"
+        )
+    assert engine.get("inc").count() == 25
+    assert engine.sql("SELECT COUNT(*) AS n FROM inc").collect()[0]["n"] == 25
+    before = engine.stats()["inc"]["n_files"]
+    out = engine.compact("inc", target_files=1)
+    assert before > 1 and out["files_after"] == 1
+    assert engine.get("inc").count() == 25

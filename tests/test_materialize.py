@@ -152,6 +152,60 @@ def test_incremental_probe_against_materialized_sketch(spark):
     assert final.count("documents.parquet") == 1  # batch side only
 
 
+def test_banded_sketch_is_append_safe_under_corpus_growth(spark, tmp_path):
+    """Continuous-ingest contract: each doc's banded sketch rows depend
+    only on that doc (minhash permutations are corpus-independent), so
+    growing the corpus appends sketch rows instead of rebuilding —
+    sketch(A) ++ sketch(B) must equal sketch(A ∪ B) row for row, and a
+    probe against the appended warehouse table must equal a probe against
+    a from-scratch sketch of the grown corpus."""
+    from hdfs_mapreduce_spark.engine import Engine
+    from hdfs_mapreduce_spark.operators.dedup import (
+        _banded_sketch,
+        incremental_pairs_against_sketch,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    part_a = docs.filter(F.col("doc_id") % 3 != 0)
+    part_b = docs.filter(F.col("doc_id") % 3 == 0).filter(
+        F.col("doc_id") % 2 == 0
+    )
+    grown = part_a.unionByName(part_b)
+    key = lambda r: (r["doc"], r["band_idx"])  # noqa: E731
+
+    whole = {
+        key(r): (r["band_key"], sorted(r["sh"]))
+        for r in _banded_sketch(grown, "doc_id", "text").collect()
+    }
+    pieces = {}
+    for part in (part_a, part_b):
+        for r in _banded_sketch(part, "doc_id", "text").collect():
+            pieces[key(r)] = (r["band_key"], sorted(r["sh"]))
+    assert pieces == whole
+
+    # warehouse arc: materialize sketch(A), append sketch(B), probe
+    eng = Engine(spark, str(tmp_path / "wh"))
+    eng.materialize(_banded_sketch(part_a, "doc_id", "text"), "sk")
+    eng.append(_banded_sketch(part_b, "doc_id", "text"), "sk")
+    batch = docs.filter(F.col("doc_id") % 3 == 0).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    via_table = {
+        (r["new_doc"], r["dup_of"])
+        for r in incremental_pairs_against_sketch(
+            eng.get("sk"), batch, "doc_id", "text", 0.5
+        ).collect()
+    }
+    fresh = {
+        (r["new_doc"], r["dup_of"])
+        for r in incremental_pairs_against_sketch(
+            _banded_sketch(grown, "doc_id", "text"),
+            batch, "doc_id", "text", 0.5,
+        ).collect()
+    }
+    assert via_table == fresh
+
+
 def test_engine_materialize_writes_into_warehouse(spark, tmp_path):
     from hdfs_mapreduce_spark.engine import Engine
 

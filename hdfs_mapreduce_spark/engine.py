@@ -111,15 +111,52 @@ class Engine:
         writer.parquet(self._path(name))
 
     # --- append (incremental ingest) -------------------------------------------
-    def append(self, df: DataFrame, name: str) -> None:
+    def _partition_dirs(self, name: str) -> list[str]:
+        """Hive partition directory names (``col=value``) directly under a
+        table, if any — how an existing table's partitioned layout is
+        detected without reading data."""
+        fs, path = self._fs_path(self._path(name))
+        if not fs.exists(path):
+            return []
+        return [
+            st.getPath().getName()
+            for st in fs.listStatus(path)
+            if st.isDirectory() and "=" in st.getPath().getName()
+        ]
+
+    def append(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
         """Append rows to an existing table (or create it) — the
         incremental-ingest verb the reference never had (its chunked PUT
         was write-once). Appends land as new parquet files; run
         ``compact`` periodically to fold the accumulating small files,
         and ``materialize``d sketches/edge lists are rebuilt (or
         incrementally probed via operators.dedup
-        .incremental_pairs_against_sketch) when the table grows."""
-        df.write.mode("append").parquet(self._path(name))
+        .incremental_pairs_against_sketch) when the table grows.
+
+        A table created with ``put(partition_by=...)`` has a hive layout;
+        appending flat files into it would leave leaf files at two depths
+        and break partition discovery for every later reader, so the
+        layouts must agree: pass the same ``partition_by`` (validated
+        against the existing directories) or the append is rejected."""
+        existing = self._partition_dirs(name)
+        if existing:
+            cols = sorted({d.split("=", 1)[0] for d in existing})
+            if sorted(partition_by or []) != cols:
+                raise ValueError(
+                    f"table {name!r} is hive-partitioned on {cols}; append "
+                    f"with partition_by={cols} so the layouts agree"
+                )
+        elif partition_by and name in self.ls():
+            raise ValueError(
+                f"table {name!r} is unpartitioned; appending partitioned "
+                "files would mix layouts — drop partition_by"
+            )
+        writer = df.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._path(name))
         # any registered view captured the pre-append file listing
         self._registered_views.discard(name)
 
@@ -167,9 +204,12 @@ class Engine:
         if not fs.exists(path):
             raise FileNotFoundError(name)
         fs.delete(path, True)
-        # a later put() may reuse the name with different files — force
-        # sql() to re-register it instead of serving the stale view
-        self._registered_views.discard(name)
+        # drop the view NOW (not on the next sql()): a dangling view over
+        # deleted files would resolve and then fail at scan time with a
+        # confusing FileNotFound; and a later put() may reuse the name
+        if name in self._registered_views:
+            self.spark.catalog.dropTempView(name)
+            self._registered_views.discard(name)
 
     # --- stats (S8) -------------------------------------------------------------
     def stats(self) -> dict[str, dict[str, int]]:

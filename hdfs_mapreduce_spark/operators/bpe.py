@@ -157,19 +157,13 @@ def bpe_learn(
     are freed as soon as the next one lands (and on every exit path), so
     no cache outlives the call beyond the final table's one live
     checkpoint, which Spark frees with the session."""
-    sc = df.sparkSession.sparkContext
+    from hdfs_mapreduce_spark.functions.checkpoints import CheckpointJanitor
+
+    janitor = CheckpointJanitor(df.sparkSession)
     words = word_frequencies(df, text_col).select(
         "word", "n", _chars(F.col("word")).alias("sym")
     )
-    before = set(sc._jsc.getPersistentRDDs().keySet())
     merges: list[tuple[str, str]] = []
-
-    def _free_all_but_latest() -> None:
-        jmap = sc._jsc.getPersistentRDDs()
-        stale = set(jmap.keySet()) - before
-        for rid in sorted(stale)[:-1]:  # keep the newest checkpoint live
-            jmap.get(rid).unpersist()
-
     for i in range(n_merges):
         top = (
             _pair_counts(words)
@@ -186,5 +180,5 @@ def bpe_learn(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
-            _free_all_but_latest()
+            janitor.free_all_but_latest()
     return merges, words

@@ -127,11 +127,9 @@ def connected_components(
         if len(head) <= local_limit:
             return _local_components(edges, src, dst, head)
 
-    sc = edges.sparkSession.sparkContext
-    # DataFrame.unpersist() does not release localCheckpoint storage (the
-    # cache lives on the internal RDD, not the DF persist API), so free the
-    # probe's checkpoints by id-diffing the context's persistent RDD map.
-    before = set(sc._jsc.getPersistentRDDs().keySet())
+    from hdfs_mapreduce_spark.functions.checkpoints import CheckpointJanitor
+
+    janitor = CheckpointJanitor(edges.sparkSession)
     try:
         sym_probe = _symmetric(edges, src, dst).localCheckpoint(eager=True)
         labels = _initial_labels(sym_probe).localCheckpoint(eager=True)
@@ -153,9 +151,7 @@ def connected_components(
                 break
             prev_sum = cur_sum
     finally:
-        jmap = sc._jsc.getPersistentRDDs()
-        for rid in set(jmap.keySet()) - before:
-            jmap.get(rid).unpersist()
+        janitor.free_all()
 
     sym = _symmetric(edges, src, dst)
     out = _initial_labels(sym)
@@ -175,7 +171,16 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     stars centered on the min id in O(log n) rounds on ANY graph shape.
     Implemented as one groupBy per round over the symmetric edge list:
     collect each node's neighbor set, compute m array-side, re-emit
-    edges — no joins, the aggregate's shuffle is the only exchange."""
+    edges — no joins, the aggregate's shuffle is the only exchange.
+
+    Memory bound, stated honestly: ``collect_set`` materializes one
+    node's whole neighborhood in a single aggregation buffer, so the
+    per-executor ceiling is the maximum degree (and rounds concentrate
+    edges onto component minima, raising it). Fine up to ~10^7-degree
+    hubs on normal executors; past that, swap the set-collect for the
+    published streaming form — a (node, min-neighbor) aggregate joined
+    back to the edge list — which trades a join per round for O(1)
+    aggregation state per key."""
     nbrs = edges.groupBy("src").agg(
         F.collect_set("dst").alias("ns")
     )
@@ -215,16 +220,10 @@ def connected_components_logrounds(
     when small enough — here the converged star edges ARE the labeling,
     so the final checkpointed relation is returned directly (one live
     checkpoint, freed with the session)."""
-    sc = edges.sparkSession.sparkContext
-    before = set(sc._jsc.getPersistentRDDs().keySet())
+    from hdfs_mapreduce_spark.functions.checkpoints import CheckpointJanitor
+
+    janitor = CheckpointJanitor(edges.sparkSession)
     cur = _symmetric(edges, src, dst).distinct().localCheckpoint(eager=True)
-
-    def free_all_but_latest() -> None:
-        jmap = sc._jsc.getPersistentRDDs()
-        stale = set(jmap.keySet()) - before
-        for rid in sorted(stale)[:-1]:
-            jmap.get(rid).unpersist()
-
     prev_sig = None
     for _ in range(max_iter):
         big = _star_round(cur, large=True)
@@ -235,22 +234,38 @@ def connected_components_logrounds(
         cur = _symmetric(small, "src", "dst").distinct().localCheckpoint(
             eager=True
         )
-        free_all_but_latest()
+        janitor.free_all_but_latest()
+        # type-agnostic fixpoint signature: row count + an order-free sum
+        # of per-edge hashes (xxhash64 takes any column type — a sum over
+        # src+dst would ANSI-throw on string/binary node ids; the pmod
+        # bounds each term so the sum can't ANSI-overflow a long before
+        # 2^31 edges)
         sig = cur.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("src") + F.col("dst")).alias("s"),
+            F.sum(
+                F.pmod(F.xxhash64("src", "dst"), F.lit(1 << 31))
+            ).alias("h"),
         ).collect()[0]
-        sig = (sig["n"], sig["s"])
+        sig = (sig["n"], sig["h"])
         if sig == prev_sig:
             break
         prev_sig = sig
     # converged: every edge points a node at its component min — the
-    # symmetric closure contains both directions, keep node > label
-    return (
+    # symmetric closure contains both directions, keep node > label, and
+    # re-attach each component's root as (root, root) so the output
+    # contract matches connected_components exactly (every node of the
+    # edge set gets a row)
+    non_root = (
         cur.filter(F.col("src") > F.col("dst"))
         .select(F.col("src").alias("node"), F.col("dst").alias("label"))
         .groupBy("node")
         .agg(F.min("label").alias("label"))
+    )
+    return (
+        cur.select(F.col("src").alias("node"))
+        .distinct()
+        .join(non_root, "node", "left")
+        .select("node", F.coalesce("label", "node").alias("label"))
     )
 
 

@@ -577,6 +577,13 @@ def kmeans_fit(
         .collect()
     )
     cents = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    if not cents:  # empty input: no clusters, empty pure-plan assignment
+        empty = embeddings.limit(0).select(
+            F.col(id_col).alias("vid"),
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("double").alias("dist"),
+        )
+        return [], empty, 0
     n_iter = 0
     for _ in range(max_iter):
         assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col)

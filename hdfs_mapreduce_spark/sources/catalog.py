@@ -213,6 +213,24 @@ def ingest_text_with_lineno(spark: SparkSession, path: str) -> DataFrame:
                     f"in pass 2 but {want} in pass 1 — input changed between "
                     "passes; line numbers would be wrong, re-run the ingest"
                 )
+        # a split that went empty while its partition still produced rows
+        # from other files contributes nothing to `seen` — catch it by
+        # checking every pass-1 key of the partitions this task DID
+        # observe. Residual blind spot, documented: a file truncated to
+        # ZERO bytes whose split was a whole partition leaves no task
+        # observing that pid, so nothing can raise lazily — a deleted
+        # file at least fails the scan itself (FileNotFound, unless
+        # spark.sql.files.ignoreMissingFiles is flipped on), and any
+        # nonzero truncation/append is caught by the count check above.
+        observed_pids = {pid for pid, _ in seen}
+        for k in b_expected.value:
+            if k[0] in observed_pids and k not in seen:
+                raise ValueError(
+                    f"ingest_text_with_lineno: split {k} had "
+                    f"{b_expected.value[k]} rows in pass 1 but produced "
+                    "none in pass 2 — input changed between passes; "
+                    "line numbers would be wrong, re-run the ingest"
+                )
 
     return base.mapInPandas(assign, "file string, line_no long, value string")
 

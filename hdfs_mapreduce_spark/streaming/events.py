@@ -319,6 +319,28 @@ def stream_dedup_events(
     return writer
 
 
+def _state_versions(state_dir: str) -> list[tuple[int, int | None, str]]:
+    """COMMITTED versions of a directory-versioned state table, ascending
+    by version number: (version, batch_id or None, dirname). Version dirs
+    are ``v{N}`` or ``v{N}_b{batchId}`` (the latter records which stream
+    batch produced the version, for replay detection by sinks whose merge
+    is NOT idempotent). A version counts only if its parquet write
+    finished (_SUCCESS marker): a crash mid-write leaves a partial
+    directory, and treating it as latest would silently drop rows on
+    recovery — partials are invisible here and simply overwritten by the
+    retry."""
+    out = []
+    for d in os.listdir(state_dir):
+        if not d.startswith("v"):
+            continue
+        core, _, btag = d[1:].partition("_b")
+        if not core.isdigit() or (btag and not btag.isdigit()):
+            continue
+        if os.path.exists(os.path.join(state_dir, d, "_SUCCESS")):
+            out.append((int(core), int(btag) if btag else None, d))
+    return sorted(out)
+
+
 def stream_upsert_events(
     spark: SparkSession,
     sf_dir: str,
@@ -331,28 +353,31 @@ def stream_upsert_events(
     queryable deduplicated table instead of an append log.
 
     Plain parquet has no atomic MERGE, so state versions are immutable
-    directories ``v0, v1, …``: a batch reads the latest version,
+    directories ``v0, v1, …``: a batch reads the newest COMMITTED
+    version (``_state_versions`` — partial dirs from a mid-write crash
+    carry no _SUCCESS and are invisible, so the retry overwrites them),
     anti-joins it against the batch's keys, unions the batch, and writes
-    the next version — readers always see a complete snapshot, and a
-    failed batch leaves the previous version intact (foreachBatch re-runs
-    it; the rewrite is idempotent per batch id). A production deployment
-    swaps this for an ACID table format's MERGE INTO (Delta/Iceberg) and
-    keeps the identical dataflow. At scale the anti-join is one shuffle of
-    state × batch keys — or zero, bucketed by key (write_bucketed).
+    the next version. A replayed batch (foreachBatch is at-least-once)
+    re-merges the same rows and the anti-join makes that a content
+    no-op — the upsert merge is idempotent by construction, so no replay
+    bookkeeping is needed (contrast stream_cm_sketch, whose additive
+    merge is not). A production deployment swaps this for an ACID table
+    format's MERGE INTO (Delta/Iceberg) and keeps the identical
+    dataflow. At scale the anti-join is one shuffle of state × batch
+    keys — or zero, bucketed by key (write_bucketed).
     """
     os.makedirs(state_dir, exist_ok=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates(["event_id"])
-        versions = sorted(
-            int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
-        )
+        versions = _state_versions(state_dir)
         if versions:
-            state = spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+            latest = versions[-1]
+            state = spark.read.parquet(os.path.join(state_dir, latest[2]))
             merged = state.join(
                 batch.select("event_id"), "event_id", "left_anti"
             ).unionByName(batch)
-            next_v = versions[-1] + 1
+            next_v = latest[0] + 1
         else:
             merged, next_v = batch, 0
         merged.write.mode("overwrite").parquet(
@@ -367,11 +392,9 @@ def stream_upsert_events(
 
 
 def read_upsert_state(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Latest snapshot of a ``stream_upsert_events`` state table."""
-    versions = sorted(
-        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
-    )
-    return spark.read.parquet(os.path.join(state_dir, f"v{versions[-1]}"))
+    """Latest committed snapshot of a directory-versioned state table."""
+    versions = _state_versions(state_dir)
+    return spark.read.parquet(os.path.join(state_dir, versions[-1][2]))
 
 
 # --- streaming count-min sketch ---------------------------------------------------
@@ -388,34 +411,25 @@ def stream_cm_sketch(
     each micro-batch's sketch (depth x width, tiny) merges cell-wise into
     the versioned state — the exact mergeability the sketch guarantees,
     so the maintained state equals the batch sketch of everything seen
-    (tested cell for cell). Same immutable-version contract as
-    stream_upsert_events: readers always see a complete snapshot. This is
-    the streaming form of frequency monitoring (heavy-hitter users,
-    trending tokens) whose state stays O(depth x width) forever while the
-    stream is unbounded."""
-    from hdfs_mapreduce_spark.operators.sketches import cm_merge, cm_sketch
+    (tested cell for cell). This is the streaming form of frequency
+    monitoring (heavy-hitter users, trending tokens) whose state stays
+    O(depth x width) forever while the stream is unbounded.
 
+    Recovery: the additive merge is NOT idempotent (contrast the upsert
+    sink's anti-join), so each version dir records the batch that
+    produced it (``v{N}_b{batchId}``). Under foreachBatch's
+    at-least-once contract a replay re-delivers the LAST batch: if the
+    newest committed version already carries this batch id, the merge is
+    skipped instead of double-counting; a crash mid-write leaves an
+    uncommitted partial (no _SUCCESS) that ``_state_versions`` ignores
+    and the retry overwrites. The state_dir is bound to one checkpoint
+    lineage — restarting the stream with a FRESH checkpoint over an
+    existing state_dir re-counts from batch 0 and is undefined."""
     os.makedirs(state_dir, exist_ok=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        sk = cm_sketch(
-            batch_df.select(F.col(col).cast("string").alias("item")),
-            "item",
-            depth,
-            width,
-        )
-        versions = sorted(
-            int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
-        )
-        if versions:
-            prev = spark.read.parquet(
-                os.path.join(state_dir, f"v{versions[-1]}")
-            )
-            merged, next_v = cm_merge(prev, sk), versions[-1] + 1
-        else:
-            merged, next_v = sk, 0
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{next_v}")
+        cm_merge_batch_into_state(
+            spark, batch_df, state_dir, batch_id, col, depth, width
         )
 
     stream = _events_stream(spark, sf_dir)
@@ -423,6 +437,41 @@ def stream_cm_sketch(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def cm_merge_batch_into_state(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    col: str = "user_id",
+    depth: int = 4,
+    width: int = 1024,
+) -> bool:
+    """One additive sketch merge with the recovery bookkeeping described
+    in stream_cm_sketch. Returns False when the batch was a replay of the
+    newest committed version (skipped), True when a new version landed."""
+    from hdfs_mapreduce_spark.operators.sketches import cm_merge, cm_sketch
+
+    os.makedirs(state_dir, exist_ok=True)
+    versions = _state_versions(state_dir)
+    if versions and versions[-1][1] == batch_id:
+        return False  # at-least-once replay of the already-committed batch
+    sk = cm_sketch(
+        batch_df.select(F.col(col).cast("string").alias("item")),
+        "item",
+        depth,
+        width,
+    )
+    if versions:
+        prev = spark.read.parquet(os.path.join(state_dir, versions[-1][2]))
+        merged, next_v = cm_merge(prev, sk), versions[-1][0] + 1
+    else:
+        merged, next_v = sk, 0
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{next_v}_b{batch_id}")
+    )
+    return True
 
 
 # --- bucketed upsert state (the 100 TB swap, wired) -------------------------------

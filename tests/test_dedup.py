@@ -454,6 +454,18 @@ def test_logrounds_components_match_union_find(spark):
             r["node"]: r["label"]
             for r in connected_components_logrounds(df).collect()
         }
+        # full contract: every node of the edge set gets a row, roots
+        # self-labeled — identical to connected_components' output
         want = union_find_labels(edge_list)
-        want = {n: lbl for n, lbl in want.items() if n != lbl}
         assert got == want, f"{name}: mismatch"
+
+    # non-numeric node ids: the fixpoint probe must not assume numeric
+    # arithmetic (string ids are the common case for URL/hash doc keys)
+    sids = [(f"doc-{a}", f"doc-{b}") for a, b in cases["two_cliques"]]
+    df = spark.createDataFrame(sids, "src string, dst string")
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_logrounds(df).collect()
+    }
+    want = union_find_labels(sids)
+    assert got == want

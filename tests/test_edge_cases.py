@@ -50,6 +50,18 @@ def test_components_on_empty_edges(spark):
     assert out == {1: 1, 2: 2}  # singletons label themselves
 
 
+def test_kmeans_fit_on_empty_table(spark):
+    from hdfs_mapreduce_spark.operators.similarity import kmeans_fit
+
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>"
+    )
+    cents, assignment, n_iter = kmeans_fit(emb, k=4, max_iter=5, tol=0.0)
+    assert cents == [] and n_iter == 0
+    assert assignment.count() == 0
+    assert assignment.columns == ["vid", "cluster", "dist"]
+
+
 def test_kmeans_fit_with_fewer_rows_than_k(spark):
     from hdfs_mapreduce_spark.operators.similarity import kmeans_fit
 

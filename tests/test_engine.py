@@ -289,11 +289,16 @@ def test_engine_sql_view_cache_sees_mutations(engine, tmp_path):
     assert engine.sql("SELECT SUM(v) AS s FROM m").collect()[0]["s"] == 3
     engine.materialize(spark.range(10).selectExpr("id AS v"), "m")
     assert engine.sql("SELECT SUM(v) AS s FROM m").collect()[0]["s"] == 45
-    # a removed table disappears from the namespace
+    # a removed table disappears from the namespace IMMEDIATELY — the view
+    # is dropped at rm() time, so the failure is TABLE_OR_VIEW_NOT_FOUND
+    # at analysis, not a confusing FileNotFound at scan time
     engine.rm("m")
     import pytest as _pytest
+    from pyspark.errors import AnalysisException
 
-    with _pytest.raises(Exception):
+    with _pytest.raises(AnalysisException):
+        engine.spark.sql("SELECT * FROM m")  # no sql() re-registration
+    with _pytest.raises(AnalysisException):
         engine.sql("SELECT * FROM m").collect()
 
 
@@ -380,3 +385,54 @@ def test_append_grows_table_and_compact_folds_files(engine, spark):
     out = engine.compact("inc", target_files=1)
     assert before > 1 and out["files_after"] == 1
     assert engine.get("inc").count() == 25
+
+
+def test_append_respects_partitioned_layout(engine, tmp_path, spark):
+    """Appending into a hive-partitioned table must keep the layout (same
+    partition_by required and honored); mismatched layouts are rejected
+    before any file lands."""
+    src = tmp_path / "p.csv"
+    src.write_text("day,n\nd0,1\nd1,2\n")
+    engine.put(
+        str(src), "pt", fmt="csv", header=True, inferSchema=True,
+        partition_by=["day"],
+    )
+    import pytest as _pytest
+
+    new = spark.createDataFrame([("d1", 7), ("d2", 8)], "day string, n int")
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        engine.append(new, "pt")  # flat append would mix layouts
+    engine.append(new, "pt", partition_by=["day"])
+    rows = engine.sql(
+        "SELECT day, SUM(n) AS s FROM pt GROUP BY day ORDER BY day"
+    ).collect()
+    assert [(r["day"], r["s"]) for r in rows] == [
+        ("d0", 1), ("d1", 9), ("d2", 8)
+    ]
+    # and the inverse: partitioned append into a flat table is rejected
+    engine.materialize(spark.range(3).selectExpr("id AS n"), "flat")
+    with _pytest.raises(ValueError, match="unpartitioned"):
+        engine.append(
+            spark.createDataFrame([("d0", 1)], "day string, n int"),
+            "flat",
+            partition_by=["day"],
+        )
+
+
+def test_ingest_text_with_lineno_raises_if_file_truncated(spark, tmp_path):
+    """A file truncated between the two passes yields fewer pass-2 rows
+    for its split; the per-split recount must fail loudly. (Truncation to
+    exactly zero bytes in a partition of its own is the one documented
+    lazy blind spot — the empty partition runs no check.)"""
+    import pytest
+
+    from hdfs_mapreduce_spark.sources.catalog import ingest_text_with_lineno
+
+    d = tmp_path / "texts"
+    d.mkdir()
+    shrink = d / "shrink.txt"
+    shrink.write_text("".join(f"s{i}\n" for i in range(50)))
+    df = ingest_text_with_lineno(spark, str(d))  # pass 1 counts 50
+    shrink.write_text("".join(f"s{i}\n" for i in range(5)))
+    with pytest.raises(Exception, match="input changed between passes"):
+        df.collect()

@@ -417,3 +417,44 @@ def test_stream_cm_sketch_equals_batch_sketch_exactly(spark):
             ).collect()
         }
         assert streamed == batch
+
+
+def test_cm_state_replay_and_partial_writes_are_safe(spark, tmp_path):
+    """Recovery semantics of the additive sketch state: a replayed batch
+    (same id as the newest committed version) must NOT double-count, a
+    later batch must merge, and a partial version dir (no _SUCCESS — a
+    crash mid-write) must be invisible to both readers and mergers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.streaming.events import (
+        _state_versions,
+        cm_merge_batch_into_state,
+        read_upsert_state,
+    )
+
+    state = str(tmp_path / "cm_state")
+    b0 = spark.range(100).select(F.col("id").alias("user_id"))
+    assert cm_merge_batch_into_state(spark, b0, state, batch_id=0)
+    snap0 = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in read_upsert_state(spark, state).collect()
+    }
+    # at-least-once replay of batch 0: skipped, state unchanged
+    assert not cm_merge_batch_into_state(spark, b0, state, batch_id=0)
+    assert {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in read_upsert_state(spark, state).collect()
+    } == snap0
+    # a partial version (crash mid-write: no _SUCCESS) is invisible
+    os.makedirs(os.path.join(state, "v9_b7"))
+    assert [v[0] for v in _state_versions(state)] == [0]
+    # batch 1 merges on top of the committed v0, ignoring the partial
+    b1 = spark.range(50).select(F.col("id").alias("user_id"))
+    assert cm_merge_batch_into_state(spark, b1, state, batch_id=1)
+    total0 = sum(snap0.values())
+    total1 = sum(
+        r["cnt"] for r in read_upsert_state(spark, state).collect()
+    )
+    assert total1 == total0 + 50 * 4  # depth=4 cells per item

@@ -216,15 +216,16 @@ class Engine:
         fs, _ = self._fs_path(self.warehouse)
         out: dict[str, dict[str, int]] = {}
         for name in self.ls():
-            files = [
-                st
-                for st in fs.listStatus(self._jpath(self._path(name)))
-                if st.isFile() and st.getPath().getName().endswith(".parquet")
-            ]
-            out[name] = {
-                "n_files": len(files),
-                "n_bytes": sum(st.getLen() for st in files),
-            }
+            # recursive walk: hive-partitioned tables keep their files in
+            # col=value subdirectories, which a flat listStatus misses
+            n_files = n_bytes = 0
+            it = fs.listFiles(self._jpath(self._path(name)), True)
+            while it.hasNext():
+                st = it.next()
+                if st.getPath().getName().endswith(".parquet"):
+                    n_files += 1
+                    n_bytes += st.getLen()
+            out[name] = {"n_files": n_files, "n_bytes": n_bytes}
         return out
 
     # --- compact ------------------------------------------------------------------
@@ -248,9 +249,18 @@ class Engine:
         before = self.stats()[name]["n_files"]
         tmp = self._jpath(self._path(f"_compact_tmp_{name}"))
         old = self._jpath(self._path(f"_compact_old_{name}"))
-        self.get(name).coalesce(target_files).write.mode(
+        # preserve a hive-partitioned layout: a flat rewrite would keep the
+        # data (partition columns read back as normal columns) but silently
+        # lose directory pruning for every later query
+        part_cols = sorted(
+            {d.split("=", 1)[0] for d in self._partition_dirs(name)}
+        )
+        writer = self.get(name).coalesce(target_files).write.mode(
             "errorifexists"
-        ).parquet(str(tmp))
+        )
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(str(tmp))
         fs.rename(cur, old)
         fs.rename(tmp, cur)
         fs.delete(old, True)

@@ -436,3 +436,36 @@ def test_ingest_text_with_lineno_raises_if_file_truncated(spark, tmp_path):
     shrink.write_text("".join(f"s{i}\n" for i in range(5)))
     with pytest.raises(Exception, match="input changed between passes"):
         df.collect()
+
+
+def test_compact_preserves_partitioned_layout_and_stats_sees_nested_files(
+    engine, tmp_path
+):
+    """stats() must count the files inside col=value subdirectories, and
+    compact() must rewrite a hive-partitioned table WITH its layout —
+    a flat rewrite would keep the data but silently lose directory
+    pruning for every later query."""
+    import contextlib
+    import io
+
+    src = tmp_path / "pp.csv"
+    src.write_text("day,n\n" + "".join(f"d{i % 2},{i}\n" for i in range(20)))
+    engine.put(
+        str(src), "pp", fmt="csv", header=True, inferSchema=True,
+        partition_by=["day"],
+    )
+    st = engine.stats()["pp"]
+    assert st["n_files"] >= 2 and st["n_bytes"] > 0  # nested files counted
+    out = engine.compact("pp", target_files=1)
+    assert out["n_bytes"] > 0
+    # layout survived: pruning still plans on the partition column
+    from pyspark.sql import functions as F
+
+    q = engine.get("pp").filter(F.col("day") == "d0")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    assert "day" in buf.getvalue().split("PartitionFilters")[1].split("]")[0]
+    assert q.count() == 10
+    assert engine.get("pp").count() == 20

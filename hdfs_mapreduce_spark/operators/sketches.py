@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from hdfs_mapreduce_spark.functions.hashing import h56
 
@@ -66,6 +67,73 @@ def cm_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         a.unionByName(b)
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+MG_K = 64
+
+
+def mg_summary(
+    df: DataFrame,
+    col: str,
+    k: int = MG_K,
+) -> DataFrame:
+    """Misra-Gries heavy-hitter summary: at most ``k`` (item, cnt) rows
+    where cnt underestimates the true frequency by at most N/(k+1) — so
+    every item with true frequency above N/(k+1) is guaranteed present
+    [Misra & Gries '82; mergeability per Agarwal et al., "Mergeable
+    Summaries", PODS'12].
+
+    Scale shape: each partition streams once through a k-counter
+    dictionary (mapInPandas — O(k) state, no sort, no shuffle of the
+    stream); the per-partition summaries (p x k rows total) then merge
+    by summing counts per item and subtracting the (k+1)-th largest
+    merged count from everyone — the PODS'12 merge, which preserves the
+    additive-error bound across partitions. One tiny shuffle of p x k
+    rows is the only exchange after the scan."""
+    import pandas as pd
+
+    def partition_summary(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[col]:
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [i for i in counters if counters[i] == 1]
+                    for i in counters:
+                        counters[i] -= 1
+                    for i in dead:
+                        del counters[i]
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "cnt": list(counters.values())}
+            )
+
+    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        partition_summary, "item string, cnt long"
+    )
+    merged = partials.groupBy("item").agg(F.sum("cnt").alias("cnt"))
+    # subtract the (k+1)-th largest count (0 if fewer than k+1 items):
+    # the summaries' total error budget re-normalized after the union
+    w = Window.orderBy(F.col("cnt").desc(), "item")
+    ranked = merged.select(
+        "item", "cnt", F.row_number().over(w).alias("rn")
+    )
+    kth = ranked.filter(F.col("rn") == k + 1).select(
+        F.col("cnt").alias("sub")
+    )
+    return (
+        ranked.filter(F.col("rn") <= k)
+        .crossJoin(F.broadcast(kth.unionByName(
+            ranked.sparkSession.createDataFrame([(0,)], "sub long")
+        ).agg(F.max("sub").alias("sub"))))
+        .select(
+            "item", (F.col("cnt") - F.col("sub")).alias("cnt")
+        )
+        .filter(F.col("cnt") > 0)
     )
 
 

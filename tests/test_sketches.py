@@ -78,3 +78,39 @@ def test_cm_sketch_is_tiny_and_probe_broadcasts(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_mg_summary_bounds_and_coverage(spark):
+    """Misra-Gries guarantees on the real token stream: estimates never
+    exceed true counts, underestimate by at most N/(k+1), and every item
+    with true frequency above N/(k+1) appears in the summary."""
+    from hdfs_mapreduce_spark.operators.sketches import mg_summary
+
+    tok = _token_df(spark)
+    truth = {
+        r["token"]: r["n"]
+        for r in tok.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(truth.values())
+    k = 8  # far fewer counters than distinct tokens: the summary must cut
+    got = {r["item"]: r["cnt"] for r in mg_summary(tok, "token", k=k).collect()}
+    assert len(got) <= k
+    bound = n_total // (k + 1)
+    for item, est in got.items():
+        assert est <= truth[item], f"overestimate for {item}"
+        assert truth[item] - est <= bound, f"error bound broken for {item}"
+    for item, n in truth.items():
+        if n > bound:
+            assert item in got, f"guaranteed heavy hitter {item} missing"
+
+
+def test_mg_summary_small_domains_are_exact(spark):
+    """With more counters than distinct items nothing is ever evicted, so
+    the summary equals the exact counts."""
+    from hdfs_mapreduce_spark.operators.sketches import mg_summary
+
+    df = spark.createDataFrame(
+        [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1, "token string"
+    )
+    got = {r["item"]: r["cnt"] for r in mg_summary(df, "token", k=10).collect()}
+    assert got == {"a": 7, "b": 3, "c": 1}

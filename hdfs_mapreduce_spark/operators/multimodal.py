@@ -115,6 +115,89 @@ def decode_payload(
     return df.mapInPandas(run, schema="id long, features array<double>")
 
 
+def tile_grid(
+    df: DataFrame,
+    row_bytes: int = 64,
+    tile_w: int = 16,
+    tile_h: int = 4,
+) -> DataFrame:
+    """Image-style 2D tiling on the byte stream: the payload is read as
+    row-major scanlines of ``row_bytes`` bytes; each (tile_x, tile_y)
+    tile concatenates ``tile_h`` consecutive ``tile_w``-byte spans, one
+    per scanline — exactly the access pattern a real image tiler has
+    after decode, with bytes standing in for pixels. Ragged edges
+    produce short tiles (never padded — padding would fabricate data).
+    Output: (id, tile_x, tile_y, tile binary), a UDTF-shaped mapInPandas
+    with 0..n rows per input."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, txs, tys, tiles = [], [], [], []
+            for rid, payload in zip(batch["id"], batch["payload"]):
+                rows = [
+                    payload[off : off + row_bytes]
+                    for off in range(0, len(payload), row_bytes)
+                ]
+                n_ty = (len(rows) + tile_h - 1) // tile_h
+                n_tx = (row_bytes + tile_w - 1) // tile_w
+                for ty in range(n_ty):
+                    for tx in range(n_tx):
+                        tile = b"".join(
+                            r[tx * tile_w : (tx + 1) * tile_w]
+                            for r in rows[ty * tile_h : (ty + 1) * tile_h]
+                        )
+                        if tile:
+                            ids.append(rid)
+                            txs.append(tx)
+                            tys.append(ty)
+                            tiles.append(tile)
+            yield pd.DataFrame(
+                {"id": ids, "tile_x": txs, "tile_y": tys, "tile": tiles}
+            )
+
+    return df.mapInPandas(
+        run, schema="id long, tile_x int, tile_y int, tile binary"
+    )
+
+
+def audio_windows(
+    df: DataFrame, win: int = 32, hop: int = 16
+) -> DataFrame:
+    """Audio-style overlapping framing on the byte stream (the STFT
+    window/hop access pattern, bytes standing in for samples): windows of
+    ``win`` bytes every ``hop`` bytes, final short window included iff it
+    has any bytes. Output: (id, win_idx, start_byte, chunk binary)."""
+    if hop <= 0 or win <= 0:
+        raise ValueError("win and hop must be positive")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, idxs, starts, chunks = [], [], [], []
+            for rid, payload in zip(batch["id"], batch["payload"]):
+                wi = 0
+                for start in range(0, max(len(payload), 1), hop):
+                    chunk = payload[start : start + win]
+                    if not chunk:
+                        break
+                    ids.append(rid)
+                    idxs.append(wi)
+                    starts.append(start)
+                    chunks.append(chunk)
+                    wi += 1
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "win_idx": idxs,
+                    "start_byte": starts,
+                    "chunk": chunks,
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="id long, win_idx int, start_byte long, chunk binary"
+    )
+
+
 def frame_sample(
     df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

@@ -64,3 +64,96 @@ def test_frame_sample_udtf_shape(payloads):
     assert len(by_id[1]) == 1  # 11 bytes → 1 frame
     assert len(by_id[3]) == 3  # 200 bytes → 3 frames of 64
     assert by_id[3][0]["frame"] == b"x" * 64
+
+def test_tile_grid_matches_python_reference(spark):
+    """Every tile byte-equals the row-major slicing computed sequentially
+    in Python, ragged edges short (never padded)."""
+    from hdfs_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        tile_grid,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(30)
+    mm = attach_payload(docs, "doc_id", "text")
+    row_b, tw, th = 64, 16, 4
+    got = {
+        (r["id"], r["tile_x"], r["tile_y"]): bytes(r["tile"])
+        for r in tile_grid(mm, row_b, tw, th).collect()
+    }
+    payloads = {r["id"]: bytes(r["payload"]) for r in mm.collect()}
+    want = {}
+    for rid, p in payloads.items():
+        rows = [p[o : o + row_b] for o in range(0, len(p), row_b)]
+        for ty in range((len(rows) + th - 1) // th):
+            for tx in range((row_b + tw - 1) // tw):
+                tile = b"".join(
+                    r[tx * tw : (tx + 1) * tw] for r in rows[ty * th : (ty + 1) * th]
+                )
+                if tile:
+                    want[(rid, tx, ty)] = tile
+    assert got == want
+    # reassembly sanity: each payload's total tiled bytes == payload bytes
+    from collections import Counter
+
+    per_doc = Counter()
+    for (rid, _, _), t in got.items():
+        per_doc[rid] += len(t)
+    assert per_doc == Counter({rid: len(p) for rid, p in payloads.items()})
+
+
+def test_audio_windows_overlap_and_coverage(spark):
+    """Window/hop framing: starts advance by hop, each chunk byte-equals
+    the python slice, and with hop < win every byte is covered by at
+    least one window."""
+    from hdfs_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        audio_windows,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(20)
+    mm = attach_payload(docs, "doc_id", "text")
+    win, hop = 32, 16
+    payloads = {r["id"]: bytes(r["payload"]) for r in mm.collect()}
+    rows = audio_windows(mm, win, hop).collect()
+    seen_bytes: dict = {rid: 0 for rid in payloads}
+    for r in rows:
+        p = payloads[r["id"]]
+        assert r["start_byte"] == r["win_idx"] * hop
+        assert bytes(r["chunk"]) == p[r["start_byte"] : r["start_byte"] + win]
+    for rid, p in payloads.items():
+        covered = set()
+        for r in rows:
+            if r["id"] == rid:
+                covered.update(
+                    range(r["start_byte"], r["start_byte"] + len(bytes(r["chunk"])))
+                )
+        assert covered == set(range(len(p)))
+    del seen_bytes
+
+
+def test_decoded_features_cluster_end_to_end(spark):
+    """Cross-module composition: payload -> fake decode (Arrow batch) ->
+    kmeans_fit over the feature vectors — the multimodal clustering
+    pipeline with the codec stubbed and everything else real."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.multimodal import (
+        attach_payload,
+        decode_payload,
+        fake_decoder,
+    )
+    from hdfs_mapreduce_spark.operators.similarity import kmeans_fit
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    mm = attach_payload(docs, "doc_id", "text")
+    feats = decode_payload(mm, decoder=fake_decoder).select(
+        F.col("id").alias("vec_id"),
+        F.col("features").cast("array<float>").alias("embedding"),
+    )
+    cents, assignment, _ = kmeans_fit(feats, k=4, max_iter=3, tol=0.0)
+    assert 1 <= len(cents) <= 4
+    assert assignment.count() == 100
+    assert assignment.groupBy("cluster").count().count() == len(cents)

@@ -1,0 +1,139 @@
+"""CLI for the engine — the reference client's verb surface as a module
+entry point (dfs/client/cli.go:121-166 drives PUT/GET/ls/rm/COMPUTE from
+the command line; dfs/mapreduce_plugin_mock/*.go are its compiled plugin
+binaries, here a plain Python file defining the plugin contract).
+
+    python -m hdfs_mapreduce_spark --warehouse WH put LOCAL NAME [--fmt f]
+    python -m hdfs_mapreduce_spark --warehouse WH get NAME OUT [--order-by c]
+    python -m hdfs_mapreduce_spark --warehouse WH ls | stats
+    python -m hdfs_mapreduce_spark --warehouse WH rm NAME
+    python -m hdfs_mapreduce_spark --warehouse WH compact NAME [--target-files n]
+    python -m hdfs_mapreduce_spark --warehouse WH sql "SELECT ..."
+    python -m hdfs_mapreduce_spark --warehouse WH compute NAME \
+        --plugin plugin.py --output NAME
+
+A plugin file defines ``mapper(rec)`` (yield dicts), ``reducer(key, pdf)``
+(return a pandas DataFrame), and the ``MAP_SCHEMA`` / ``REDUCE_SCHEMA``
+strings — the Python analog of the reference's plugin .so contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import sys
+
+
+def _load_plugin(path: str):
+    spec = importlib.util.spec_from_file_location("mapreduce_plugin", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    for attr in ("mapper", "reducer", "MAP_SCHEMA", "REDUCE_SCHEMA"):
+        if not hasattr(mod, attr):
+            raise SystemExit(f"plugin {path} is missing {attr!r}")
+    return mod
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m hdfs_mapreduce_spark")
+    p.add_argument("--warehouse", required=True)
+    sub = p.add_subparsers(dest="verb", required=True)
+
+    sp = sub.add_parser("put")
+    sp.add_argument("local_path")
+    sp.add_argument("name")
+    sp.add_argument("--fmt", default="text")
+    sp.add_argument("--partition-by", default=None)
+    sp.add_argument("--header", action="store_true")
+
+    sg = sub.add_parser("get")
+    sg.add_argument("name")
+    sg.add_argument("save_as")
+    sg.add_argument("--order-by", default=None)
+
+    sub.add_parser("ls")
+    sub.add_parser("stats")
+
+    sr = sub.add_parser("rm")
+    sr.add_argument("name")
+
+    sc = sub.add_parser("compact")
+    sc.add_argument("name")
+    sc.add_argument("--target-files", type=int, default=1)
+
+    sq = sub.add_parser("sql")
+    sq.add_argument("query")
+    sq.add_argument("--limit", type=int, default=100)
+
+    sm = sub.add_parser("compute")
+    sm.add_argument("name")
+    sm.add_argument("--plugin", required=True)
+    sm.add_argument("--output", required=True)
+    return p
+
+
+def run(argv: list[str], spark=None, out=sys.stdout) -> int:
+    """Execute one verb. ``spark`` defaults to get_spark() (reuses any
+    active session — tests drive the CLI in-process; standalone
+    invocations start their own)."""
+    args = build_parser().parse_args(argv)
+    from hdfs_mapreduce_spark.engine import Engine
+    from hdfs_mapreduce_spark.session import get_spark
+
+    spark = spark or get_spark("cli")
+    eng = Engine(spark, args.warehouse)
+
+    if args.verb == "put":
+        opts = {"header": True, "inferSchema": True} if args.header else {}
+        eng.put(
+            args.local_path,
+            args.name,
+            fmt=args.fmt,
+            partition_by=args.partition_by.split(",") if args.partition_by else None,
+            **opts,
+        )
+        print(f"put {args.name}", file=out)
+    elif args.verb == "get":
+        eng.get_file(
+            args.name,
+            args.save_as,
+            order_by=args.order_by.split(",") if args.order_by else None,
+        )
+        print(f"got {args.name} -> {args.save_as}", file=out)
+    elif args.verb == "ls":
+        for name in eng.ls():
+            print(name, file=out)
+    elif args.verb == "stats":
+        print(json.dumps(eng.stats(), indent=1, sort_keys=True), file=out)
+    elif args.verb == "rm":
+        eng.rm(args.name)
+        print(f"rm {args.name}", file=out)
+    elif args.verb == "compact":
+        print(
+            json.dumps(eng.compact(args.name, args.target_files)), file=out
+        )
+    elif args.verb == "sql":
+        rows = eng.sql(args.query).limit(args.limit).collect()
+        for r in rows:
+            print("\t".join("" if v is None else str(v) for v in r), file=out)
+    elif args.verb == "compute":
+        plugin = _load_plugin(args.plugin)
+        eng.compute(
+            args.name,
+            plugin.mapper,
+            plugin.reducer,
+            map_schema=plugin.MAP_SCHEMA,
+            reduce_schema=plugin.REDUCE_SCHEMA,
+            output_name=args.output,
+            on_status=lambda m: print(m, file=out),
+        )
+    return 0
+
+
+def main() -> int:
+    return run(sys.argv[1:])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -26,7 +26,16 @@ import sys
 
 
 def _load_plugin(path: str):
+    import os
+
+    if not os.path.isfile(path):
+        raise SystemExit(f"plugin file not found: {path}")
     spec = importlib.util.spec_from_file_location("mapreduce_plugin", path)
+    if spec is None or spec.loader is None:
+        raise SystemExit(
+            f"cannot load plugin {path} — must be a Python source file "
+            "(.py extension)"
+        )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     for attr in ("mapper", "reducer", "MAP_SCHEMA", "REDUCE_SCHEMA"):
@@ -114,9 +123,17 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
             json.dumps(eng.compact(args.name, args.target_files)), file=out
         )
     elif args.verb == "sql":
-        rows = eng.sql(args.query).limit(args.limit).collect()
-        for r in rows:
-            print("\t".join("" if v is None else str(v) for v in r), file=out)
+        from hdfs_mapreduce_spark.engine import format_row_tsv
+
+        rows = eng.sql(args.query).limit(args.limit + 1).collect()
+        for r in rows[: args.limit]:
+            print(format_row_tsv(r), file=out)
+        if len(rows) > args.limit:
+            print(
+                f"... output truncated at --limit {args.limit}; raise it "
+                "for the full result",
+                file=sys.stderr,
+            )
     elif args.verb == "compute":
         plugin = _load_plugin(args.plugin)
         eng.compute(

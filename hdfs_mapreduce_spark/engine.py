@@ -38,6 +38,14 @@ from hdfs_mapreduce_spark.functions.plugin import run_mapreduce
 JOB_MILESTONES = ("job_accepted", "job_mappers", "job_reducers", "job_done")
 
 
+def format_row_tsv(row) -> str:
+    """The engine's row-to-line encoding: tab-separated values, NULL as
+    empty — the reference's own KV encoding (dfs/compute_engine/
+    context.go:146-151). ONE definition, shared by ``Engine.get_file``
+    and the CLI ``sql`` verb, so the convention cannot diverge."""
+    return "\t".join("" if v is None else str(v) for v in row)
+
+
 class Engine:
     """A warehouse-scoped session facade. ``warehouse`` is any
     Hadoop-resolvable directory URI (a bare local path in tests,
@@ -111,18 +119,25 @@ class Engine:
         writer.parquet(self._path(name))
 
     # --- append (incremental ingest) -------------------------------------------
-    def _partition_dirs(self, name: str) -> list[str]:
-        """Hive partition directory names (``col=value``) directly under a
-        table, if any — how an existing table's partitioned layout is
-        detected without reading data."""
+    def _partition_cols(self, name: str) -> list[str]:
+        """ORDERED hive partition columns of a table, walked recursively
+        (``day=.../src=.../part-*.parquet`` → ``["day", "src"]``) — the
+        nesting order IS the layout, so it must be preserved exactly, not
+        sorted; a top-level-only look sees just the first level and a
+        compact/append would silently flatten the rest."""
         fs, path = self._fs_path(self._path(name))
-        if not fs.exists(path):
-            return []
-        return [
-            st.getPath().getName()
-            for st in fs.listStatus(path)
-            if st.isDirectory() and "=" in st.getPath().getName()
-        ]
+        cols: list[str] = []
+        while fs.exists(path):
+            part_dirs = [
+                st.getPath()
+                for st in fs.listStatus(path)
+                if st.isDirectory() and "=" in st.getPath().getName()
+            ]
+            if not part_dirs:
+                break
+            cols.append(part_dirs[0].getName().split("=", 1)[0])
+            path = part_dirs[0]
+        return cols
 
     def append(
         self, df: DataFrame, name: str, partition_by: list[str] | None = None
@@ -140,13 +155,16 @@ class Engine:
         and break partition discovery for every later reader, so the
         layouts must agree: pass the same ``partition_by`` (validated
         against the existing directories) or the append is rejected."""
-        existing = self._partition_dirs(name)
+        existing = self._partition_cols(name)
         if existing:
-            cols = sorted({d.split("=", 1)[0] for d in existing})
-            if sorted(partition_by or []) != cols:
+            # ordered comparison: partitionBy("day","src") and
+            # ("src","day") nest differently — only the exact order is
+            # the same layout
+            if list(partition_by or []) != existing:
                 raise ValueError(
-                    f"table {name!r} is hive-partitioned on {cols}; append "
-                    f"with partition_by={cols} so the layouts agree"
+                    f"table {name!r} is hive-partitioned on {existing} (in "
+                    f"that order); append with partition_by={existing} so "
+                    "the layouts agree"
                 )
         elif partition_by and name in self.ls():
             raise ValueError(
@@ -185,9 +203,7 @@ class Engine:
             df = df.orderBy(*order_by)
         with open(save_as, "w", encoding="utf-8") as f:
             for row in df.toLocalIterator(prefetchPartitions=True):
-                f.write(
-                    "\t".join("" if v is None else str(v) for v in row) + "\n"
-                )
+                f.write(format_row_tsv(row) + "\n")
 
     # --- ls (S6) ---------------------------------------------------------------
     def ls(self) -> list[str]:
@@ -212,21 +228,29 @@ class Engine:
             self._registered_views.discard(name)
 
     # --- stats (S8) -------------------------------------------------------------
+    def _table_stats(self, name: str) -> dict[str, int]:
+        """files/bytes of ONE table: recursive walk (hive-partitioned
+        tables keep their files in col=value subdirectories, which a flat
+        listStatus misses), skipping hidden path components — _temporary
+        from an in-flight or crashed write holds parquet files Spark
+        readers will never see, and counting them would overstate the
+        table."""
+        fs, root = self._fs_path(self._path(name))
+        root_uri = root.toUri().getPath()
+        n_files = n_bytes = 0
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            st = it.next()
+            rel = st.getPath().toUri().getPath()[len(root_uri):].lstrip("/")
+            if any(seg[:1] in ("_", ".") for seg in rel.split("/")):
+                continue
+            if st.getPath().getName().endswith(".parquet"):
+                n_files += 1
+                n_bytes += st.getLen()
+        return {"n_files": n_files, "n_bytes": n_bytes}
+
     def stats(self) -> dict[str, dict[str, int]]:
-        fs, _ = self._fs_path(self.warehouse)
-        out: dict[str, dict[str, int]] = {}
-        for name in self.ls():
-            # recursive walk: hive-partitioned tables keep their files in
-            # col=value subdirectories, which a flat listStatus misses
-            n_files = n_bytes = 0
-            it = fs.listFiles(self._jpath(self._path(name)), True)
-            while it.hasNext():
-                st = it.next()
-                if st.getPath().getName().endswith(".parquet"):
-                    n_files += 1
-                    n_bytes += st.getLen()
-            out[name] = {"n_files": n_files, "n_bytes": n_bytes}
-        return out
+        return {name: self._table_stats(name) for name in self.ls()}
 
     # --- compact ------------------------------------------------------------------
     def compact(self, name: str, target_files: int = 1) -> dict[str, int]:
@@ -246,15 +270,17 @@ class Engine:
         fs, cur = self._fs_path(self._path(name))
         if not fs.exists(cur):
             raise FileNotFoundError(name)
-        before = self.stats()[name]["n_files"]
+        before = self._table_stats(name)["n_files"]
         tmp = self._jpath(self._path(f"_compact_tmp_{name}"))
         old = self._jpath(self._path(f"_compact_old_{name}"))
-        # preserve a hive-partitioned layout: a flat rewrite would keep the
-        # data (partition columns read back as normal columns) but silently
-        # lose directory pruning for every later query
-        part_cols = sorted(
-            {d.split("=", 1)[0] for d in self._partition_dirs(name)}
-        )
+        # preserve a hive-partitioned layout — every level, in nesting
+        # order: a flat (or partially flat) rewrite would keep the data
+        # (partition columns read back as normal columns) but silently
+        # lose directory pruning for every later query. For partitioned
+        # tables ``target_files`` applies PER PARTITION (coalesce bounds
+        # the task count; each task writes one file per partition value
+        # it holds), so total files ≈ n_partitions at target_files=1.
+        part_cols = self._partition_cols(name)
         writer = self.get(name).coalesce(target_files).write.mode(
             "errorifexists"
         )
@@ -267,7 +293,7 @@ class Engine:
         # the rewrite replaced every file — a registered view's captured
         # listing is gone; re-register on next sql()
         self._registered_views.discard(name)
-        after = self.stats()[name]
+        after = self._table_stats(name)
         return {
             "files_before": before,
             "files_after": after["n_files"],

@@ -122,17 +122,15 @@ def mg_summary(
     ranked = merged.select(
         "item", "cnt", F.row_number().over(w).alias("rn")
     )
-    kth = ranked.filter(F.col("rn") == k + 1).select(
-        F.col("cnt").alias("sub")
+    sub = ranked.agg(
+        F.coalesce(
+            F.max(F.when(F.col("rn") == k + 1, F.col("cnt"))), F.lit(0)
+        ).alias("sub")
     )
     return (
         ranked.filter(F.col("rn") <= k)
-        .crossJoin(F.broadcast(kth.unionByName(
-            ranked.sparkSession.createDataFrame([(0,)], "sub long")
-        ).agg(F.max("sub").alias("sub"))))
-        .select(
-            "item", (F.col("cnt") - F.col("sub")).alias("cnt")
-        )
+        .crossJoin(F.broadcast(sub))
+        .select("item", (F.col("cnt") - F.col("sub")).alias("cnt"))
         .filter(F.col("cnt") > 0)
     )
 

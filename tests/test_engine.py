@@ -469,3 +469,45 @@ def test_compact_preserves_partitioned_layout_and_stats_sees_nested_files(
     assert "day" in buf.getvalue().split("PartitionFilters")[1].split("]")[0]
     assert q.count() == 10
     assert engine.get("pp").count() == 20
+
+
+def test_multilevel_partitioning_survives_compact_and_append(
+    engine, tmp_path, spark
+):
+    """Two-level hive layout (day=/src=): compact must preserve BOTH
+    levels in nesting order (the review repro showed the src= level
+    silently flattening), append must validate the ordered column list,
+    and pruning on the second level still plans after the rewrite."""
+    import contextlib
+    import io
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ml.csv"
+    src.write_text(
+        "day,src,n\n"
+        + "".join(f"d{i % 2},s{i % 3},{i}\n" for i in range(30))
+    )
+    engine.put(
+        str(src), "ml", fmt="csv", header=True, inferSchema=True,
+        partition_by=["day", "src"],
+    )
+    assert engine._partition_cols("ml") == ["day", "src"]
+    engine.compact("ml", target_files=1)
+    assert engine._partition_cols("ml") == ["day", "src"]  # both levels kept
+    q = engine.get("ml").filter(F.col("src") == "s1")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain(mode="formatted")
+    pf = buf.getvalue().split("PartitionFilters")[1].split("]")[0]
+    assert "src" in pf  # second-level pruning survived the rewrite
+    assert engine.get("ml").count() == 30
+    # append: order matters — the reversed column list is a different layout
+    new = spark.createDataFrame(
+        [("d0", "s9", 99)], "day string, src string, n int"
+    )
+    with _pytest.raises(ValueError, match="in\\s+that order"):
+        engine.append(new, "ml", partition_by=["src", "day"])
+    engine.append(new, "ml", partition_by=["day", "src"])
+    assert engine.get("ml").count() == 31

@@ -82,24 +82,22 @@ def test_tile_grid_matches_python_reference(spark):
         for r in tile_grid(mm, row_b, tw, th).collect()
     }
     payloads = {r["id"]: bytes(r["payload"]) for r in mm.collect()}
-    want = {}
+    # INDEPENDENT oracle (structurally different from the implementation:
+    # per-byte coordinate arithmetic, not slicing): byte i of the payload
+    # lands in tile (tx, ty) at a position determined by consuming the
+    # tile row-chunk by row-chunk — place every byte, then compare whole
+    # tiles. A slicing off-by-one in the operator cannot be mirrored here.
+    want: dict = {}
     for rid, p in payloads.items():
-        rows = [p[o : o + row_b] for o in range(0, len(p), row_b)]
-        for ty in range((len(rows) + th - 1) // th):
-            for tx in range((row_b + tw - 1) // tw):
-                tile = b"".join(
-                    r[tx * tw : (tx + 1) * tw] for r in rows[ty * th : (ty + 1) * th]
-                )
-                if tile:
-                    want[(rid, tx, ty)] = tile
+        placed: dict = {}
+        for i, byte in enumerate(p):
+            scan_row, col = divmod(i, row_b)
+            tx, ty = col // tw, scan_row // th
+            placed.setdefault((rid, tx, ty), []).append((scan_row, col, byte))
+        for key, cells in placed.items():
+            cells.sort()  # row-major within the tile
+            want[key] = bytes(b for _, _, b in cells)
     assert got == want
-    # reassembly sanity: each payload's total tiled bytes == payload bytes
-    from collections import Counter
-
-    per_doc = Counter()
-    for (rid, _, _), t in got.items():
-        per_doc[rid] += len(t)
-    assert per_doc == Counter({rid: len(p) for rid, p in payloads.items()})
 
 
 def test_audio_windows_overlap_and_coverage(spark):

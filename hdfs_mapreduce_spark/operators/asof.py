@@ -36,6 +36,7 @@ def as_of_join(
     right_time: str,
     value_cols: list[str],
     right_tiebreak: str,
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Columns of the result: all of ``left`` plus ``value_cols`` (nullable —
     null when no right row precedes the left row).
@@ -43,12 +44,26 @@ def as_of_join(
     All value columns forward-fill as ONE struct (left rows carry a NULL
     struct, so ignoreNulls skips them atomically) — a single last_value
     evaluation over the sorted run instead of len(value_cols) independent
-    ones."""
+    ones.
+
+    ``tolerance_us`` bounds staleness (pandas merge_asof / kdb aj
+    semantics): a match only holds if the right row is within that many
+    microseconds BEFORE the left time — a stale quote older than the
+    tolerance fills null instead of silently joining. Implemented by
+    carrying the matched right time inside the fill struct and gating
+    the projection; the plan (one union, one key shuffle, one window) is
+    unchanged."""
     from pyspark.sql.types import StructField, StructType
+
+    # NTZ-safe epoch micros (same rationale as band._us: only DIFFERENCES
+    # are compared, so the session-zone offset cancels)
+    def _us(col):
+        return F.unix_micros(col.cast("timestamp"))
 
     lcols = left.columns
     vtype = StructType(
         [StructField(c, right.schema[c].dataType) for c in value_cols]
+        + [StructField("__rt", right.schema[right_time].dataType)]
     )
     l = left.select(
         F.col(left_key).alias("__k"),
@@ -64,7 +79,10 @@ def as_of_join(
         F.lit(0).alias("__side"),
         F.col(right_tiebreak).cast("long").alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
+        F.struct(
+            *[F.col(c).alias(c) for c in value_cols],
+            F.col(right_time).alias("__rt"),
+        ).alias("__v"),
     )
     w = (
         Window.partitionBy("__k")
@@ -74,7 +92,13 @@ def as_of_join(
     filled = l.unionByName(r).select(
         "*", F.last("__v", ignorenulls=True).over(w).alias("__f")
     )
+    if tolerance_us is None:
+        keep = F.col("__f").isNotNull()
+    else:
+        keep = F.col("__f").isNotNull() & (
+            _us(F.col("__t")) - _us(F.col("__f.__rt")) <= tolerance_us
+        )
     return filled.filter(F.col("__side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col("__f")[c].alias(c) for c in value_cols],
+        *[F.when(keep, F.col("__f")[c]).otherwise(None).alias(c) for c in value_cols],
     )

@@ -39,3 +39,83 @@ def test_bloom_prefilter_is_selective(spark):
     # all 500 members pass; FP rate over the 49.5k non-members stays under 10%
     assert passed >= n_keys
     assert passed - n_keys < 0.10 * (50_000 - n_keys)
+
+
+def test_asof_join_tolerance_matches_pandas_merge_asof(spark):
+    """as_of_join with tolerance_us must agree with pandas.merge_asof
+    (direction='backward', tolerance) on random keyed series — an
+    independent reference implementation of the same semantics. Right
+    (key, time) pairs are unique so tie-break conventions can't differ."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from hdfs_mapreduce_spark.operators.asof import as_of_join
+
+    rng = random.Random(5)
+    base = datetime(2024, 1, 1)
+    right_rows = []
+    used = set()
+    for _ in range(120):
+        k = rng.randrange(4)
+        t = rng.randrange(0, 10_000)
+        if (k, t) in used:
+            continue
+        used.add((k, t))
+        right_rows.append(
+            (k, base + timedelta(seconds=t), float(len(right_rows)), len(right_rows))
+        )
+    left_rows = [
+        (i, rng.randrange(4), base + timedelta(seconds=rng.randrange(0, 10_000)))
+        for i in range(200)
+    ]
+    left = spark.createDataFrame(
+        left_rows, "id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        right_rows, "rk long, rts timestamp, v double, tb long"
+    )
+    tol_s = 500
+    got = {
+        r["id"]: r["v"]
+        for r in as_of_join(
+            left, right,
+            left_key="k", right_key="rk",
+            left_time="ts", right_time="rts",
+            value_cols=["v"], right_tiebreak="tb",
+            tolerance_us=tol_s * 1_000_000,
+        ).collect()
+    }
+    lpdf = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
+    rpdf = pd.DataFrame(
+        right_rows, columns=["k", "rts", "v", "tb"]
+    ).sort_values("rts")
+    merged = pd.merge_asof(
+        lpdf, rpdf, left_on="ts", right_on="rts", by="k",
+        direction="backward", tolerance=pd.Timedelta(seconds=tol_s),
+    )
+    want = {
+        int(r.id): (None if pd.isna(r.v) else float(r.v))
+        for r in merged.itertuples()
+    }
+    assert got == want
+    # and without tolerance, our result matches pandas with none either
+    got_nt = {
+        r["id"]: r["v"]
+        for r in as_of_join(
+            left, right,
+            left_key="k", right_key="rk",
+            left_time="ts", right_time="rts",
+            value_cols=["v"], right_tiebreak="tb",
+        ).collect()
+    }
+    merged_nt = pd.merge_asof(
+        lpdf, rpdf, left_on="ts", right_on="rts", by="k",
+        direction="backward",
+    )
+    want_nt = {
+        int(r.id): (None if pd.isna(r.v) else float(r.v))
+        for r in merged_nt.itertuples()
+    }
+    assert got_nt == want_nt

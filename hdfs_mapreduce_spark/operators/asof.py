@@ -37,22 +37,32 @@ def as_of_join(
     value_cols: list[str],
     right_tiebreak: str,
     tolerance_us: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Columns of the result: all of ``left`` plus ``value_cols`` (nullable —
-    null when no right row precedes the left row).
+    null when no right row matches in the chosen direction).
 
     All value columns forward-fill as ONE struct (left rows carry a NULL
     struct, so ignoreNulls skips them atomically) — a single last_value
     evaluation over the sorted run instead of len(value_cols) independent
     ones.
 
-    ``tolerance_us`` bounds staleness (pandas merge_asof / kdb aj
-    semantics): a match only holds if the right row is within that many
-    microseconds BEFORE the left time — a stale quote older than the
-    tolerance fills null instead of silently joining. Implemented by
-    carrying the matched right time inside the fill struct and gating
-    the projection; the plan (one union, one key shuffle, one window) is
-    unchanged."""
+    ``direction`` (pandas merge_asof semantics, both ends inclusive):
+    ``"backward"`` takes the most recent right row with time <= left
+    time (the default — a point-in-time quote lookup); ``"forward"``
+    takes the EARLIEST right row with time >= left time (next-event
+    attribution), as first_value over the following frame — same plan,
+    mirrored window. Ties at equal (key, time) resolve by the tiebreak
+    column in both directions (largest wins backward, smallest forward —
+    the row "nearest" in the scan order either way).
+
+    ``tolerance_us`` bounds staleness (backward: left - right, forward:
+    right - left): a match farther than that many microseconds fills
+    null instead of silently joining. Implemented by carrying the
+    matched right time inside the fill struct and gating the projection;
+    the plan (one union, one key shuffle, one window) is unchanged."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     from pyspark.sql.types import StructField, StructType
 
     # NTZ-safe epoch micros (same rationale as band._us: only DIFFERENCES
@@ -65,10 +75,15 @@ def as_of_join(
         [StructField(c, right.schema[c].dataType) for c in value_cols]
         + [StructField("__rt", right.schema[right_time].dataType)]
     )
+    backward = direction == "backward"
+    # backward: right rows sort BEFORE left at equal time (side 0 < 1) so
+    # equal-time matches are visible to last_value over the preceding
+    # frame; forward mirrors it — right AFTER left (1 > 0), first_value
+    # over the following frame.
     l = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_time).alias("__t"),
-        F.lit(1).alias("__side"),
+        F.lit(1 if backward else 0).alias("__side"),
         F.lit(None).cast("long").alias("__tb"),
         *[F.col(c) for c in lcols],
         F.lit(None).cast(vtype).alias("__v"),
@@ -76,7 +91,7 @@ def as_of_join(
     r = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_time).alias("__t"),
-        F.lit(0).alias("__side"),
+        F.lit(0 if backward else 1).alias("__side"),
         F.col(right_tiebreak).cast("long").alias("__tb"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.struct(
@@ -84,21 +99,27 @@ def as_of_join(
             F.col(right_time).alias("__rt"),
         ).alias("__v"),
     )
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__tb"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    base_w = Window.partitionBy("__k").orderBy(
+        F.col("__t"), F.col("__side"), F.col("__tb")
     )
-    filled = l.unionByName(r).select(
-        "*", F.last("__v", ignorenulls=True).over(w).alias("__f")
-    )
+    if backward:
+        w = base_w.rowsBetween(Window.unboundedPreceding, 0)
+        fill = F.last("__v", ignorenulls=True).over(w)
+    else:
+        w = base_w.rowsBetween(0, Window.unboundedFollowing)
+        fill = F.first("__v", ignorenulls=True).over(w)
+    filled = l.unionByName(r).select("*", fill.alias("__f"))
     if tolerance_us is None:
         keep = F.col("__f").isNotNull()
-    else:
+    elif backward:
         keep = F.col("__f").isNotNull() & (
             _us(F.col("__t")) - _us(F.col("__f.__rt")) <= tolerance_us
         )
-    return filled.filter(F.col("__side") == 1).select(
+    else:
+        keep = F.col("__f").isNotNull() & (
+            _us(F.col("__f.__rt")) - _us(F.col("__t")) <= tolerance_us
+        )
+    return filled.filter(F.col("__side") == (1 if backward else 0)).select(
         *[F.col(c) for c in lcols],
         *[F.when(keep, F.col("__f")[c]).otherwise(None).alias(c) for c in value_cols],
     )

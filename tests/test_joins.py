@@ -119,3 +119,62 @@ def test_asof_join_tolerance_matches_pandas_merge_asof(spark):
         for r in merged_nt.itertuples()
     }
     assert got_nt == want_nt
+
+
+def test_asof_join_forward_matches_pandas(spark):
+    """direction='forward' (next event at or after the left time) must
+    agree with pandas.merge_asof(direction='forward'), with and without
+    tolerance, on random keyed series with unique right (key, time)."""
+    import random
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from hdfs_mapreduce_spark.operators.asof import as_of_join
+
+    rng = random.Random(9)
+    base = datetime(2024, 1, 1)
+    right_rows, used = [], set()
+    for _ in range(120):
+        k, t = rng.randrange(4), rng.randrange(0, 10_000)
+        if (k, t) in used:
+            continue
+        used.add((k, t))
+        right_rows.append(
+            (k, base + timedelta(seconds=t), float(len(right_rows)),
+             len(right_rows))
+        )
+    left_rows = [
+        (i, rng.randrange(4), base + timedelta(seconds=rng.randrange(0, 10_000)))
+        for i in range(200)
+    ]
+    left = spark.createDataFrame(left_rows, "id long, k long, ts timestamp")
+    right = spark.createDataFrame(
+        right_rows, "rk long, rts timestamp, v double, tb long"
+    )
+    lpdf = pd.DataFrame(left_rows, columns=["id", "k", "ts"]).sort_values("ts")
+    rpdf = pd.DataFrame(
+        right_rows, columns=["k", "rts", "v", "tb"]
+    ).sort_values("rts")
+    for tol_s in (None, 300):
+        got = {
+            r["id"]: r["v"]
+            for r in as_of_join(
+                left, right,
+                left_key="k", right_key="rk",
+                left_time="ts", right_time="rts",
+                value_cols=["v"], right_tiebreak="tb",
+                direction="forward",
+                tolerance_us=None if tol_s is None else tol_s * 1_000_000,
+            ).collect()
+        }
+        merged = pd.merge_asof(
+            lpdf, rpdf, left_on="ts", right_on="rts", by="k",
+            direction="forward",
+            tolerance=None if tol_s is None else pd.Timedelta(seconds=tol_s),
+        )
+        want = {
+            int(r.id): (None if pd.isna(r.v) else float(r.v))
+            for r in merged.itertuples()
+        }
+        assert got == want, f"tolerance={tol_s}"

@@ -115,9 +115,20 @@ def mg_summary(
     partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
         partition_summary, "item string, cnt long"
     )
-    merged = partials.groupBy("item").agg(F.sum("cnt").alias("cnt"))
-    # subtract the (k+1)-th largest count (0 if fewer than k+1 items):
-    # the summaries' total error budget re-normalized after the union
+    return mg_merge(partials, k=k)
+
+
+def mg_merge(*summaries: DataFrame, k: int = MG_K) -> DataFrame:
+    """Merge any number of (item, cnt) MG summaries into one of size <= k
+    — the PODS'12 rule: sum counts per item, subtract the (k+1)-th
+    largest merged count from everyone, drop non-positives. Error budgets
+    add (each input's bound plus the subtraction), which is exactly the
+    N/(k+1) total the summary guarantees. Also the per-batch merge step
+    of streaming heavy hitters (streaming/events.py)."""
+    merged = summaries[0]
+    for s in summaries[1:]:
+        merged = merged.unionByName(s)
+    merged = merged.groupBy("item").agg(F.sum("cnt").alias("cnt"))
     w = Window.orderBy(F.col("cnt").desc(), "item")
     ranked = merged.select(
         "item", "cnt", F.row_number().over(w).alias("rn")

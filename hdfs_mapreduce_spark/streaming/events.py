@@ -474,6 +474,50 @@ def cm_merge_batch_into_state(
     return True
 
 
+def stream_heavy_hitters(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: str,
+    checkpoint_dir: str | None = None,
+    col: str = "user_id",
+    k: int = 64,
+):
+    """Streaming Misra-Gries heavy hitters via foreachBatch: each batch's
+    MG summary merges into the maintained <= k-row state with the
+    PODS'12 rule, so the state's error bound telescopes to N/(k+1) over
+    everything the stream has seen while staying O(k) forever. Unlike
+    the count-min state, the summary depends on batch boundaries, so the
+    maintained state is bound-tested, not equality-tested, against the
+    batch truth. Same recovery contract as stream_cm_sketch: versions
+    record the producing batch id (the subtract-merge is not
+    idempotent), partial writes are invisible."""
+    from hdfs_mapreduce_spark.operators.sketches import mg_merge, mg_summary
+
+    os.makedirs(state_dir, exist_ok=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _state_versions(state_dir)
+        if versions and versions[-1][1] == batch_id:
+            return  # at-least-once replay of the committed batch
+        summary = mg_summary(batch_df, col, k=k)
+        if versions:
+            prev = spark.read.parquet(
+                os.path.join(state_dir, versions[-1][2])
+            )
+            merged, next_v = mg_merge(prev, summary, k=k), versions[-1][0] + 1
+        else:
+            merged, next_v = summary, 0
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{next_v}_b{batch_id}")
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    writer = stream.writeStream.foreachBatch(merge)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 # --- bucketed upsert state (the 100 TB swap, wired) -------------------------------
 def _bucketed_state_versions(spark: SparkSession, state_table: str) -> list[int]:
     prefix = f"{state_table}_v"

@@ -458,3 +458,48 @@ def test_cm_state_replay_and_partial_writes_are_safe(spark, tmp_path):
         r["cnt"] for r in read_upsert_state(spark, state).collect()
     )
     assert total1 == total0 + 50 * 4  # depth=4 cells per item
+
+
+def test_stream_heavy_hitters_respects_mg_bounds(spark):
+    """The streamed Misra-Gries state must honor the global MG contract
+    against the batch truth: <= k rows, never overestimates, error
+    within N/(k+1), every above-threshold item present."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.events import (
+        read_upsert_state,
+        stream_heavy_hitters,
+    )
+
+    k = 8
+    with tempfile.TemporaryDirectory() as root:
+        q = (
+            stream_heavy_hitters(
+                spark, SF, f"{root}/state",
+                checkpoint_dir=f"{root}/ckpt", col="event_type", k=k,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r["item"]: r["cnt"]
+            for r in read_upsert_state(spark, f"{root}/state").collect()
+        }
+        events = load_table(spark, SF, "events")
+        truth = {
+            str(r["event_type"]): r["n"]
+            for r in events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_total = sum(truth.values())
+        bound = n_total // (k + 1)
+        assert len(got) <= k
+        for item, est in got.items():
+            assert est <= truth[item]
+            assert truth[item] - est <= bound
+        for item, n in truth.items():
+            if n > bound:
+                assert item in got

@@ -45,10 +45,20 @@ from hdfs_mapreduce_spark.operators.similarity import (
     kmeans_assign,
     kmeans_fit,
 )
+from hdfs_mapreduce_spark.operators.multimodal import (
+    attach_payload,
+    audio_windows,
+    content_dedup,
+    decode_payload,
+    frame_sample,
+    payload_stats,
+    tile_grid,
+)
 from hdfs_mapreduce_spark.operators.sketches import (
     cm_estimate,
     cm_merge,
     cm_sketch,
+    mg_merge,
     mg_summary,
 )
 
@@ -92,5 +102,13 @@ __all__ = [
     "cm_estimate",
     "cm_merge",
     "cm_sketch",
+    "mg_merge",
     "mg_summary",
+    "attach_payload",
+    "audio_windows",
+    "content_dedup",
+    "decode_payload",
+    "frame_sample",
+    "payload_stats",
+    "tile_grid",
 ]

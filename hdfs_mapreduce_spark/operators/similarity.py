@@ -425,48 +425,33 @@ def kmeans_assign(
     and the within-cluster sum of squared distances.
 
     This pins the iterative-clustering dataflow: centroids are ALWAYS a
-    broadcast-sized model (k × dim floats), so assignment is map-side —
-    each vector scans the broadcast centroid array and takes the argmin
-    (array_min over (dist, cid) structs; exact ties go to the lower cid).
-    Nothing corpus-sized shuffles until the final per-cluster aggregate,
-    which is k rows of partial sums. A full k-means loop re-runs exactly
-    this shape with recomputed centroids each round — one verified step
-    pins every round's plan. Distances fold sequentially in index order
-    (same as the cosine oracle), so Spark and DuckDB agree bit-for-bit.
-
-    At 100 TB the HOF distance (interpreted per element) trades ~10x CPU
-    for zero shuffle; the production swap-in is a BLAS pandas_udf over the
-    same broadcast (cosine_fast's pattern) — the dataflow is unchanged.
+    broadcast-sized model (k × dim floats) — here collected as the seed
+    rows (k rows, the IVF-centroid small-model-locally pattern) and
+    carried in the assignment kernel's closure — so assignment is pure
+    map-side: nothing corpus-sized shuffles until the final per-cluster
+    aggregate, which is k rows of partial sums. The kernel is the shared
+    exact-fold Arrow argmin (``_assign_to_centroids``): per dimension,
+    acc += (x_i - c_i)² in index order — the identical left fold the SQL
+    oracle computes, so Spark and DuckDB agree bit-for-bit, at BLAS-ish
+    speed instead of the interpreted per-element HOF this used in r2/r3
+    (measured ~2x end-to-end; exact ties still go to the lower cid).
     """
-    seeds = (
+    seed_rows = (
         embeddings.orderBy(id_col)
         .limit(k)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .agg(
-            F.array_sort(F.collect_list(F.struct("cid", "cvec"))).alias("cs")
+        .select(id_col, vec_col)
+        .collect()
+    )
+    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    if not cents:
+        return embeddings.limit(0).select(
+            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast("long").alias("n_members"),
+            F.col(id_col).alias("first_member"),
+            F.lit(None).cast("double").alias("wcss"),
         )
-    )
-    sqd = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(
-            F.col(vec_col),
-            c,
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    best = embeddings.crossJoin(F.broadcast(seeds)).select(
-        F.col(id_col).alias("vid"),
-        F.array_min(
-            F.transform(
-                F.col("cs"),
-                lambda s: F.struct(sqd(s["cvec"]).alias("dist"), s["cid"].alias("cid")),
-            )
-        ).alias("m"),
-    )
     return (
-        best.select("vid", F.col("m.cid").alias("cluster"), F.col("m.dist").alias("dist"))
+        _assign_to_centroids(embeddings, cents, id_col, vec_col)
         .groupBy("cluster")
         .agg(
             F.count(F.lit(1)).alias("n_members"),

@@ -92,6 +92,62 @@ def test_asof_join_matches_bruteforce(spark, left, right):
     assert got == want
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=rows,
+    right=rows,
+    tol_s=st.integers(min_value=0, max_value=120),
+    forward=st.booleans(),
+)
+def test_asof_join_tolerance_and_direction_match_bruteforce(
+    spark, left, right, tol_s, forward
+):
+    """Both directions with a staleness bound against the sequential
+    model: backward takes the latest right at or before the left time
+    within tol, forward the earliest at or after within tol; tie on
+    equal times -> highest tiebreak backward, lowest forward."""
+    from hdfs_mapreduce_spark.operators.asof import as_of_join
+
+    ldf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(left)] or [(None, None, None)],
+        "k long, lid long, lt timestamp",
+    ).filter("lid is not null")
+    rdf = spark.createDataFrame(
+        [(k, i, _ts(s)) for i, (k, s) in enumerate(right)] or [(None, None, None)],
+        "k long, rid long, rt timestamp",
+    ).filter("rid is not null")
+    out = as_of_join(
+        ldf, rdf,
+        left_key="k", right_key="k",
+        left_time="lt", right_time="rt",
+        value_cols=["rid"], right_tiebreak="rid",
+        tolerance_us=tol_s * 1_000_000,
+        direction="forward" if forward else "backward",
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    want = {}
+    for li, (lk, ls) in enumerate(left):
+        if forward:
+            cands = [
+                (rs, ri)
+                for ri, (rk, rs) in enumerate(right)
+                if rk == lk and ls <= rs <= ls + tol_s
+            ]
+            want[li] = min(cands)[1] if cands else None
+        else:
+            cands = [
+                (rs, ri)
+                for ri, (rk, rs) in enumerate(right)
+                if rk == lk and ls - tol_s <= rs <= ls
+            ]
+            want[li] = max(cands)[1] if cands else None
+    assert got == want
+
+
 @given(
     st.lists(
         st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=8

@@ -2,7 +2,9 @@
 has no built-in for.
 
 ``as_of_join(left, right, ...)`` attaches, to every left row, the most recent
-right row for the same key with right.time <= left.time.
+right row for the same key with right.time <= left.time (``direction=
+"backward"``, the default) or the earliest with right.time >= left.time
+(``"forward"``), optionally bounded by a staleness tolerance.
 
 Implementation is the scale-correct union + forward-fill formulation, NOT a
 range join: a ``t <= T`` theta-join explodes quadratically per key, while this
@@ -13,11 +15,13 @@ plan is one union, one shuffle on the key, one window sort:
       → last_value(right_cols, ignoreNulls) forward-fill
       → keep left rows
 
-Right rows sort *before* left rows at equal time (side 0 < 1), so ties are
-inclusive (right at exactly left.time is visible). With multiple right rows
-at the same (key, time), the tiebreak column decides deterministically —
-which also makes the DuckDB oracle (same window formulation) hash-exact,
-something DuckDB's native ASOF JOIN wouldn't guarantee under ties.
+In the backward direction right rows sort *before* left rows at equal time
+(side 0 < 1), so ties are inclusive (right at exactly left.time is
+visible); the forward direction mirrors the tags and uses first_value
+over the following frame. With multiple right rows at the same
+(key, time), the tiebreak column decides deterministically — which also
+makes the DuckDB oracle (same window formulation) hash-exact, something
+DuckDB's native ASOF JOIN wouldn't guarantee under ties.
 """
 
 from __future__ import annotations
@@ -66,14 +70,25 @@ def as_of_join(
     from pyspark.sql.types import StructField, StructType
 
     # NTZ-safe epoch micros (same rationale as band._us: only DIFFERENCES
-    # are compared, so the session-zone offset cancels)
+    # are compared, so a constant session-zone offset cancels; caveat for
+    # NTZ inputs, as for band_join: wall times inside a DST transition of
+    # the session zone are ambiguous, so run with a fixed-offset session
+    # zone — the default session is UTC — when time columns are NTZ)
     def _us(col):
         return F.unix_micros(col.cast("timestamp"))
 
     lcols = left.columns
+    # the matched right time rides in the fill struct ONLY when a
+    # tolerance needs it — unbounded callers shouldn't pay the extra
+    # per-row timestamp through the union/shuffle/window
+    rt_fields = (
+        [StructField("__rt", right.schema[right_time].dataType)]
+        if tolerance_us is not None
+        else []
+    )
     vtype = StructType(
         [StructField(c, right.schema[c].dataType) for c in value_cols]
-        + [StructField("__rt", right.schema[right_time].dataType)]
+        + rt_fields
     )
     backward = direction == "backward"
     # backward: right rows sort BEFORE left at equal time (side 0 < 1) so
@@ -96,7 +111,7 @@ def as_of_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         F.struct(
             *[F.col(c).alias(c) for c in value_cols],
-            F.col(right_time).alias("__rt"),
+            *([F.col(right_time).alias("__rt")] if tolerance_us is not None else []),
         ).alias("__v"),
     )
     base_w = Window.partitionBy("__k").orderBy(

@@ -436,16 +436,11 @@ def kmeans_assign(
     speed instead of the interpreted per-element HOF this used in r2/r3
     (measured ~2x end-to-end; exact ties still go to the lower cid).
     """
-    seed_rows = (
-        embeddings.orderBy(id_col)
-        .limit(k)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    cents = _collect_seed_centroids(embeddings, k, id_col, vec_col)
     if not cents:
+        id_type = embeddings.schema[id_col].dataType
         return embeddings.limit(0).select(
-            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast(id_type).alias("cluster"),
             F.lit(None).cast("long").alias("n_members"),
             F.col(id_col).alias("first_member"),
             F.lit(None).cast("double").alias("wcss"),
@@ -462,9 +457,21 @@ def kmeans_assign(
     )
 
 
+def _collect_seed_centroids(
+    embeddings: DataFrame, k: int, id_col: str, vec_col: str
+) -> list[tuple[object, list[float]]]:
+    """The k lowest-id vectors as [(id, vector)] — deterministic seeds,
+    collected driver-side (k rows: the small-model-locally pattern).
+    Ids keep their native type (int, string, ...)."""
+    seed_rows = (
+        embeddings.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    )
+    return [(r[0], [float(x) for x in r[1]]) for r in seed_rows]
+
+
 def _assign_to_centroids(
     embeddings: DataFrame,
-    cents: list[tuple[int, list[float]]],
+    cents: list[tuple[object, list[float]]],
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
@@ -492,18 +499,23 @@ def _assign_to_centroids(
     not plan compilation, dominates.)"""
     import numpy as np
 
-    cents = sorted((int(cid), [float(v) for v in vec]) for cid, vec in cents)
-    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    # sorted ascending by cid so that argmin's first-minimum == lowest cid
+    # on exact ties; the kernel returns the centroid INDEX and the cid maps
+    # back through a literal array, so ids keep their native type (int,
+    # string, ... — UTF-8 byte order equals codepoint order, so the Python
+    # sort matches Spark's string collation)
+    cents = sorted(cents)
     cmat = np.array([vec for _, vec in cents], dtype=np.float64)
+    cid_array = F.array(*[F.lit(cid) for cid, _ in cents])
 
-    @F.pandas_udf("struct<cluster:long,dist:double>")
+    @F.pandas_udf("struct<idx:int,dist:double>")
     def _assign(vecs: pd.Series) -> pd.DataFrame:
         if len(vecs) == 0:
-            return pd.DataFrame({"cluster": [], "dist": []})
+            return pd.DataFrame({"idx": [], "dist": []})
         m = np.stack(vecs.values).astype(np.float64)
         n = m.shape[0]
-        dists = np.empty((len(cids), n))
-        for j in range(len(cids)):
+        dists = np.empty((cmat.shape[0], n))
+        for j in range(cmat.shape[0]):
             acc = np.zeros(n)
             for i in range(m.shape[1]):
                 d = m[:, i] - cmat[j, i]
@@ -511,7 +523,7 @@ def _assign_to_centroids(
             dists[j] = acc
         best = dists.argmin(axis=0)  # first min -> lowest cid on exact ties
         return pd.DataFrame(
-            {"cluster": cids[best], "dist": dists[best, np.arange(n)]}
+            {"idx": best.astype("int32"), "dist": dists[best, np.arange(n)]}
         )
 
     return embeddings.select(
@@ -520,7 +532,7 @@ def _assign_to_centroids(
         F.col(vec_col).alias("emb"),
     ).select(
         "vid",
-        F.col("m.cluster").alias("cluster"),
+        F.element_at(cid_array, F.col("m.idx") + 1).alias("cluster"),
         F.col("m.dist").alias("dist"),
         "emb",
     )
@@ -555,17 +567,11 @@ def kmeans_fit(
     units on real embeddings, so assignments don't flip (same argument
     as nb_classify).
     """
-    seed_rows = (
-        embeddings.orderBy(id_col)
-        .limit(k)
-        .select(id_col, vec_col)
-        .collect()
-    )
-    cents = [(int(r[0]), [float(x) for x in r[1]]) for r in seed_rows]
+    cents = _collect_seed_centroids(embeddings, k, id_col, vec_col)
     if not cents:  # empty input: no clusters, empty pure-plan assignment
         empty = embeddings.limit(0).select(
             F.col(id_col).alias("vid"),
-            F.lit(None).cast("long").alias("cluster"),
+            F.lit(None).cast(embeddings.schema[id_col].dataType).alias("cluster"),
             F.lit(None).cast("double").alias("dist"),
         )
         return [], empty, 0
@@ -580,9 +586,9 @@ def kmeans_fit(
             .agg(F.avg(F.col("v").cast("double")).alias("av"))
             .collect()
         )
-        by_cluster: dict[int, dict[int, float]] = {}
+        by_cluster: dict = {}
         for r in rows:
-            by_cluster.setdefault(int(r["cluster"]), {})[int(r["dim"])] = r["av"]
+            by_cluster.setdefault(r["cluster"], {})[int(r["dim"])] = r["av"]
         new_cents = [
             (cid, [vals[d] for d in sorted(vals)])
             for cid, vals in sorted(by_cluster.items())

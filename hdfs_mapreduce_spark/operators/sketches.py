@@ -125,6 +125,8 @@ def mg_merge(*summaries: DataFrame, k: int = MG_K) -> DataFrame:
     add (each input's bound plus the subtraction), which is exactly the
     N/(k+1) total the summary guarantees. Also the per-batch merge step
     of streaming heavy hitters (streaming/events.py)."""
+    if not summaries:
+        raise ValueError("mg_merge needs at least one summary")
     merged = summaries[0]
     for s in summaries[1:]:
         merged = merged.unionByName(s)

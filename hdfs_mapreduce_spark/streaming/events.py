@@ -439,6 +439,36 @@ def stream_cm_sketch(
     return writer
 
 
+def _merge_batch_into_versioned_state(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    build_summary,
+    merge_fn,
+) -> bool:
+    """The shared recovery protocol for NON-idempotent summary sinks
+    (count-min, Misra-Gries): skip the batch if the newest committed
+    version already carries its id (at-least-once replay), otherwise
+    merge ``build_summary()`` into the previous committed version via
+    ``merge_fn(prev, summary)`` and write ``v{N}_b{batchId}``; partial
+    writes (no _SUCCESS) are invisible and get overwritten by the retry.
+    Returns False on a skipped replay, True when a version landed."""
+    os.makedirs(state_dir, exist_ok=True)
+    versions = _state_versions(state_dir)
+    if versions and versions[-1][1] == batch_id:
+        return False  # at-least-once replay of the already-committed batch
+    summary = build_summary()
+    if versions:
+        prev = spark.read.parquet(os.path.join(state_dir, versions[-1][2]))
+        merged, next_v = merge_fn(prev, summary), versions[-1][0] + 1
+    else:
+        merged, next_v = summary, 0
+    merged.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{next_v}_b{batch_id}")
+    )
+    return True
+
+
 def cm_merge_batch_into_state(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -448,30 +478,43 @@ def cm_merge_batch_into_state(
     depth: int = 4,
     width: int = 1024,
 ) -> bool:
-    """One additive sketch merge with the recovery bookkeeping described
-    in stream_cm_sketch. Returns False when the batch was a replay of the
-    newest committed version (skipped), True when a new version landed."""
+    """One additive count-min merge under the shared versioned-state
+    recovery protocol (see _merge_batch_into_versioned_state)."""
     from hdfs_mapreduce_spark.operators.sketches import cm_merge, cm_sketch
 
-    os.makedirs(state_dir, exist_ok=True)
-    versions = _state_versions(state_dir)
-    if versions and versions[-1][1] == batch_id:
-        return False  # at-least-once replay of the already-committed batch
-    sk = cm_sketch(
-        batch_df.select(F.col(col).cast("string").alias("item")),
-        "item",
-        depth,
-        width,
+    return _merge_batch_into_versioned_state(
+        spark,
+        state_dir,
+        batch_id,
+        lambda: cm_sketch(
+            batch_df.select(F.col(col).cast("string").alias("item")),
+            "item",
+            depth,
+            width,
+        ),
+        cm_merge,
     )
-    if versions:
-        prev = spark.read.parquet(os.path.join(state_dir, versions[-1][2]))
-        merged, next_v = cm_merge(prev, sk), versions[-1][0] + 1
-    else:
-        merged, next_v = sk, 0
-    merged.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"v{next_v}_b{batch_id}")
+
+
+def mg_merge_batch_into_state(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    col: str = "user_id",
+    k: int = 64,
+) -> bool:
+    """One Misra-Gries merge under the shared versioned-state recovery
+    protocol (see _merge_batch_into_versioned_state)."""
+    from hdfs_mapreduce_spark.operators.sketches import mg_merge, mg_summary
+
+    return _merge_batch_into_versioned_state(
+        spark,
+        state_dir,
+        batch_id,
+        lambda: mg_summary(batch_df, col, k=k),
+        lambda a, b: mg_merge(a, b, k=k),
     )
-    return True
 
 
 def stream_heavy_hitters(
@@ -491,24 +534,11 @@ def stream_heavy_hitters(
     batch truth. Same recovery contract as stream_cm_sketch: versions
     record the producing batch id (the subtract-merge is not
     idempotent), partial writes are invisible."""
-    from hdfs_mapreduce_spark.operators.sketches import mg_merge, mg_summary
-
     os.makedirs(state_dir, exist_ok=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        versions = _state_versions(state_dir)
-        if versions and versions[-1][1] == batch_id:
-            return  # at-least-once replay of the committed batch
-        summary = mg_summary(batch_df, col, k=k)
-        if versions:
-            prev = spark.read.parquet(
-                os.path.join(state_dir, versions[-1][2])
-            )
-            merged, next_v = mg_merge(prev, summary, k=k), versions[-1][0] + 1
-        else:
-            merged, next_v = summary, 0
-        merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{next_v}_b{batch_id}")
+        mg_merge_batch_into_state(
+            spark, batch_df, state_dir, batch_id, col=col, k=k
         )
 
     stream = _events_stream(spark, sf_dir)

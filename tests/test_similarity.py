@@ -185,3 +185,25 @@ def test_kmeans_fit_drops_emptied_clusters(spark):
     # cluster 1 empties immediately and the fit ends with one cluster
     assert [cid for cid, _ in cents] == [0]
     assert {r["cluster"] for r in assignment.collect()} == {0}
+
+
+def test_kmeans_works_with_string_ids(spark):
+    """Cluster ids keep the id column's native type: string-keyed vectors
+    cluster with the same semantics (lowest id seeds, lexicographic tie
+    order) — the r3 Arrow-kernel swap must not narrow the id domain."""
+    from hdfs_mapreduce_spark.operators.similarity import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    rows = [
+        ("a1", [0.0, 0.0]), ("b2", [10.0, 10.0]),
+        ("c3", [0.1, 0.0]), ("d4", [10.1, 10.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    out = {r["cluster"]: r["n_members"] for r in kmeans_assign(emb, k=2).collect()}
+    assert out == {"a1": 2, "b2": 2}
+    cents, assignment, _ = kmeans_fit(emb, k=2, max_iter=5, tol=0.0)
+    assert {cid for cid, _ in cents} == {"a1", "b2"}
+    got = {r["vid"]: r["cluster"] for r in assignment.collect()}
+    assert got == {"a1": "a1", "c3": "a1", "b2": "b2", "d4": "b2"}

@@ -503,3 +503,34 @@ def test_stream_heavy_hitters_respects_mg_bounds(spark):
         for item, n in truth.items():
             if n > bound:
                 assert item in got
+
+
+def test_mg_state_replay_is_skipped(spark, tmp_path):
+    """The Misra-Gries sink shares the versioned-state recovery protocol:
+    a replayed batch (same id as the newest committed version) must not
+    re-subtract into the state."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.streaming.events import (
+        mg_merge_batch_into_state,
+        read_upsert_state,
+    )
+
+    state = str(tmp_path / "mg_state")
+    b0 = spark.range(100).select((F.col("id") % 5).alias("user_id"))
+    assert mg_merge_batch_into_state(spark, b0, state, batch_id=0, k=8)
+    snap = {
+        r["item"]: r["cnt"]
+        for r in read_upsert_state(spark, state).collect()
+    }
+    assert not mg_merge_batch_into_state(spark, b0, state, batch_id=0, k=8)
+    assert {
+        r["item"]: r["cnt"]
+        for r in read_upsert_state(spark, state).collect()
+    } == snap
+    assert mg_merge_batch_into_state(spark, b0, state, batch_id=1, k=8)
+    grown = {
+        r["item"]: r["cnt"]
+        for r in read_upsert_state(spark, state).collect()
+    }
+    assert sum(grown.values()) > sum(snap.values())

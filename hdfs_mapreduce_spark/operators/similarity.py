@@ -59,21 +59,35 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def cosine_fast(a: Column, b: Column) -> Column:
-    """Arrow-batched BLAS cosine. ~1e-15 from the fold-order `cosine` (BLAS
-    pairwise summation), so it backs the approximate operators (no SQL
-    oracle); the oracle-exact brute-force path keeps the fold-order twin.
-    The udf is built per call — pandas_udf registration needs a live session,
-    so it cannot be a module-level decorator."""
+    """Arrow-batched exact-fold cosine: the kernel walks dimensions in index
+    order (``acc += a_i*b_i``), vectorized across the rows of each batch —
+    the identical left fold the HOF ``cosine`` and DuckDB's
+    ``list_reduce(list_prepend(0.0, ...))`` compute, so results are
+    BIT-IDENTICAL to the SQL oracle (same additions, same order, all
+    float64), not merely close. ~10x the interpreted HOF at sf0.1 (64
+    length-n numpy ops per batch vs per-row interpretation); the einsum/BLAS
+    variant this replaced was ~1e-15 off the fold (pairwise summation),
+    which forced ann_lsh/ann_ivf to rows-only driver checks. The udf is
+    built per call — pandas_udf registration needs a live session, so it
+    cannot be a module-level decorator."""
 
     @F.pandas_udf("double")
     def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
         import numpy as np
 
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
         ma = np.stack(x.values).astype(np.float64)
         mb = np.stack(y.values).astype(np.float64)
-        num = np.einsum("ij,ij->i", ma, mb)
-        den = np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
-        return pd.Series(num / den)
+        n = ma.shape[0]
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for i in range(ma.shape[1]):  # sequential fold: bit-equal to oracle
+            dot = dot + ma[:, i] * mb[:, i]
+            na = na + ma[:, i] * ma[:, i]
+            nb = nb + mb[:, i] * mb[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
     return _cos(a, b)
 
@@ -157,10 +171,13 @@ def lsh_signature(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
 
 
 def lsh_signature_fast(dim: int, n_planes: int = N_PLANES):
-    """Arrow-batched signature: one BLAS matmul against the plane matrix per
-    batch instead of n_planes interpreted fold-dots per row (~10x at sf0.1).
-    Sign agrees with `lsh_signature` except for dots within float-summation
-    error of zero (measure-zero on real data)."""
+    """Arrow-batched signature with EXACT fold-order projections: per plane,
+    the dot product accumulates dimensions in index order (vectorized across
+    batch rows), so every sign bit — including projections exactly at zero —
+    is bit-identical to the HOF `lsh_signature` and to the DuckDB
+    ``list_reduce`` twin. ~10x the interpreted per-row fold at sf0.1
+    (n_planes x dim length-n numpy ops per batch). This exactness is what
+    lets ann_lsh carry a hash-checked SQL oracle."""
     import numpy as np
 
     planes = np.array(hyperplanes(dim, n_planes), dtype=np.float64)
@@ -168,8 +185,17 @@ def lsh_signature_fast(dim: int, n_planes: int = N_PLANES):
 
     @F.pandas_udf("long")
     def sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
         m = np.stack(vecs.values).astype(np.float64)
-        return pd.Series((((m @ planes.T) > 0) @ weights).astype(np.int64))
+        n = m.shape[0]
+        proj = np.empty((n_planes, n))
+        for p in range(n_planes):
+            acc = np.zeros(n)
+            for d in range(m.shape[1]):  # sequential fold, oracle-exact
+                acc = acc + m[:, d] * planes[p, d]
+            proj[p] = acc
+        return pd.Series(((proj > 0).T @ weights).astype(np.int64))
 
     return sig
 
@@ -247,8 +273,12 @@ def ann_topk_ivf(
        partitioned-on-write by cell) and each query touches nprobe partitions
        instead of a full scan.
 
-    Approximate; no SQL oracle (rows-only driver check) — recall vs the
-    brute-force baseline is asserted in tests/test_similarity.py.
+    Every arithmetic step — centroid selection (an ORDER BY the oracle can
+    express), cell assignment, probe ranking, candidate scoring — uses the
+    exact sequential fold, so the whole operator has a hash-checked DuckDB
+    twin (plans/similarity_plans.py) despite being "approximate" in the ANN
+    sense: approximate vs brute-force recall (bounded in
+    tests/test_similarity.py), deterministic as a function of the data.
     """
     import numpy as np
     from pyspark.sql.types import ArrayType, IntegerType
@@ -264,19 +294,45 @@ def ann_topk_ivf(
         .collect()
     )
     cmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in cent_rows])
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    # Fold-order centroid norms: acc += c_d² in index order, like _NORM.
+    cnorm = np.zeros(cmat.shape[0])
+    for d in range(cmat.shape[1]):
+        cnorm = cnorm + cmat[:, d] * cmat[:, d]
+    cnorm = np.sqrt(cnorm)
+
+    def _cos_to_cents(m: "np.ndarray") -> "np.ndarray":
+        """(n_rows x nlist) cosine matrix with the oracle's exact expression
+        shape: fold-dot / (fold-norm(vec) * fold-norm(centroid))."""
+        n = m.shape[0]
+        nv = np.zeros(n)
+        for d in range(m.shape[1]):
+            nv = nv + m[:, d] * m[:, d]
+        nv = np.sqrt(nv)
+        cos = np.empty((n, cmat.shape[0]))
+        for j in range(cmat.shape[0]):
+            dot = np.zeros(n)
+            for d in range(m.shape[1]):
+                dot = dot + m[:, d] * cmat[j, d]
+            cos[:, j] = dot / (nv * cnorm[j])
+        return cos
 
     @F.pandas_udf(IntegerType())
     def cell_of(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
         m = np.stack(vecs.values).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.Series(np.argmax(m @ cmat.T, axis=1).astype("int32"))
+        # argmax returns the FIRST maximum -> exact ties go to the lower
+        # cell, matching ROW_NUMBER() ORDER BY cos DESC, cell ASC.
+        return pd.Series(np.argmax(_cos_to_cents(m), axis=1).astype("int32"))
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="object")
         m = np.stack(vecs.values).astype(np.float64)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        order = np.argsort(-(m @ cmat.T), kind="stable", axis=1)[:, :nprobe]
+        # stable argsort of -cos keeps ascending cell order on exact ties —
+        # the same (cos DESC, cell ASC) ranking the oracle's ROW_NUMBER uses.
+        order = np.argsort(-_cos_to_cents(m), kind="stable", axis=1)[:, :nprobe]
         return pd.Series([row.astype("int32") for row in order])
 
     corpus = embeddings.select(

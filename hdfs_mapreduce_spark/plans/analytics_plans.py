@@ -221,16 +221,21 @@ def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_BOUND = 0.10  # lgConfigK=12 → rse ~1.6%; 10% is >6 sigma
+
+
 def events_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Datasketches HLL): per-day user
     sketches unioned into a corpus total, next to the direct single-pass
     sketch. At 100 TB this is THE pattern for distinct counts over
     arbitrary slices: materialize per-partition sketches once, answer any
-    rollup by register-wise union — never rescan. HLL union is exact over
-    registers, so the merged estimate equals the direct estimate
-    bit-for-bit (asserted in pytest, with both within the sketch's error
-    bound of the exact count). Rows-only for the driver: estimates are
-    engine-specific, so no DuckDB hash oracle by design."""
+    rollup by register-wise union — never rescan. The estimates are
+    engine-specific, so the emitted relation carries the exact facts plus
+    two booleans the oracle pins with literal TRUEs: HLL union is exact
+    over registers, so merged == direct bit-for-bit, and both sit inside
+    the sketch's error bound of the exact distinct count. A hash match
+    therefore certifies BOTH sketch guarantees (promoted from rows-only
+    in round 4)."""
     events = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("day")
     per_day = events.select(day, "user_id").groupBy("day").agg(
@@ -241,9 +246,21 @@ def events_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_merged"),
     )
     direct = events.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("users_direct")
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("users_direct"),
+        F.count_distinct("user_id").alias("exact_users"),
     )
-    return merged.crossJoin(direct)
+    return merged.crossJoin(direct).select(
+        "n_days",
+        "exact_users",
+        (F.col("users_merged") == F.col("users_direct")).alias(
+            "merged_eq_direct"
+        ),
+        (
+            F.abs(F.col("users_direct") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(HLL_BOUND)
+        ).alias("within_bound"),
+    )
 
 
 BLOOM_SEGMENT = "BUILDING"
@@ -426,6 +443,14 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    # Sketch estimates are engine-specific; the query emits exact facts +
+    # booleans the oracle pins with TRUE (see events_hll_mergeable doc).
+    "events_hll_mergeable": """
+        SELECT COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+               COUNT(DISTINCT user_id) AS exact_users,
+               TRUE AS merged_eq_direct, TRUE AS within_bound
+        FROM events
+    """,
     # The oracle is the UNSALTED join: the check proves salting is purely
     # a physical-distribution change.
     "events_skew_join": """

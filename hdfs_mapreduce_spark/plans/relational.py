@@ -296,36 +296,79 @@ def q15_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
-# --- Q16: approximate distinct (sketch; tolerance-tested, no hash oracle) -------
+# --- Q16: approximate distinct (sketch; error bound pinned by the hash) ---------
+Q16_RSD = 0.02
+Q16_BOUND = 0.10  # 5x rsd — far beyond any plausible HLL++ excursion
+
+
 def q16_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL sketches differ across engines by design — FIXTURES.md excludes
-    this from hash matching; tests assert ±5% of the exact count instead."""
+    """HLL estimates differ across engines by design, so the emitted
+    relation is the EXACT distinct count next to a boolean bound check on
+    the sketch: |approx - exact| / exact <= 5*rsd. The oracle computes the
+    same exact count and a literal TRUE — the driver's value hash matches
+    iff Spark's sketch really is inside its declared error bound (the
+    trick that turned this from a rows-only row into a hash row)."""
     events = load_table(spark, sf_dir, "events")
     return events.agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_u")
+        F.count_distinct("user_id").alias("exact_u"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=Q16_RSD)
+                - F.count_distinct("user_id")
+            )
+            / F.count_distinct("user_id")
+            <= F.lit(Q16_BOUND)
+        ).alias("within_bound"),
     )
+
+
+Q17_ACCURACY = 10000
+Q17_RANK_EPS = 0.01  # rank-error budget: accuracy 10000 guarantees 1e-4
 
 
 def q17_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile sketch (Greenwald-Khanna via percentile_approx) per event
     type — mergeable partial sketches, one shuffle, bounded memory at any
-    scale where exact percentile would sort the world. Sketch output is
-    engine-specific: no hash oracle; the test bounds rank error vs the exact
-    percentile."""
+    scale where exact percentile would sort the world. Sketch VALUES are
+    engine-specific, so the emitted relation is a rank-error audit the
+    oracle can pin with literal TRUEs: for each approx quantile v at target
+    q, the sketch contract is that v's rank sits within eps of q —
+    frac(value <= v) >= q - eps and frac(value < v) <= q + eps. The check
+    columns are booleans over exact counts, so the hash match certifies
+    the sketch's guarantee, not its engine-specific output."""
     events = load_table(spark, sf_dir, "events")
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("q"),
-        )
-        .select(
-            "event_type",
-            F.col("q")[0].alias("p50"),
-            F.col("q")[1].alias("p95"),
-            F.col("q")[2].alias("p99"),
-        )
-        .orderBy("event_type")
+    approx = events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], Q17_ACCURACY).alias("q")
     )
+    joined = events.join(F.broadcast(approx), "event_type")
+    checks = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg
+            for i in range(3)
+            for agg in (
+                F.sum((F.col("value") <= F.col("q")[i]).cast("long")).alias(
+                    f"le_{i}"
+                ),
+                F.sum((F.col("value") < F.col("q")[i]).cast("long")).alias(
+                    f"lt_{i}"
+                ),
+            )
+        ],
+    )
+    targets = [0.5, 0.95, 0.99]
+    names = ["p50_ok", "p95_ok", "p99_ok"]
+    return checks.select(
+        "event_type",
+        "n",
+        *[
+            (
+                (F.col(f"le_{i}") / F.col("n") >= F.lit(t - Q17_RANK_EPS))
+                & (F.col(f"lt_{i}") / F.col("n") <= F.lit(t + Q17_RANK_EPS))
+            ).alias(nm)
+            for i, (t, nm) in enumerate(zip(targets, names))
+        ],
+    ).orderBy("event_type")
 
 
 def q18_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,6 +720,18 @@ ORACLE_SQL = {
         FROM act a JOIN first f ON a.user_id = f.user_id
         GROUP BY 1, 2 ORDER BY cohort_week, week_offset
     """,
-    # q16_approx_distinct: no oracle — sketch results are engine-specific
-    # (FIXTURES.md tolerance protocol; tests/test_relational_extra.py).
+    # q16/q17: the sketch VALUES are engine-specific, so both queries emit
+    # exact counts + boolean bound checks; the oracle computes the same
+    # exact side and literal TRUEs — a hash match certifies the sketch sat
+    # inside its declared error bound (FIXTURES.md tolerance protocol,
+    # promoted to a hash row in round 4).
+    "q16_approx_distinct": """
+        SELECT COUNT(DISTINCT user_id) AS exact_u, TRUE AS within_bound
+        FROM events
+    """,
+    "q17_approx_quantiles": """
+        SELECT event_type, COUNT(*) AS n,
+               TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
 }

@@ -4,18 +4,24 @@ The cosine expression in SQL mirrors the Spark expression shape exactly
 (sequential left-fold in index order, all-double) so the floating-point
 results are bit-identical, not merely close.
 
-``ann_lsh`` and ``ann_ivf`` have no SQL oracle (multi-probe LSH bucketing
-and IVF coarse quantization are genuinely procedural); the driver records a
-rows-only check and tests/test_similarity.py checks their recall against the
-brute-force baseline.
+Since round 4 this includes ``ann_lsh`` and ``ann_ivf``: their Arrow
+kernels evaluate every dot/norm with the same exact sequential fold, so
+the hyperplane signatures, Hamming buckets, IVF cell assignments and
+candidate scores are all deterministic functions of the data that DuckDB
+recomputes symbolically (hyperplanes from the shared h56 hash, centroids
+from the Knuth-scramble ORDER BY). "Approximate" refers to ANN recall vs
+brute force (bounded in tests/test_similarity.py), not to any
+nondeterminism — so both carry full hash oracles.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from hdfs_mapreduce_spark.functions.hashing import h56_sql
 from hdfs_mapreduce_spark.operators.similarity import (
     KMEANS_K,
+    N_PLANES,
     ann_topk_bruteforce,
     ann_topk_ivf,
     ann_topk_lsh,
@@ -28,6 +34,10 @@ from hdfs_mapreduce_spark.sources.catalog import load_table
 QUERY_IDS = [0, 1, 2, 3, 4]
 TOP_K = 10
 PAIR_THRESHOLD = 0.4
+EMB_DIM = 64  # embeddings table dimension (all SFs)
+LSH_PROBES = 2  # multi-probe Hamming radius
+IVF_NLIST = 16
+IVF_NPROBE = 4
 
 # dot(a,b) with the same fold order as Spark's aggregate(zip_with(...)).
 _DOT = (
@@ -107,12 +117,14 @@ def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_topk_lsh(emb, QUERY_IDS, TOP_K)
+    return ann_topk_lsh(emb, QUERY_IDS, TOP_K, dim=EMB_DIM, probes=LSH_PROBES)
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_topk_ivf(emb, QUERY_IDS, TOP_K)
+    return ann_topk_ivf(
+        emb, QUERY_IDS, TOP_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE
+    )
 
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,10 +434,106 @@ ORACLE_SQL = {
         FROM ranked WHERE rank <= {TOP_K}
         ORDER BY query_id, rank
     """,
-    # ann_lsh: intentionally no oracle (procedural multi-probe LSH).
-    # cos_sim is rounded to 6 decimals on BOTH sides: the Spark operator runs
-    # a BLAS matmul (pairwise summation) while this SQL folds sequentially —
-    # they agree at 6 decimals, not at the last ulp.
+    # ann_lsh: symbolic rebuild of the whole pipeline — hyperplanes from the
+    # shared h56 hash, signatures as ordered-fold projections, multi-probe
+    # via bit_count(xor()) Hamming distance, candidates scored with the
+    # exact-fold cosine. Bit-identical to the Spark kernels by construction.
+    "ann_lsh": f"""
+        WITH planes AS (
+            SELECT p, list(w ORDER BY d) AS pvec
+            FROM (
+                SELECT pp.p, dd.d,
+                       CAST(({h56_sql(
+                           "'hp:' || CAST(pp.p AS VARCHAR) || ':' "
+                           "|| CAST(dd.d AS VARCHAR)"
+                       )} % 2001) - 1000 AS DOUBLE) / 1000.0 AS w
+                FROM generate_series(0, {N_PLANES - 1}) pp(p),
+                     generate_series(0, {EMB_DIM - 1}) dd(d)
+            ) GROUP BY p
+        ),
+        sigs AS (
+            SELECT e.vec_id,
+                   CAST(SUM(CASE WHEN {_DOT.format(a='e.embedding',
+                                                   b='pl.pvec')} > 0
+                                 THEN (CAST(1 AS BIGINT) << pl.p)
+                                 ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+            FROM embeddings e, planes pl
+            GROUP BY e.vec_id
+        ),
+        q AS (
+            SELECT e.vec_id AS query_id, e.embedding AS qvec, s.sig AS qsig
+            FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+            WHERE e.vec_id IN ({_IDS})
+        ),
+        c AS (
+            SELECT e.vec_id AS neighbor_id, e.embedding AS nvec, s.sig AS nsig
+            FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id
+        ),
+        cand AS (
+            SELECT q.query_id, c.neighbor_id,
+                   {_cos('q.qvec', 'c.nvec')} AS cos_sim
+            FROM c, q
+            WHERE bit_count(xor(c.nsig, q.qsig)) <= {LSH_PROBES}
+              AND c.neighbor_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM cand
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
+    # ann_ivf: centroid selection is the Knuth-scramble ORDER BY, cell
+    # assignment/probe ranking are ROW_NUMBER over the exact-fold cosine
+    # (cos DESC, cell ASC ties == the kernel's first-argmax / stable sort).
+    "ann_ivf": f"""
+        WITH cents AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                   ) - 1 AS cell,
+                   cvec
+            FROM (
+                SELECT vec_id, embedding AS cvec FROM embeddings
+                ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                LIMIT {IVF_NLIST}
+            )
+        ),
+        scored_cells AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.cell
+                   ) AS rn
+            FROM embeddings e, cents c
+        ),
+        corpus AS (
+            SELECT vec_id AS neighbor_id, embedding AS nvec, cell
+            FROM scored_cells WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, embedding AS qvec, cell
+            FROM scored_cells
+            WHERE rn <= {IVF_NPROBE} AND vec_id IN ({_IDS})
+        ),
+        cand AS (
+            SELECT p.query_id, c.neighbor_id,
+                   {_cos('p.qvec', 'c.nvec')} AS cos_sim
+            FROM corpus c JOIN probes p USING (cell)
+            WHERE c.neighbor_id <> p.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM cand
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """,
     "dedup_embedding_pairs": f"""
         SELECT vec_a, vec_b, cos_sim FROM (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

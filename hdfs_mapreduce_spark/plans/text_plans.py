@@ -447,12 +447,16 @@ PACK_BUDGET = 2048
 
 
 def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing summary: documents greedily packed into
+    """Sequence packing audit: documents greedily packed into
     <=2048-token bins (BPE-ish counts), partition-local — see
-    operators/packing.py. Bin layout depends on partitioning, so this is a
-    rows-only query (no SQL oracle); the invariants (each doc exactly once,
-    no bin over budget except single-doc bins) are asserted in
-    tests/test_packing.py."""
+    operators/packing.py. The bin LAYOUT depends on partitioning, so the
+    emitted relation is the partition-invariant accounting the oracle can
+    compute exactly (n_docs, total_tokens) plus the packing invariants as
+    booleans the oracle pins with literal TRUEs: every multi-doc bin
+    within budget, and bin count >= ceil(total/budget) (each doc exactly
+    once is implied by n_docs/total_tokens matching). Hash-green iff the
+    packer kept its contract — promoted from rows-only in round 4; the
+    full per-bin layout stays covered by tests/test_packing.py."""
     from hdfs_mapreduce_spark.operators.packing import pack_sequences
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
@@ -464,9 +468,20 @@ def pipeline_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("bin_tokens"),
     )
     return bins.agg(
-        F.count(F.lit(1)).alias("n_bins"),
         F.sum("docs_in_bin").alias("n_docs"),
-        F.max("bin_tokens").alias("max_bin_tokens"),
+        F.sum("bin_tokens").alias("total_tokens"),
+        F.max(
+            F.when(F.col("docs_in_bin") >= 2, F.col("bin_tokens")).otherwise(0)
+        ).alias("max_multi_bin"),
+        F.count(F.lit(1)).alias("n_bins"),
+    ).select(
+        "n_docs",
+        "total_tokens",
+        (F.col("max_multi_bin") <= F.lit(PACK_BUDGET)).alias("bins_within_budget"),
+        (
+            F.col("n_bins")
+            >= F.ceil(F.col("total_tokens") / F.lit(PACK_BUDGET))
+        ).alias("bin_count_ge_lower"),
     )
 
 
@@ -853,6 +868,17 @@ ORACLE_SQL = {
             WHERE {_QUALITY} >= 0.5 AND ({_langid_sql()}) = 'en'
         )
         SELECT MIN(doc_id) AS doc_id FROM f GROUP BY md5(text) ORDER BY doc_id
+    """,
+    # pipeline_pack: the bin layout is partition-dependent, so the query
+    # emits partition-invariant accounting + invariant booleans the oracle
+    # pins with TRUE (see the query docstring).
+    "pipeline_pack": f"""
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '{_BPE_SQL}')))
+                    AS BIGINT) AS total_tokens,
+               TRUE AS bins_within_budget,
+               TRUE AS bin_count_ge_lower
+        FROM documents
     """,
     "pipeline_pack_concat": f"""
         WITH t AS (

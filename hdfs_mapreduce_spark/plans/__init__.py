@@ -8,10 +8,14 @@ is deterministic rotation: order the merged registry **stalest-first** —
 queries with no green CORRECTNESS row ever come first, then by the round
 of their most recent green row (oldest first), original merge order as
 the tie-break. Every round the ~50 just-verified queries rotate to the
-back and the unverified/stalest block rotates into the window, so with a
-50-row window and ≤100 queries no query is ever more than one round
-stale. ``tools/coverage.py`` materializes the same bookkeeping as
-COVERAGE.json; tests/test_coverage.py asserts the rotation invariant.
+back and the unverified/stalest block rotates into the window. Round 4
+deliberately grew the surface past 2x the window (the r3 verdict asked
+for the pytest-only operators to be declared), so the guarantee is the
+generalized bound: every query gets a green row at least every
+ceil(N/50) rounds (<= 3 by invariant), never-green queries always make
+the next window, and the only queries that wait an extra round are
+recently-green ones. ``tools/coverage.py`` materializes the same
+bookkeeping as COVERAGE.json; tests/test_coverage.py asserts the bound.
 """
 
 from __future__ import annotations

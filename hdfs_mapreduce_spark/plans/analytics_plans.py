@@ -263,6 +263,21 @@ def events_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_cm_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of event user ids (operators/sketches.py): the
+    depth x width counter grid, built in one corpus pass with map-side
+    partials. The cells are exact GROUP BY counts over the shared h56
+    bucket hash, so the whole sketch relation has an exact SQL twin —
+    declared in round 4 (was pytest-only: tests/test_sketches.py bound
+    and merge checks)."""
+    from hdfs_mapreduce_spark.operators.sketches import cm_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    return cm_sketch(
+        events.select(F.col("user_id").cast("string").alias("uid")), "uid"
+    ).orderBy("row", "bucket")
+
+
 BLOOM_SEGMENT = "BUILDING"
 
 
@@ -440,9 +455,32 @@ QUERIES = {
     "profile_orders": profile_orders,
     "events_bloom_semi": events_bloom_semi,
     "events_hll_mergeable": events_hll_mergeable,
+    "events_cm_sketch": events_cm_sketch,
 }
 
+from hdfs_mapreduce_spark.functions.hashing import h56_sql  # noqa: E402
+from hdfs_mapreduce_spark.operators.sketches import (  # noqa: E402
+    CM_DEPTH,
+    CM_WIDTH,
+)
+
+# Exact twin of the count-min counter grid: same h56 bucket hash per depth
+# row, same GROUP BY counts.
+_CM_CELLS = " UNION ALL ".join(
+    "SELECT {d} AS row, ({h}) % {w} AS bucket FROM events".format(
+        d=d,
+        h=h56_sql("'cm" + str(d) + ":' || CAST(user_id AS VARCHAR)"),
+        w=CM_WIDTH,
+    )
+    for d in range(CM_DEPTH)
+)
+
 ORACLE_SQL = {
+    "events_cm_sketch": f"""
+        SELECT row, bucket, COUNT(*) AS cnt
+        FROM ({_CM_CELLS})
+        GROUP BY row, bucket ORDER BY row, bucket
+    """,
     # Sketch estimates are engine-specific; the query emits exact facts +
     # booleans the oracle pins with TRUE (see events_hll_mergeable doc).
     "events_hll_mergeable": """

@@ -172,6 +172,44 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_components_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(log n)-round star-contraction variant of dedup_components
+    (operators/components.py connected_components_logrounds — alternating
+    large-star/small-star, the algorithm for long-chain graphs where
+    min-label propagation's O(diameter) rounds would bottleneck). Same
+    MinHash edge relation, same (doc_id, canonical_id) output contract,
+    and the labeling is provably identical to min-label components — so
+    it shares the dedup_components recursive-CTE oracle verbatim.
+    Declared in round 4 (was pytest-only: tests/test_dedup.py
+    test_logrounds_components_match_union_find)."""
+    import os
+
+    from hdfs_mapreduce_spark.operators.components import (
+        connected_components_logrounds,
+    )
+    from hdfs_mapreduce_spark.operators.materialize import (
+        materialize_minhash_pairs,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    edges = materialize_minhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        MINHASH_THRESHOLD,
+        name=f"logrounds_edges_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    labels = connected_components_logrounds(edges, "doc_a", "doc_b")
+    return (
+        docs.select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("label", "doc_id").alias("canonical_id")
+        )
+        .orderBy("doc_id")
+    )
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-aware survivor selection: near-dup components (same edge
     relation as dedup_components) reduced to one kept document per cluster
@@ -379,6 +417,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
+    "dedup_components_logrounds": dedup_components_logrounds,
     "dedup_keep_best": dedup_keep_best,
     "dataset_split_safe": dataset_split_safe,
     "dedup_incremental": dedup_incremental,
@@ -772,5 +811,14 @@ ORACLE_SQL["dataset_split_safe"] = f"""
     FROM b GROUP BY 1 ORDER BY split
 """
 
-for _k in ("dedup_components", "dedup_keep_best", "dataset_split_safe"):
+# Star contraction provably yields the same min-label components, so the
+# logrounds variant reuses the recursive-CTE oracle verbatim.
+ORACLE_SQL["dedup_components_logrounds"] = ORACLE_SQL["dedup_components"]
+
+for _k in (
+    "dedup_components",
+    "dedup_components_logrounds",
+    "dedup_keep_best",
+    "dataset_split_safe",
+):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{component_ctes}", _COMPONENT_CTES)

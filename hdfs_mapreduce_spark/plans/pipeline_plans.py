@@ -189,6 +189,57 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "frame_idx")
 
 
+TILE_ROW_BYTES = 64
+TILE_W = 16
+TILE_H = 4
+AUDIO_WIN = 32
+AUDIO_HOP = 16
+
+
+def multimodal_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2D tiling through the real Arrow plumbing (operators/multimodal.py
+    tile_grid — the post-decode image tiler access pattern, bytes standing
+    in for pixels), summarized as per-tile md5 + byte length. ASCII
+    payloads make a DuckDB substr-concat oracle byte-exact. Declared in
+    round 4 (was pytest-only: tests/test_multimodal.py)."""
+    from hdfs_mapreduce_spark.operators.multimodal import tile_grid
+
+    docs = load_table(spark, sf_dir, "documents")
+    tiles = tile_grid(
+        attach_payload(docs, "doc_id", "text"),
+        row_bytes=TILE_ROW_BYTES,
+        tile_w=TILE_W,
+        tile_h=TILE_H,
+    )
+    return tiles.select(
+        "id",
+        "tile_x",
+        "tile_y",
+        F.md5("tile").alias("tile_md5"),
+        F.length("tile").alias("n_bytes"),
+    ).orderBy("id", "tile_y", "tile_x")
+
+
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping STFT-style framing (operators/multimodal.py
+    audio_windows: win=32, hop=16 — every byte lands in two windows),
+    summarized per window as md5 + length; substr oracle, byte-exact.
+    Declared in round 4 (was pytest-only)."""
+    from hdfs_mapreduce_spark.operators.multimodal import audio_windows
+
+    docs = load_table(spark, sf_dir, "documents")
+    wins = audio_windows(
+        attach_payload(docs, "doc_id", "text"), win=AUDIO_WIN, hop=AUDIO_HOP
+    )
+    return wins.select(
+        "id",
+        "win_idx",
+        "start_byte",
+        F.md5("chunk").alias("chunk_md5"),
+        F.length("chunk").alias("n_bytes"),
+    ).orderBy("id", "win_idx")
+
+
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with gap fill: hourly event counts per type
     with EVERY hour of the observed range present — empty hours emit
@@ -254,6 +305,8 @@ QUERIES = {
     "multimodal_stats": multimodal_stats,
     "multimodal_dedup": multimodal_dedup,
     "multimodal_frames": multimodal_frames,
+    "multimodal_tiles": multimodal_tiles,
+    "multimodal_audio": multimodal_audio,
 }
 
 ORACLE_SQL = {
@@ -274,6 +327,51 @@ ORACLE_SQL = {
                length(substr(text, CAST(frame_idx * {FRAME_BYTES} + 1 AS BIGINT),
                              {FRAME_BYTES})) AS n_bytes
         FROM f ORDER BY id, frame_idx
+    """,
+    # Byte-exact twin of the Python tiler: tile (x, y) concatenates the
+    # [x*16, x*16+16) span of scanlines y*4 .. y*4+3 (scanline s = bytes
+    # [s*64, s*64+64)); substr past the payload end yields '' exactly like
+    # Python slicing, and n_ty = ceil(ceil(L/64)/4) == ceil(L/256).
+    "multimodal_tiles": f"""
+        WITH d AS (
+            SELECT doc_id AS id, text, length(text) AS L FROM documents
+        ),
+        ty AS (
+            SELECT id, text,
+                   unnest(generate_series(
+                       0, (L + {TILE_H * TILE_ROW_BYTES - 1})
+                          // {TILE_H * TILE_ROW_BYTES} - 1)) AS y
+            FROM d
+        ),
+        grid AS (
+            SELECT id, tx.x AS tile_x, y AS tile_y,
+                   {" || ".join(
+                       "substr(text, (y * %d + %d) * %d + tx.x * %d + 1, %d)"
+                       % (TILE_H, j, TILE_ROW_BYTES, TILE_W, TILE_W)
+                       for j in range(TILE_H)
+                   )} AS tile
+            FROM ty, (SELECT unnest(generate_series(
+                          0, {TILE_ROW_BYTES // TILE_W - 1})) AS x) tx
+        )
+        SELECT id, CAST(tile_x AS INT) AS tile_x, CAST(tile_y AS INT) AS tile_y,
+               md5(tile) AS tile_md5, length(tile) AS n_bytes
+        FROM grid WHERE length(tile) > 0
+        ORDER BY id, tile_y, tile_x
+    """,
+    "multimodal_audio": f"""
+        WITH d AS (
+            SELECT doc_id AS id, text, length(text) AS L FROM documents
+        ),
+        s AS (
+            SELECT id, text,
+                   unnest(generate_series(0, L - 1, {AUDIO_HOP})) AS start
+            FROM d
+        )
+        SELECT id, CAST(start // {AUDIO_HOP} AS INT) AS win_idx,
+               CAST(start AS BIGINT) AS start_byte,
+               md5(substr(text, start + 1, {AUDIO_WIN})) AS chunk_md5,
+               length(substr(text, start + 1, {AUDIO_WIN})) AS n_bytes
+        FROM s ORDER BY id, win_idx
     """,
     "events_attribution": f"""
         SELECT p.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

@@ -238,6 +238,41 @@ def dataset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEIGHTED_SAMPLE_N = 100
+STRATIFIED_PER_STRATUM = 25
+
+
+def dataset_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Vitter keys,
+    operators/sampling.py weighted_sample): the 100 documents drawn with
+    probability proportional to length. The key ln(u)/w is a pure
+    function of (seed, doc_id, n_chars) with u from the shared h56 hash,
+    so the oracle recomputes the identical draw — declared in round 4
+    (was pytest-only against a sequential Python reference)."""
+    from hdfs_mapreduce_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, "doc_id", "n_chars", WEIGHTED_SAMPLE_N
+    ).select("doc_id", "n_chars", "ws_key")
+
+
+def dataset_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget per-stratum sampling (operators/sampling.py
+    stratified_head_sample): exactly 25 docs per stored language in
+    seeded-hash order — the per-source cap a mixture pipeline applies.
+    Integer ranks over the engine-agnostic h56 order, so oracle parity is
+    exact. Declared in round 4 (was pytest-only)."""
+    from hdfs_mapreduce_spark.operators.sampling import (
+        stratified_head_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_head_sample(
+        docs, "doc_id", "lang", STRATIFIED_PER_STRATUM
+    ).select("doc_id", "lang", "rnk").orderBy("lang", "rnk")
+
+
 SHUFFLE_SHARDS = 16
 SHUFFLE_SEED = 42
 
@@ -611,6 +646,8 @@ QUERIES = {
     "mixture_sample": mixture_sample,
     "dataset_split": dataset_split,
     "dataset_sample": dataset_sample,
+    "dataset_weighted_sample": dataset_weighted_sample,
+    "dataset_stratified_sample": dataset_stratified_sample,
     "dataset_shuffle": dataset_shuffle,
     "text_repetition": text_repetition,
     "domain_cap": domain_cap,
@@ -852,6 +889,30 @@ ORACLE_SQL = {
         WHERE b < CASE WHEN stratum = 'en' THEN {SAMPLE_RATES['en']}
                        ELSE {SAMPLE_RATES['__other__']} END
         ORDER BY doc_id
+    """,
+    # Efraimidis-Vitter weighted draw: identical key expression (u from the
+    # shared h56 hash mapped to (0,1), key = ln(u)/w), identical top-n.
+    "dataset_weighted_sample": f"""
+        WITH k AS (
+            SELECT doc_id, n_chars,
+                   ln(({h56_sql("'ws:42:' || CAST(doc_id AS VARCHAR)")} + 1)
+                      / {float(1 << 56)!r}) / n_chars AS ws_key
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars, ws_key FROM k
+        ORDER BY ws_key DESC, doc_id LIMIT {WEIGHTED_SAMPLE_N}
+    """,
+    "dataset_stratified_sample": f"""
+        SELECT doc_id, lang, rnk FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY {h56_sql("'sh:42:' || CAST(doc_id AS VARCHAR)")},
+                                doc_id
+                   ) AS rnk
+            FROM documents
+        ) WHERE rnk <= {STRATIFIED_PER_STRATUM}
+        ORDER BY lang, rnk
     """,
     "domain_cap": f"""
         SELECT source, doc_id, n_chars, rnk FROM (

@@ -167,10 +167,15 @@ class Engine:
                     "the layouts agree"
                 )
         elif partition_by and name in self.ls():
-            raise ValueError(
-                f"table {name!r} is unpartitioned; appending partitioned "
-                "files would mix layouts — drop partition_by"
-            )
+            # a table created with put(partition_by=...) but zero rows has
+            # no col=value directories yet, so directory inference can't
+            # see its layout — an existing-but-EMPTY table is
+            # layout-unconstrained and the first real append defines it
+            if self._table_stats(name)["n_files"] > 0:
+                raise ValueError(
+                    f"table {name!r} is unpartitioned; appending partitioned "
+                    "files would mix layouts — drop partition_by"
+                )
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -252,6 +257,35 @@ class Engine:
     def stats(self) -> dict[str, dict[str, int]]:
         return {name: self._table_stats(name) for name in self.ls()}
 
+    def node_stats(self) -> dict[str, dict[str, int]]:
+        """Per-node counters — the executor-level half of the reference's
+        stats verb (dfs/storageNode/stats.go:43-108 tracks per-node
+        upload/download request counts and free space, printed by
+        dfs/client/print.go:11-22). Spark's AppStatusStore carries the
+        same semantics per executor: bytes read into the node
+        (``input_bytes`` ~ downloads), bytes exchanged through it
+        (``shuffle_read/write_bytes`` ~ replica traffic), and capacity
+        (``max_memory`` / ``memory_used`` / ``disk_used`` ~ free space).
+        Keyed by executor id; in local mode there is exactly one row
+        ("driver"), on a cluster one per executor."""
+        store = self.spark.sparkContext._jsc.sc().statusStore()
+        execs = store.executorList(False)  # include the driver row
+        out: dict[str, dict[str, int]] = {}
+        for i in range(execs.size()):
+            e = execs.apply(i)
+            out[e.id()] = {
+                "host_port": e.hostPort(),
+                "is_active": bool(e.isActive()),
+                "total_tasks": int(e.totalTasks()),
+                "input_bytes": int(e.totalInputBytes()),
+                "shuffle_read_bytes": int(e.totalShuffleRead()),
+                "shuffle_write_bytes": int(e.totalShuffleWrite()),
+                "memory_used": int(e.memoryUsed()),
+                "max_memory": int(e.maxMemory()),
+                "disk_used": int(e.diskUsed()),
+            }
+        return out
+
     # --- compact ------------------------------------------------------------------
     def compact(self, name: str, target_files: int = 1) -> dict[str, int]:
         """Small-file compaction: rewrite a stored table into
@@ -317,6 +351,20 @@ class Engine:
         return out
 
     # --- SQL over the warehouse namespace ----------------------------------------
+    def refresh(self, name: str | None = None) -> None:
+        """Invalidate the cached view (and Spark's cached file listing)
+        for one table — or all tables with ``name=None`` — so the next
+        ``sql`` re-registers it and sees files an EXTERNAL writer landed
+        after registration. Engine verbs (put/append/compact/materialize/
+        rm) invalidate automatically; this verb exists for files that
+        arrive outside the Engine."""
+        names = [name] if name is not None else sorted(self._registered_views)
+        for n in names:
+            if n in self._registered_views:
+                self.spark.catalog.dropTempView(n)
+                self._registered_views.discard(n)
+            self.spark.catalog.refreshByPath(self._path(n))
+
     def sql(self, query: str) -> DataFrame:
         """Run SQL with every stored table visible as a view — the query
         language the reference never had (its only 'plan' was a compiled
@@ -327,11 +375,12 @@ class Engine:
         don't re-list + re-read footers for the whole warehouse — against
         an object store every listStatus/footer read is a round-trip, and
         a dashboard issuing hundreds of queries was paying all of them
-        per query. Tables written through this Engine (put/compute/
-        materialize) mutate the namespace through ``ls`` anyway; external
-        writers landing files mid-session are picked up because ``ls``
-        itself is always fresh — only the per-table re-registration is
-        skipped."""
+        per query. The trade is explicit: a registered view pins its file
+        listing, so NEW tables from external writers are picked up (``ls``
+        is always fresh) but files appended to an EXISTING table by an
+        external writer are not — every Engine verb that mutates a table
+        invalidates its view, and out-of-band arrivals need an explicit
+        ``refresh(name)``."""
         current = set(self.ls())
         for name in current - self._registered_views:
             self.get(name).createOrReplaceTempView(name)

@@ -61,15 +61,37 @@ def materialize(df: DataFrame, name: str, base: str | None = None) -> DataFrame:
     """Write ``df`` to ``<base>/<name>`` as parquet and return a DataFrame
     scanning the written files. ``base`` defaults to the session scratch
     (auto-cleaned at exit); pass a warehouse path for a durable artifact.
-    Repeated calls with the same name overwrite — the parquet write is
-    atomic-per-job, and within one session calls are sequential."""
+
+    Repeated calls with the same name overwrite — via the compact()
+    write-to-temp-then-rename pattern, NOT mode=overwrite in place: an
+    in-place overwrite deletes the target's files before the lazy input
+    plan executes, so refreshing an artifact FROM ITSELF (a sketch
+    rebuilt from its own previous version) would corrupt or lose it.
+    The rewrite lands in a ``_``-prefixed temp sibling (invisible to
+    Spark reads), fully executes the input — reading the old files if
+    the lineage references them — and only then swaps directories."""
     spark = df.sparkSession
     root = base or session_scratch_dir(spark)
     if base is None and root not in _CLEANUP_REGISTERED:
         _CLEANUP_REGISTERED.add(root)
         atexit.register(purge_scratch, spark)
-    write_table(df, os.path.join(root, name))
-    return spark.read.parquet(os.path.join(root, name))
+    final = os.path.join(root, name)
+    tmp = os.path.join(root, f"_mat_tmp_{name}")
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath(tmp)):  # leftover from a crashed materialize
+        fs.delete(jpath(tmp), True)
+    write_table(df, tmp)
+    if fs.exists(jpath(final)):
+        old = os.path.join(root, f"_mat_old_{name}")
+        if fs.exists(jpath(old)):
+            fs.delete(jpath(old), True)
+        fs.rename(jpath(final), jpath(old))
+        fs.rename(jpath(tmp), jpath(final))
+        fs.delete(jpath(old), True)
+    else:
+        fs.rename(jpath(tmp), jpath(final))
+    return spark.read.parquet(final)
 
 
 def materialize_minhash_pairs(

@@ -10,12 +10,14 @@ Design (the part that must be right at 100 TB):
   zero-copy into pandas ``bytes`` objects, the UDF sees a whole batch
   (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps batch memory:
   payload_size × batch_rows must fit the executor);
-* the actual codecs (PIL/ffmpeg/librosa) are NOT in this container — decode
-  functions are stubbed: ``decode_payload`` raises ``NotImplementedError``
-  unless handed ``fake_decoder``, a clearly-marked deterministic fake that
-  derives a fixed-shape feature vector from the payload bytes. The Spark-side
-  plumbing — schema, partitioning, UDF signature, batch shape — is real and
-  tested either way.
+* codec coverage is explicit about what's real: WAV (RIFF) 8/16-bit PCM
+  decodes FOR REAL via ``wav_pcm_decoder`` (stdlib struct + numpy — parse,
+  decode, downmix, per-segment RMS features); compressed formats
+  (PIL/ffmpeg/librosa territory) are NOT in this container, so
+  ``decode_payload`` raises ``NotImplementedError`` for their mimes unless
+  handed ``fake_decoder``, a clearly-marked deterministic stand-in. The
+  Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+  is identical on every path.
 """
 
 from __future__ import annotations
@@ -74,6 +76,60 @@ def content_dedup(df: DataFrame) -> DataFrame:
     )
 
 
+def wav_pcm_decoder(payload: bytes) -> list[float]:
+    """REAL decoder for one concrete format — WAV (RIFF) with 8- or
+    16-bit PCM, parsed with stdlib struct + numpy only (no external
+    codec): walks the RIFF chunk list, decodes the sample stream,
+    downmixes channels, and emits FEATURE_DIM per-segment RMS energies
+    in [0, 1] — an actual decode + feature-extract, not a fake. Raises
+    ValueError on non-WAV/non-PCM payloads (the caller's mime metadata
+    is the router). Compressed formats (mp3/ogg/…) still need a real
+    codec library and stay behind NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, _rate, _, _, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_format != 1:
+        raise ValueError(f"only PCM supported, got format {audio_format}")
+    if bits == 16:
+        samples = np.frombuffer(
+            data[: len(data) - (len(data) % 2)], dtype="<i2"
+        ).astype(np.float64) / 32768.0
+    elif bits == 8:
+        samples = (
+            np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+        ) / 128.0
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    if n_channels > 1:
+        usable = len(samples) - (len(samples) % n_channels)
+        samples = samples[:usable].reshape(-1, n_channels).mean(axis=1)
+    if len(samples) == 0:
+        return [0.0] * FEATURE_DIM
+    return [
+        float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+        for seg in np.array_split(samples, FEATURE_DIM)
+    ]
+
+
 def fake_decoder(payload: bytes) -> list[float]:
     """DETERMINISTIC FAKE decoder (image/audio libs absent in this
     environment): derives FEATURE_DIM floats in [0,1) from a rolling byte
@@ -94,23 +150,31 @@ def decode_payload(
     batch_size_hint: int | None = None,
 ) -> DataFrame:
     """Decode/feature-extract each payload via mapInPandas (Arrow-batched:
-    one Python call per batch, not per row). With no ``decoder`` this raises
-    NotImplementedError at execution time — the real codec isn't installed;
-    pass ``fake_decoder`` for plumbing tests."""
+    one Python call per batch, not per row). With no ``decoder`` the mime
+    metadata routes each row: audio/wav payloads decode FOR REAL through
+    ``wav_pcm_decoder`` (pure stdlib/numpy RIFF-PCM parse); other mimes
+    raise NotImplementedError — compressed codecs (PIL/ffmpeg) aren't in
+    this environment. Pass ``fake_decoder`` for deterministic plumbing
+    tests, or any callable for a custom codec."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             if decoder is None:
-                raise NotImplementedError(
-                    "no media codec installed in this environment; pass "
-                    "decoder=fake_decoder for a deterministic stand-in"
-                )
-            yield pd.DataFrame(
-                {
-                    "id": batch["id"],
-                    "features": [decoder(p) for p in batch["payload"]],
-                }
-            )
+                feats = []
+                for p, m in zip(batch["payload"], batch["meta"]):
+                    mime = (m or {}).get("mime", "")
+                    if mime in ("audio/wav", "audio/x-wav"):
+                        feats.append(wav_pcm_decoder(p))
+                    else:
+                        raise NotImplementedError(
+                            f"no codec for mime {mime!r} in this "
+                            "environment (only RIFF/PCM audio/wav decodes "
+                            "natively); pass decoder=fake_decoder for a "
+                            "deterministic stand-in"
+                        )
+            else:
+                feats = [decoder(p) for p in batch["payload"]]
+            yield pd.DataFrame({"id": batch["id"], "features": feats})
 
     return df.mapInPandas(run, schema="id long, features array<double>")
 

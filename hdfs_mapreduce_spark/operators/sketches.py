@@ -90,7 +90,12 @@ def mg_summary(
     by summing counts per item and subtracting the (k+1)-th largest
     merged count from everyone — the PODS'12 merge, which preserves the
     additive-error bound across partitions. One tiny shuffle of p x k
-    rows is the only exchange after the scan."""
+    rows is the only exchange after the scan.
+
+    Null handling: nulls are NOT countable items — they are filtered
+    before the scan (a null "heavy hitter" row would otherwise rank in
+    the merge), so the summary covers non-null values only and N in the
+    error bound is the non-null count."""
     import pandas as pd
 
     def partition_summary(batches):
@@ -112,8 +117,10 @@ def mg_summary(
                 {"item": list(counters), "cnt": list(counters.values())}
             )
 
-    partials = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
-        partition_summary, "item string, cnt long"
+    partials = (
+        df.select(F.col(col).cast("string").alias(col))
+        .filter(F.col(col).isNotNull())
+        .mapInPandas(partition_summary, "item string, cnt long")
     )
     return mg_merge(partials, k=k)
 
@@ -155,9 +162,13 @@ def cm_estimate(
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
 ) -> DataFrame:
-    """(item, est): point-query estimates for every row of ``items`` —
-    min over the depth cells, 0 for never-seen values (their cells may be
-    absent from the sketch). The sketch side is depth x width rows, so it
+    """(item, est): point-query estimates for the DISTINCT values of
+    ``items`` — min over the depth cells, 0 for never-seen values (their
+    cells may be absent from the sketch). Duplicate probe rows collapse
+    to one output row (the estimate is a function of the value, so
+    per-row output would only repeat it), and null probes collapse to a
+    single (null, 0) row: h56(concat('cm:', null)) is null, which
+    matches no sketch cell. The sketch side is depth x width rows, so it
     **broadcasts**; the probe is map-side."""
     probes = items.select(
         F.col(col).alias("item"),

@@ -511,3 +511,65 @@ def test_multilevel_partitioning_survives_compact_and_append(
         engine.append(new, "ml", partition_by=["src", "day"])
     engine.append(new, "ml", partition_by=["day", "src"])
     assert engine.get("ml").count() == 31
+
+
+def test_node_stats_reports_executor_counters(engine, tmp_path):
+    """S8's executor-level half (reference dfs/storageNode/stats.go:43-108:
+    per-node upload/download counters + free space): after a real scan,
+    node_stats reports at least one node with capacity and task counters."""
+    src = tmp_path / "ns.txt"
+    src.write_text("".join(f"row {i}\n" for i in range(100)))
+    engine.put(str(src), "ns", fmt="text")
+    assert engine.get("ns").count() == 100
+    nodes = engine.node_stats()
+    assert len(nodes) >= 1
+    active = [n for n in nodes.values() if n["is_active"]]
+    assert active, nodes
+    for n in active:
+        assert n["max_memory"] > 0
+        assert n["total_tasks"] > 0
+        assert set(n) >= {
+            "host_port", "input_bytes", "shuffle_read_bytes",
+            "shuffle_write_bytes", "memory_used", "disk_used",
+        }
+
+
+def test_append_into_empty_partitioned_table_defines_layout(
+    engine, spark, tmp_path
+):
+    """A table created with put(partition_by=...) but ZERO rows has no
+    col=value directories, so layout inference sees nothing — the first
+    real append with a partition layout must be accepted (it defines the
+    layout), not rejected as 'unpartitioned' (r3 ADVICE)."""
+    src = tmp_path / "empty.csv"
+    src.write_text("day,n\n")  # header only: zero data rows
+    engine.put(
+        str(src), "evt", fmt="csv", header=True,
+        schema="day string, n int", partition_by=["day"],
+    )
+    rows = spark.createDataFrame([("d0", 1), ("d1", 2)], "day string, n int")
+    engine.append(rows, "evt", partition_by=["day"])  # must not raise
+    assert engine.get("evt").count() == 2
+    assert engine._partition_cols("evt") == ["day"]
+    # and the layout is now pinned: a different order is rejected
+    import pytest as _pytest
+
+    more = spark.createDataFrame([("d2", 3)], "day string, n int")
+    engine.append(more, "evt", partition_by=["day"])
+    with _pytest.raises(ValueError):
+        engine.append(more.select("n", "day"), "evt", partition_by=["n"])
+
+
+def test_refresh_picks_up_external_writer(engine, spark, tmp_path):
+    """Files appended to an EXISTING table by an external writer (outside
+    the Engine verbs) are invisible to the pinned view until refresh(name)
+    — and visible after it (r3 ADVICE: the docstring used to overclaim)."""
+    src = tmp_path / "r.txt"
+    src.write_text("a\nb\n")
+    engine.put(str(src), "rt", fmt="text")
+    assert engine.sql("SELECT COUNT(*) AS n FROM rt").collect()[0]["n"] == 2
+    # external writer: append parquet files directly, bypassing the Engine
+    extra = spark.createDataFrame([("c",)], "value string")
+    extra.write.mode("append").parquet(engine._path("rt"))
+    engine.refresh("rt")
+    assert engine.sql("SELECT COUNT(*) AS n FROM rt").collect()[0]["n"] == 3

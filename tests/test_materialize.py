@@ -215,3 +215,28 @@ def test_engine_materialize_writes_into_warehouse(spark, tmp_path):
     assert "edges" in eng.ls()
     # durable: survives independent of the session scratch
     assert all(str(tmp_path / "wh") in f for f in out.inputFiles())
+
+
+def test_materialize_refresh_from_itself_is_safe(spark, tmp_path):
+    """Overwriting an artifact with a plan THAT READS the artifact must
+    not destroy it: materialize writes to a temp sibling (executing the
+    lazy input against the old files) and renames into place — the
+    compact() pattern (r3 ADVICE: in-place mode=overwrite deleted the
+    source before the read ran)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.materialize import materialize
+
+    base = str(tmp_path / "mat")
+    first = materialize(
+        spark.range(10).select(F.col("id"), (F.col("id") * 2).alias("v")),
+        "art",
+        base=base,
+    )
+    assert first.count() == 10
+    # refresh the artifact FROM ITSELF: increment v in place
+    refreshed = materialize(
+        first.select("id", (F.col("v") + 1).alias("v")), "art", base=base
+    )
+    got = {r["id"]: r["v"] for r in refreshed.collect()}
+    assert got == {i: i * 2 + 1 for i in range(10)}

@@ -76,27 +76,20 @@ KMEANS_FIT_ITERS = 3
 
 
 def embedding_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full Lloyd's loop (operators/similarity.py kmeans_fit): 3 rounds of
-    assign -> recompute from deterministic lowest-id seeds, then the final
-    assignment summarized per cluster. The loop driver collects only the
-    k x dim centroid model per round; the returned summary is a pure
-    map-side-argmin + k-row-aggregate plan over the fitted centroids. The
-    oracle unrolls the identical 3 rounds as chained CTEs."""
-    from pyspark.sql import functions as F
+    """Full Lloyd's loop (operators/similarity.py kmeans_fit /
+    kmeans_fit_summary): 3 rounds of fused assign+update from
+    deterministic lowest-id seeds — ONE zero-shuffle job per round over a
+    cached projection — then one more fused pass summarizing the final
+    assignment per cluster, assembled driver-side as a k-row
+    LocalRelation (r4: replaced the parquet re-scan + shuffle aggregate;
+    same kernels, same fold order, same result). The oracle unrolls the
+    identical 3 rounds as chained CTEs."""
+    from hdfs_mapreduce_spark.operators.similarity import kmeans_fit_summary
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, assignment, _ = kmeans_fit(
+    return kmeans_fit_summary(
         emb, KMEANS_K, max_iter=KMEANS_FIT_ITERS, tol=0.0
-    )
-    return (
-        assignment.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min("vid").alias("first_member"),
-            F.sum("dist").alias("wcss"),
-        )
-        .orderBy("cluster")
-    )
+    ).orderBy("cluster")
 
 
 ANN_FILTER_LABEL = 3

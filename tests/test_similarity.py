@@ -207,3 +207,33 @@ def test_kmeans_works_with_string_ids(spark):
     assert {cid for cid, _ in cents} == {"a1", "b2"}
     got = {r["vid"]: r["cluster"] for r in assignment.collect()}
     assert got == {"a1": "a1", "c3": "a1", "b2": "b2", "d4": "b2"}
+
+
+def test_kmeans_fit_summary_local_gate_matches_distributed(spark):
+    """The small-input driver-side fit must produce the same summary as
+    the distributed rounds (same kernels; only float-summation grouping
+    differs, so wcss agrees to ~1e-9 relative)."""
+    import pytest
+
+    import hdfs_mapreduce_spark.operators.similarity as S
+
+    emb = _clustered(spark)
+    local = {
+        r["cluster"]: r
+        for r in S.kmeans_fit_summary(emb, 4, max_iter=3).collect()
+    }
+    orig = S.KMEANS_LOCAL_FIT_MAX_ROWS
+    S.KMEANS_LOCAL_FIT_MAX_ROWS = 0  # force the distributed path
+    try:
+        dist = {
+            r["cluster"]: r
+            for r in S.kmeans_fit_summary(emb, 4, max_iter=3).collect()
+        }
+    finally:
+        S.KMEANS_LOCAL_FIT_MAX_ROWS = orig
+    assert set(local) == set(dist)
+    for cid, lr in local.items():
+        dr = dist[cid]
+        assert lr["n_members"] == dr["n_members"]
+        assert lr["first_member"] == dr["first_member"]
+        assert lr["wcss"] == pytest.approx(dr["wcss"], rel=1e-9)

@@ -95,20 +95,21 @@ def main() -> None:
     except ValueError:
         sf = None
     total = round(sum(t for t in timings.values() if t >= 0), 4)
+    # Key order is deliberate: the driver's wrapper records only the TAIL
+    # of long stdout, so the aggregate numbers lead (tiny, always legible
+    # in full JSON), the oracle per-query section sits in the middle (the
+    # clippable zone), and the Spark per-query section — the one a next
+    # round needs for regression deltas — is LAST so it survives
+    # truncation. BENCH_LOCAL.json carries the identical complete line.
     out = {
         "metric": "declared-query wall-clock vs duckdb oracle",
         "value": total,
         "unit": "sec",
         "timing": "min of 2 executions per query, plan shapes pre-warmed",
-        "queries": timings,
         "sf": sf,
     }
-    delta = _delta_vs_prev(timings, sf)
-    if delta:
-        out["delta_vs_prev"] = delta
     oracle = _time_oracles(sf_dir)
     if oracle:
-        out["oracle_sec"] = oracle
         oracle_total = round(sum(t for t in oracle.values() if t >= 0), 4)
         matched = round(
             sum(t for n, t in timings.items() if t >= 0 and n in oracle), 4
@@ -117,6 +118,12 @@ def main() -> None:
         out["spark_total_oracle_matched"] = matched
         if oracle_total > 0:
             out["spark_vs_oracle_ratio"] = round(matched / oracle_total, 3)
+    delta = _delta_vs_prev(timings, sf)
+    if delta:
+        out["delta_vs_prev"] = delta
+    if oracle:
+        out["oracle_sec"] = oracle
+    out["queries"] = timings
     line = json.dumps(out)
     print(line)
     # Standalone copy: the driver's wrapper truncates long stdout tails,

@@ -1,0 +1,263 @@
+"""Run a user-supplied plugin *binary* over a relation — the literal parity
+surface for the reference's compiled-plugin protocol.
+
+The reference ships a compiled executable with each job and forks it once
+per record: ``plugin map <lineNo> <line>`` prints ``key\\tvalue`` output
+lines (dfs/compute_engine/compute_engine.go:49-69), and ``plugin reduce
+<key> <v1\\tv2\\t...>`` prints one result line per key group
+(compute_engine.go:93-131, values tab-joined WITH a trailing tab by the
+engine's own string building at :117-121). ``functions/plugin.py`` is the
+idiomatic replacement (Python callables, Arrow-batched); this module covers
+the remaining gap — plugins that exist only as executables.
+
+Two transports:
+
+* ``mode="stdin"`` (default, the scalable one): ONE subprocess per Arrow
+  batch. The adapter writes one framed line per record to the child's
+  stdin (``<key>\\t<value>`` for map — the child splits on the FIRST tab,
+  so tabs inside the value survive; ``<key>\\t<v1>\\t<v2>...`` for reduce)
+  and reads ``key\\tvalue`` result lines from its stdout. Fork cost is
+  amortized over the whole batch (~10k records), the per-record cost is a
+  pipe write — this is the transport a 100 TB run uses. The child is
+  invoked as ``plugin <verb>`` and loops over stdin until EOF.
+* ``mode="argv"`` (strict parity): byte-faithful to the reference — one
+  fork per record with ``[plugin, verb, key, value]`` argv, including the
+  trailing-tab value string the reference engine builds for reduce. This
+  reproduces the reference's own bottleneck (retrospective.md names the
+  fork-per-record design as its main cost) and exists for compatibility
+  and parity testing, not for scale.
+
+Both transports drop malformed output lines exactly like the engine's
+``parse`` (compute_engine.go:165-176): no tab, empty key, or empty value
+→ skipped.
+
+Scale notes: map streams batch-by-batch with no group limit. Reduce groups
+with ``collect_list``, so one key's values must fit in executor memory —
+the same whole-group-in-one-string contract the reference's reducer had
+(it passed ALL values as a single argv string); for unbounded hot keys use
+the expression aggregates instead. Values are sorted per key
+(``sort_array``) to mirror the reference's external-sort-then-merge order
+(dfs/external_sort/extsort.go) and keep output deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import tempfile
+import threading
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAP_VERB = "map"
+REDUCE_VERB = "reduce"
+
+# word-count.go's exact semantics as a self-contained executable speaking
+# both transports — the repo's stand-in for the reference's compiled
+# plugin (their binary is Go; the protocol, not the implementation
+# language, is the contract). Reduce treats unparseable ints as 0,
+# matching Go's Atoi-on-error for the engine's trailing-tab value string.
+WORDCOUNT_PLUGIN_SRC = """#!/usr/bin/env python3
+import sys
+
+
+def do_map(key, value):
+    for w in value.replace("\\t", " ").split(" "):
+        if w:
+            print(w + "\\t1")
+
+
+def do_reduce(key, value_str):
+    total = 0
+    for v in value_str.split("\\t"):
+        try:
+            total += int(v)
+        except ValueError:
+            pass
+    print(key + "\\t" + str(total))
+
+
+verb = sys.argv[1].lower()
+fn = do_map if verb == "map" else do_reduce
+if len(sys.argv) == 4:
+    fn(sys.argv[2], sys.argv[3])
+else:
+    for line in sys.stdin:
+        k, _, v = line.rstrip("\\n").partition("\\t")
+        fn(k, v)
+"""
+
+
+def materialize_plugin(src: str, name: str) -> str:
+    """Write a plugin script as an executable in the temp dir, atomically
+    (write-temp + rename), so concurrent plan builds can never expose a
+    half-written file to an executor. On a real cluster the same script
+    would ship via ``SparkContext.addFile``; locally (and in the
+    reference's own single-host deployment) a shared path suffices."""
+    path = os.path.join(tempfile.gettempdir(), name)
+    fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir())
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(src)
+        os.chmod(tmp, 0o755)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+    return path
+
+
+def _parse_kv(line: str) -> tuple[str, str] | None:
+    """The engine's output-line parse (compute_engine.go:165-176): split on
+    the first tab; drop the line unless both key and value are non-empty."""
+    if "\t" not in line:
+        return None
+    key, _, value = line.partition("\t")
+    if not key or not value:
+        return None
+    return key, value
+
+
+def _run_stdin(plugin: str, verb: str, lines: list[str]) -> list[str]:
+    """One child process for a whole batch: write framed records to its
+    stdin from a side thread (concurrent with reading stdout, so a child
+    that streams output can never deadlock the pipe), return stdout lines."""
+    proc = subprocess.Popen(
+        [plugin, verb],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+
+    def _feed() -> None:
+        try:
+            for line in lines:
+                proc.stdin.write(line + "\n")
+            proc.stdin.close()
+        except BrokenPipeError:  # child exited early; surfaced below
+            pass
+
+    writer = threading.Thread(target=_feed)
+    writer.start()
+    out = proc.stdout.read()
+    writer.join()
+    err = proc.stderr.read()
+    if proc.wait() != 0:
+        raise RuntimeError(
+            f"plugin {plugin!r} {verb} failed (rc={proc.returncode}): "
+            f"{err[:500]}"
+        )
+    return out.splitlines()
+
+
+def _run_argv(plugin: str, verb: str, key: str, value: str) -> list[str]:
+    """The reference's exact invocation: one fork per record
+    (compute_engine.go:52-54 / :122)."""
+    res = subprocess.run(
+        [plugin, verb, key, value], capture_output=True, text=True
+    )
+    if res.returncode != 0:
+        raise RuntimeError(
+            f"plugin {plugin!r} {verb} failed (rc={res.returncode}): "
+            f"{res.stderr[:500]}"
+        )
+    return res.stdout.splitlines()
+
+
+def exec_map(
+    df: DataFrame,
+    plugin: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    mode: str = "stdin",
+) -> DataFrame:
+    """MAP phase over a (key, value) relation → (key, value) string pairs.
+    The input mirrors the reference's mapper input: key = line number,
+    value = line text (sources/catalog.py's line-numbered text loader
+    produces exactly this shape). Output rows flow straight into Spark's
+    shuffle — the engine's hand-rolled partition/sort/send pipeline
+    (compute_engine.go Shuffle) is not re-implemented."""
+    if mode not in ("stdin", "argv"):
+        raise ValueError(f"unknown plugin transport {mode!r}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keys = pdf[key_col].astype(str)
+            values = pdf[value_col].astype(str)
+            if mode == "argv":
+                out_lines: list[str] = []
+                for k, v in zip(keys, values):
+                    out_lines.extend(_run_argv(plugin, MAP_VERB, k, v))
+            else:
+                framed = [f"{k}\t{v}" for k, v in zip(keys, values)]
+                out_lines = _run_stdin(plugin, MAP_VERB, framed)
+            pairs = [p for p in map(_parse_kv, out_lines) if p]
+            if pairs:
+                yield pd.DataFrame(pairs, columns=["key", "value"])
+
+    return df.mapInPandas(gen, "key string, value string")
+
+
+def exec_reduce(
+    mapped: DataFrame,
+    plugin: str,
+    mode: str = "stdin",
+) -> DataFrame:
+    """REDUCE phase: group the mapper's (key, value) pairs by key, hand
+    each key with its tab-joined values to the plugin, parse one result
+    line per key. Values are sorted per key to mirror the reference's
+    sort-merge order. In argv mode the value string carries the
+    reference's trailing tab (compute_engine.go:117-121)."""
+    if mode not in ("stdin", "argv"):
+        raise ValueError(f"unknown plugin transport {mode!r}")
+    grouped = mapped.groupBy("key").agg(
+        F.sort_array(F.collect_list("value")).alias("values")
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows: list[tuple[str, str]] = []
+            if mode == "argv":
+                for k, vs in zip(pdf["key"], pdf["values"]):
+                    joined = "".join(str(v) + "\t" for v in vs)
+                    for line in _run_argv(plugin, REDUCE_VERB, str(k), joined):
+                        p = _parse_kv(line)
+                        if p:
+                            rows.append(p)
+            else:
+                framed = [
+                    str(k) + "\t" + "\t".join(str(v) for v in vs)
+                    for k, vs in zip(pdf["key"], pdf["values"])
+                ]
+                for line in _run_stdin(plugin, REDUCE_VERB, framed):
+                    p = _parse_kv(line)
+                    if p:
+                        rows.append(p)
+            if rows:
+                yield pd.DataFrame(rows, columns=["key", "value"])
+
+    return grouped.mapInPandas(gen, "key string, value string")
+
+
+def run_binary_mapreduce(
+    df: DataFrame,
+    plugin: str,
+    key_col: str = "key",
+    value_col: str = "value",
+    mode: str = "stdin",
+) -> DataFrame:
+    """The reference's full two-phase binary job: scan → fork map →
+    [Spark shuffle] → fork reduce. Returns (key, value) strings — the
+    reducer output file's schema."""
+    return exec_reduce(
+        exec_map(df, plugin, key_col, value_col, mode), plugin, mode
+    )

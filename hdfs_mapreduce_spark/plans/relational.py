@@ -50,6 +50,33 @@ def q1_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def plugin_binary_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q1's word count run through a real plugin EXECUTABLE via the
+    binary-plugin adapter (operators/binary_plugin.py) — the literal
+    compiled-plugin protocol parity surface (dfs/compute_engine/
+    compute_engine.go:49-69,111-131), batched stdin transport. Must hash
+    to the same relation as the q1_wordcount oracle: the plugin embeds
+    word-count.go's exact token rules."""
+    from hdfs_mapreduce_spark.operators.binary_plugin import (
+        WORDCOUNT_PLUGIN_SRC,
+        materialize_plugin,
+        run_binary_mapreduce,
+    )
+
+    plugin = materialize_plugin(
+        WORDCOUNT_PLUGIN_SRC, "spark_graft_wordcount_plugin.py"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.col("doc_id").alias("key"), F.col("text").alias("value")
+    )
+    out = run_binary_mapreduce(lines, plugin)
+    return out.select(
+        F.col("key").alias("token"),
+        F.col("value").cast("long").alias("cnt"),
+    ).orderBy("token")
+
+
 # --- Q2: filter + project ----------------------------------------------------
 def q2_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection + range predicate; both push into the parquet scan
@@ -529,10 +556,20 @@ QUERIES = {
     "q20_pivot": q20_pivot,
     "q21_outer_join": q21_outer_join,
     "q22_retention": q22_retention,
+    "plugin_binary_wordcount": plugin_binary_wordcount,
 }
 
 ORACLE_SQL = {
     "q1_wordcount": """
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(replace(text, chr(9), ' '), ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+        GROUP BY token ORDER BY token
+    """,
+    # Same relation as q1: the binary plugin embeds word-count.go's exact
+    # token semantics, so the executable path must hash-match the SQL twin.
+    "plugin_binary_wordcount": """
         SELECT token, COUNT(*) AS cnt
         FROM (SELECT unnest(string_split(replace(text, chr(9), ' '), ' ')) AS token
               FROM documents)

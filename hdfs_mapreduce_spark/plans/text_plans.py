@@ -625,8 +625,11 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     publishes before it gates data."""
     from hdfs_mapreduce_spark.operators.relevance import NB_CLASSES, nb_classify
 
-    docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    preds = nb_classify(docs, "doc_id", "text", "lang", NB_CLASSES)
+    raw = load_table(spark, sf_dir, "documents")
+    docs = spread(raw, spark)
+    preds = nb_classify(
+        docs, "doc_id", "text", "lang", NB_CLASSES, priors_over=raw
+    )
     return (
         preds.groupBy(F.col("label").alias("lang"), "pred")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -36,8 +36,11 @@ def test_new_queries_match_oracle(spark, ddb):
 
 def test_tpch_q5_broadcasts_dims(spark):
     """The six-table join must broadcast the constant dims — a shuffle of
-    nation/region at 100 TB would be a planning bug."""
-    plan = QUERIES["tpch_q5_region"](spark, SF_CORRECTNESS)._jdf.queryExecution().executedPlan().toString()
+    nation/region at 100 TB would be a planning bug. Uses the uncached
+    builder so the plan reflects this test's session confs."""
+    from hdfs_mapreduce_spark.plans import RAW_QUERIES
+
+    plan = RAW_QUERIES["tpch_q5_region"](spark, SF_CORRECTNESS)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
 
 

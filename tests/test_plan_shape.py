@@ -13,7 +13,9 @@ import io
 
 import pytest
 
-from hdfs_mapreduce_spark.plans import QUERIES
+# RAW (uncached) builders: these tests assert plans under the current
+# session confs; the QUERIES prepared-plan cache would pin first-build conf.
+from hdfs_mapreduce_spark.plans import RAW_QUERIES as QUERIES
 
 SF = "/root/testdata/sf0.001"
 

@@ -41,6 +41,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
+    # Optional subset (comma-separated names): scale smokes bench the
+    # heavy tail without paying the full registry at large SF.
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        queries = {n: queries[n] for n in names if n in queries}
 
     # Warmup, excluded from timings (standard bench practice; matches how a
     # long-lived cluster session behaves):
@@ -129,13 +135,15 @@ def main() -> None:
     # Standalone copy: the driver's wrapper truncates long stdout tails,
     # which lost r2's per-query timings and broke the next round's
     # _delta_vs_prev. The file survives wrapping and is what
-    # _delta_vs_prev prefers when present.
-    try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
-            f.write(line + "\n")
-    except OSError:
-        pass
+    # _delta_vs_prev prefers when present. Skipped for subset runs so a
+    # scale smoke can't clobber the full-registry snapshot.
+    if not only:
+        try:
+            here = os.path.dirname(os.path.abspath(__file__))
+            with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
     spark.stop()
 
 

@@ -1,0 +1,175 @@
+"""Deterministic scale-up of the driver's parquet fixtures: replicate a
+source SF directory K times into a target directory, preserving each
+table's internal structure while keeping replicas from cross-matching.
+
+Why not plain duplication: copying documents/embeddings verbatim K times
+multiplies every near-dup cluster by K, so pair-producing queries
+(minhash/simhash/jaccard/crosscheck) blow up ~K^2 — a workload REAL K×
+data does not have. Instead each replica gets a structure-preserving
+isomorphism:
+
+* documents: every whitespace token in replica k>0 gets an ``_rk`` suffix
+  — vocabulary becomes disjoint across replicas, so shingle/minhash/
+  simhash similarity within a replica is exactly the original while
+  cross-replica similarity drops to ~0. Token counts, lengths and
+  whitespace shape are preserved (plus a constant 3 chars/token).
+* embeddings: replica k multiplies each vector elementwise by a
+  deterministic ±1 mask seeded by k — norms and all within-replica
+  dot products are exactly preserved (cos(Ma, Mb) = cos(a, b)); across
+  replicas cosines decorrelate.
+* keyed tables (events, orders×lineitem, customer): surrogate keys are
+  offset by k × (max_key + 1) so joins stay 1:N within a replica and
+  never cross replicas. Timestamps are left alone (K× event density in
+  the same window — what a bigger day of the same service looks like).
+* dimensions (region/nation/part/supplier) are NOT scaled: at any real
+  SF they stay broadcast-sized; queries join them K× harder instead.
+
+Usage: python tools/make_scale.py [src_sf_dir] [dst_dir] [k]
+Defaults: /root/testdata/sf0.1 /tmp/sf1.0 10
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+DIM_TABLES = ("region", "nation", "part", "supplier")
+
+
+def _offset(col: pa.ChunkedArray, k: int, span: int) -> pa.Array:
+    return pc.add(col, pa.scalar(k * span, type=col.type))
+
+
+def _span(col: pa.ChunkedArray) -> int:
+    return int(pc.max(col).as_py()) + 1
+
+
+def scale_documents(src: str, dst: str, k_total: int) -> None:
+    t = pq.read_table(src)
+    reps = [t]
+    texts = t.column("text").to_pylist()
+    for k in range(1, k_total):
+        suffix = f"_r{k}"
+        new_texts = [
+            " ".join(w + suffix for w in s.split(" ")) if s else s
+            for s in texts
+        ]
+        cols = {}
+        span = _span(t.column("doc_id"))
+        cols["doc_id"] = _offset(t.column("doc_id"), k, span)
+        cols["text"] = pa.array(new_texts, type=pa.string())
+        cols["lang"] = t.column("lang")
+        cols["source"] = t.column("source")
+        cols["n_chars"] = pa.array(
+            [len(s) for s in new_texts], type=pa.int64()
+        )
+        reps.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(reps), dst)
+
+
+def scale_embeddings(src: str, dst: str, k_total: int) -> None:
+    t = pq.read_table(src)
+    vecs = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    dim = vecs.shape[1]
+    span = _span(t.column("vec_id"))
+    reps = [t]
+    for k in range(1, k_total):
+        rng = np.random.default_rng(1234 + k)
+        mask = rng.choice([-1.0, 1.0], size=dim).astype(np.float32)
+        flipped = vecs * mask
+        cols = {
+            "vec_id": _offset(t.column("vec_id"), k, span),
+            "embedding": pa.array(
+                [row for row in flipped.tolist()],
+                type=t.schema.field("embedding").type,
+            ),
+            "label": t.column("label"),
+        }
+        reps.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(reps), dst)
+
+
+def scale_keyed(
+    src: str, dst: str, k_total: int, key_spans: dict[str, str]
+) -> None:
+    """Replicate offsetting each key column by k×span(span_source_col).
+    key_spans maps column name → column whose max defines the span (so
+    l_orderkey in lineitem is offset by the span of the SAME key space
+    as orders.o_orderkey: pass explicit spans via the caller)."""
+    t = pq.read_table(src)
+    spans = {c: _span(t.column(c)) for c in key_spans}
+    reps = [t]
+    for k in range(1, k_total):
+        cols = {}
+        for name in t.column_names:
+            col = t.column(name)
+            if name in spans:
+                cols[name] = _offset(col, k, spans[name])
+            else:
+                cols[name] = col
+        reps.append(pa.table(cols))
+    pq.write_table(pa.concat_tables(reps), dst)
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0"
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+    for name in DIM_TABLES:
+        shutil.copyfile(f"{src}/{name}.parquet", f"{dst}/{name}.parquet")
+    scale_documents(f"{src}/documents.parquet", f"{dst}/documents.parquet", k)
+    scale_embeddings(
+        f"{src}/embeddings.parquet", f"{dst}/embeddings.parquet", k
+    )
+    scale_keyed(
+        f"{src}/events.parquet",
+        f"{dst}/events.parquet",
+        k,
+        {"event_id": "event_id", "user_id": "user_id"},
+    )
+    # orders/lineitem share the orderkey space: offset both by the span of
+    # the larger observed key so the join keys keep lining up per replica.
+    orders = pq.read_table(f"{src}/orders.parquet")
+    lineitem = pq.read_table(f"{src}/lineitem.parquet")
+    okspan = max(
+        _span(orders.column("o_orderkey")), _span(lineitem.column("l_orderkey"))
+    )
+    ckspan = _span(orders.column("o_custkey"))
+
+    def _rep(t: pa.Table, keymap: dict[str, int]) -> pa.Table:
+        reps = [t]
+        for kk in range(1, k):
+            cols = {}
+            for name in t.column_names:
+                col = t.column(name)
+                if name in keymap:
+                    cols[name] = _offset(col, kk, keymap[name])
+                else:
+                    cols[name] = col
+            reps.append(pa.table(cols))
+        return pa.concat_tables(reps)
+
+    pq.write_table(
+        _rep(orders, {"o_orderkey": okspan, "o_custkey": ckspan}),
+        f"{dst}/orders.parquet",
+    )
+    pq.write_table(
+        _rep(lineitem, {"l_orderkey": okspan}), f"{dst}/lineitem.parquet"
+    )
+    customer = pq.read_table(f"{src}/customer.parquet")
+    pq.write_table(
+        _rep(customer, {"c_custkey": ckspan}), f"{dst}/customer.parquet"
+    )
+    for name in sorted(os.listdir(dst)):
+        print(name, pq.read_metadata(os.path.join(dst, name)).num_rows)
+
+
+if __name__ == "__main__":
+    main()

@@ -948,3 +948,195 @@ def kmeans_fit_summary(
         return spark.createDataFrame(out, schema)
     finally:
         cached.unpersist()
+
+
+# --- Product quantization (IVF-PQ's compression half) ------------------------
+PQ_M = 8  # subspaces: EMB_DIM 64 → 8 dims per subspace
+PQ_KSUB = 16  # codewords per subspace → 4 bits/subspace, 64→4 bytes/vector
+
+
+def _pq_codewords(
+    embeddings: DataFrame,
+    m_sub: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+):
+    """(m_sub, ksub, dsub) codebook tensor. Codeword sources are the ksub
+    corpus vectors with the lowest Knuth-scrambled id — the IVF centroid
+    rule (ann_topk_ivf), so the oracle reproduces them with one ORDER BY
+    ... LIMIT — and codeword (s, j) is source j's s-th subvector slice.
+    Driver-side state is ksub × dim doubles (a few KB) at ANY corpus
+    size: the canonical fit-tiny-model-then-broadcast shape. A production
+    variant would Lloyd-refine each subspace codebook with the existing
+    exact-fold kernels; the seeded codebook keeps the whole operator a
+    deterministic function of the data, which is what the hash oracle
+    certifies."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(
+            ((F.col(id_col) * F.lit(2654435761)) % F.lit(1 << 32)).asc(),
+            F.col(id_col),
+        )
+        .limit(ksub)
+        .collect()
+    )
+    src = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    dim = src.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    # (ksub, m_sub, dsub) → (m_sub, ksub, dsub)
+    return src.reshape(src.shape[0], m_sub, dsub).transpose(1, 0, 2)
+
+
+def _pq_sub_dists(sub, cw_s):
+    """(ksub, n) squared L2 from every row of ``sub`` (n × dsub) to each
+    codeword of one subspace, with the oracle's exact sequential fold
+    over dimensions (acc += diff² in index order)."""
+    import numpy as np
+
+    n = sub.shape[0]
+    out = np.empty((cw_s.shape[0], n))
+    for j in range(cw_s.shape[0]):
+        acc = np.zeros(n)
+        for d in range(sub.shape[1]):
+            diff = sub[:, d] - cw_s[j, d]
+            acc = acc + diff * diff
+        out[j] = acc
+    return out
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode: (vid, s, code, sq_err) — per vector
+    and subspace, the argmin-L2 codeword (first-min ties → lower code,
+    matching ROW_NUMBER (dist, j)) and its squared error. 64 float dims
+    become m_sub 4-bit codes: the 32× compression that makes a 100 TB
+    embedding corpus RAM-resident for ADC scanning (Jégou et al., PQ for
+    nearest neighbor search). Map-only over the corpus — the codebook
+    rides the UDF closure as a broadcast; nothing shuffles but the final
+    presentation sort."""
+    import numpy as np
+
+    cbs = _pq_codewords(embeddings, m_sub, ksub, id_col, vec_col)
+    dsub = cbs.shape[2]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            n = mat.shape[0]
+            vids = np.repeat(pdf[id_col].values, m_sub)
+            ss = np.tile(np.arange(m_sub, dtype=np.int32), n)
+            codes = np.empty((n, m_sub), dtype=np.int32)
+            errs = np.empty((n, m_sub))
+            for s in range(m_sub):
+                dists = _pq_sub_dists(
+                    mat[:, s * dsub : (s + 1) * dsub], cbs[s]
+                )
+                best = dists.argmin(axis=0)  # first min → lower code
+                codes[:, s] = best
+                errs[:, s] = dists[best, np.arange(n)]
+            yield pd.DataFrame(
+                {
+                    "vid": vids,
+                    "s": ss,
+                    "code": codes.reshape(-1),
+                    "sq_err": errs.reshape(-1),
+                }
+            )
+
+    return (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(encode, "vid long, s int, code int, sq_err double")
+        .orderBy("vid", "s")
+    )
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via asymmetric distance computation (ADC) over
+    PQ codes: each query precomputes an (m_sub × ksub) lookup table of
+    subspace distances to every codeword, and a candidate's distance is
+    the s-ascending fold Σ_s lut[s][code_s] — table lookups, no vector
+    arithmetic per candidate. One map-only pass over the corpus encodes
+    and scores in the same kernel (at scale the codes would be
+    materialized once and scanned), then a per-query top-k window.
+    Deterministic end-to-end (seeded codebooks + exact folds), so it has
+    a full hash oracle; ANN-approximate only in recall vs brute force
+    (bounded in tests/test_similarity.py)."""
+    import numpy as np
+
+    cbs = _pq_codewords(embeddings, m_sub, ksub, id_col, vec_col)
+    dsub = cbs.shape[2]
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # luts[q][s][j]: exact-fold subspace distance query→codeword.
+    luts = np.empty((len(qids), m_sub, ksub))
+    for s in range(m_sub):
+        luts[:, s, :] = _pq_sub_dists(
+            qmat[:, s * dsub : (s + 1) * dsub], cbs[s]
+        ).T
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            n = mat.shape[0]
+            codes = np.empty((n, m_sub), dtype=np.int64)
+            for s in range(m_sub):
+                codes[:, s] = _pq_sub_dists(
+                    mat[:, s * dsub : (s + 1) * dsub], cbs[s]
+                ).argmin(axis=0)
+            ids = pdf[id_col].values
+            frames = []
+            for qi, qid in enumerate(qids):
+                acc = np.zeros(n)
+                for s in range(m_sub):  # s-ascending fold = oracle's
+                    acc = acc + luts[qi, s, codes[:, s]]  # list_reduce
+                keep = ids != qid
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[keep],
+                            "approx_dist": acc[keep],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, approx_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist")
+        .orderBy("query_id", "rank")
+    )

@@ -120,6 +120,24 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (operators/similarity.py pq_encode):
+    per (vector, subspace) the argmin-L2 codeword + squared error, with
+    seeded Knuth-scramble codebooks the oracle rebuilds symbolically."""
+    from hdfs_mapreduce_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb)
+
+
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes (operators/similarity.py ann_topk_pq)."""
+    from hdfs_mapreduce_spark.operators.similarity import ann_topk_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_pq(emb, QUERY_IDS, TOP_K)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, PAIR_THRESHOLD)
@@ -221,6 +239,8 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
+    "embedding_pq_codes": embedding_pq_codes,
+    "ann_pq": ann_pq,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_crosscheck": dedup_crosscheck,
     "embedding_kmeans": embedding_kmeans,
@@ -237,6 +257,88 @@ _SQDIST = (
 )
 
 _IDS = ", ".join(str(i) for i in QUERY_IDS)
+
+
+def _pq_ctes() -> str:
+    """Shared PQ CTEs: codeword sources by Knuth-scramble ORDER BY (the
+    IVF centroid rule), codeword (s, j) = source j's s-th subvector
+    slice, and the per-(vector, subspace) argmin encode with the same
+    (dist, j) tie order as the kernel's first-min argmin."""
+    from hdfs_mapreduce_spark.operators.similarity import PQ_KSUB, PQ_M
+
+    dsub = EMB_DIM // PQ_M
+    a = f"list_slice(e.embedding, c.s * {dsub} + 1, (c.s + 1) * {dsub})"
+    return f"""src AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                   ) - 1 AS j,
+                   v
+            FROM (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+                ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                LIMIT {PQ_KSUB}
+            )
+        ),
+        cw AS (
+            SELECT sub.s, src.j,
+                   list_slice(src.v, sub.s * {dsub} + 1,
+                              (sub.s + 1) * {dsub}) AS cvec
+            FROM src,
+                 (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) sub
+        ),
+        codes AS (
+            SELECT vid, s, j AS code, dist AS sq_err FROM (
+                SELECT e.vec_id AS vid, c.s, c.j,
+                       {_SQDIST.format(a=a, b="c.cvec")} AS dist,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id, c.s
+                           ORDER BY {_SQDIST.format(a=a, b="c.cvec")}, c.j
+                       ) AS rn
+                FROM embeddings e, cw c)
+            WHERE rn = 1
+        )"""
+
+
+def _pq_codes_sql() -> str:
+    return f"""
+        WITH {_pq_ctes()}
+        SELECT vid, s, code, sq_err FROM codes ORDER BY vid, s
+    """
+
+
+def _ann_pq_sql() -> str:
+    from hdfs_mapreduce_spark.operators.similarity import PQ_M
+
+    dsub = EMB_DIM // PQ_M
+    qslice = f"list_slice(q.embedding, c.s * {dsub} + 1, (c.s + 1) * {dsub})"
+    return f"""
+        WITH {_pq_ctes()},
+        luts AS (
+            SELECT q.vec_id AS query_id, c.s, c.j,
+                   {_SQDIST.format(a=qslice, b="c.cvec")} AS d
+            FROM embeddings q, cw c WHERE q.vec_id IN ({_IDS})
+        ),
+        adist AS (
+            SELECT l.query_id, co.vid AS neighbor_id,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(l.d ORDER BY l.s)),
+                       (acc, v) -> acc + v) AS approx_dist
+            FROM codes co JOIN luts l ON l.s = co.s AND l.j = co.code
+            WHERE co.vid <> l.query_id
+            GROUP BY l.query_id, co.vid
+        )
+        SELECT query_id, neighbor_id, rank, approx_dist FROM (
+            SELECT query_id, neighbor_id, approx_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dist, neighbor_id
+                   ) AS rank
+            FROM adist)
+        WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
 
 
 def _kmeans_fit_sql(k: int = KMEANS_K, iters: int = KMEANS_FIT_ITERS) -> str:
@@ -296,6 +398,8 @@ def _kmeans_fit_sql(k: int = KMEANS_K, iters: int = KMEANS_FIT_ITERS) -> str:
 from hdfs_mapreduce_spark.plans.dedup_plans import _SH, _TOKS  # noqa: E402
 
 ORACLE_SQL = {
+    "embedding_pq_codes": _pq_codes_sql(),
+    "ann_pq": _ann_pq_sql(),
     "embedding_kmeans_fit": _kmeans_fit_sql(),
     "embedding_kmeans": f"""
         WITH seeds AS (

@@ -425,6 +425,67 @@ class Engine:
             self._run_with_status(action, on_status)
         return self.get(output_name)
 
+    def compute_binary(
+        self,
+        name: str,
+        plugin_path: str,
+        output_name: str,
+        key_col: str | None = None,
+        value_col: str | None = None,
+        mode: str = "stdin",
+        on_status: Callable[[str], None] | None = None,
+    ) -> DataFrame:
+        """The reference's compute verb in its literal form: run an
+        EXECUTABLE plugin over a stored table and persist the reducer
+        output as a new table (proto/dfs.proto:33-36 ships plugin bytes
+        with the job; dfs/compute_engine/compute_engine.go forks it per
+        record — here per Arrow batch, see operators/binary_plugin.py).
+
+        Input shaping: pass ``key_col``/``value_col`` explicitly, use a
+        table that already has string ``key``/``value`` columns, or a
+        single-string-column table (text ingest) — keyed by a surrogate
+        id, since the reference's line-number key exists only for plugins
+        that read it (neither shipped plugin does; real line numbers come
+        from sources.catalog.ingest_text_with_lineno). Emits the same
+        job_accepted → … → job_done milestone stream as ``compute``."""
+        from pyspark.sql import functions as F
+
+        from hdfs_mapreduce_spark.operators.binary_plugin import (
+            run_binary_mapreduce,
+        )
+
+        df = self.get(name)
+        if key_col is None and value_col is None:
+            if {"key", "value"} <= set(df.columns):
+                key_col, value_col = "key", "value"
+            elif len(df.columns) == 1:
+                df = df.select(
+                    F.monotonically_increasing_id().alias("key"),
+                    F.col(df.columns[0]).alias("value"),
+                )
+                key_col, value_col = "key", "value"
+            else:
+                raise ValueError(
+                    f"table {name!r} needs key_col/value_col "
+                    f"(has {df.columns})"
+                )
+        elif key_col is None or value_col is None:
+            raise ValueError("pass both key_col and value_col, or neither")
+        result = run_binary_mapreduce(
+            df, plugin_path, key_col=key_col, value_col=value_col, mode=mode
+        )
+
+        def action():
+            result.write.mode("errorifexists").parquet(
+                self._path(output_name)
+            )
+
+        if on_status is None:
+            action()
+        else:
+            self._run_with_status(action, on_status)
+        return self.get(output_name)
+
     def _run_with_status(
         self, action: Callable[[], None], on_status: Callable[[str], None]
     ) -> None:

@@ -1140,3 +1140,139 @@ def ann_topk_pq(
         .select("query_id", "neighbor_id", "rank", "approx_dist")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_topk_ivfpq(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the full FAISS-style scale architecture — the coarse
+    quantizer (argmax-cosine cell over the Knuth-scramble centroids, as
+    ann_topk_ivf) prunes the corpus to each query's ``nprobe`` cells, and
+    candidates are ranked by PQ asymmetric distance (per-query lookup
+    table over the codes, as ann_topk_pq) instead of full vectors. At
+    100 TB the corpus is encoded once — 4 B/vector of codes plus a cell
+    id, RAM-resident where the float vectors never could be — and each
+    query touches nprobe/nlist of it with table lookups only.
+
+    Locally one fused map-only kernel assigns cell + codes and emits ADC
+    candidates per query in the same corpus pass (probe sets and LUTs are
+    broadcast-size closure state); at scale the cells+codes relation is
+    materialized once and the probe is the equi-join on cell that
+    ann_topk_ivf demonstrates. Centroids and PQ codeword sources share
+    the same seeded sample by construction (both use the scramble ORDER
+    BY ... LIMIT rule), which the oracle reproduces with one CTE.
+    Deterministic end-to-end → full hash oracle; recall vs brute force
+    bounded in tests."""
+    import numpy as np
+
+    cent_rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(
+            ((F.col(id_col) * F.lit(2654435761)) % F.lit(1 << 32)).asc(),
+            F.col(id_col),
+        )
+        .limit(max(nlist, ksub))
+        .collect()
+    )
+    cmat = np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in cent_rows[:nlist]]
+    )
+    cnorm = np.zeros(cmat.shape[0])
+    for d in range(cmat.shape[1]):
+        cnorm = cnorm + cmat[:, d] * cmat[:, d]
+    cnorm = np.sqrt(cnorm)
+
+    def cos_to_cents(m):
+        n = m.shape[0]
+        nv = np.zeros(n)
+        for d in range(m.shape[1]):
+            nv = nv + m[:, d] * m[:, d]
+        nv = np.sqrt(nv)
+        cos = np.empty((n, cmat.shape[0]))
+        for j in range(cmat.shape[0]):
+            dot = np.zeros(n)
+            for d in range(m.shape[1]):
+                dot = dot + m[:, d] * cmat[j, d]
+            cos[:, j] = dot / (nv * cnorm[j])
+        return cos
+
+    cbs = _pq_codewords(embeddings, m_sub, ksub, id_col, vec_col)
+    dsub = cbs.shape[2]
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = [r[0] for r in qrows]
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    # stable argsort of -cos keeps ascending cell order on exact ties —
+    # the oracle's (cos DESC, cell ASC) ROW_NUMBER ranking.
+    probe_sets = [
+        set(row)
+        for row in np.argsort(
+            -cos_to_cents(qmat), kind="stable", axis=1
+        )[:, :nprobe]
+    ]
+    luts = np.empty((len(qids), m_sub, ksub))
+    for s in range(m_sub):
+        luts[:, s, :] = _pq_sub_dists(
+            qmat[:, s * dsub : (s + 1) * dsub], cbs[s]
+        ).T
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            n = mat.shape[0]
+            cells = np.argmax(cos_to_cents(mat), axis=1)
+            codes = np.empty((n, m_sub), dtype=np.int64)
+            for s in range(m_sub):
+                codes[:, s] = _pq_sub_dists(
+                    mat[:, s * dsub : (s + 1) * dsub], cbs[s]
+                ).argmin(axis=0)
+            ids = pdf[id_col].values
+            frames = []
+            for qi, qid in enumerate(qids):
+                in_probe = np.array(
+                    [c in probe_sets[qi] for c in cells], dtype=bool
+                )
+                keep = in_probe & (ids != qid)
+                if not keep.any():
+                    continue
+                acc = np.zeros(int(keep.sum()))
+                kcodes = codes[keep]
+                for s in range(m_sub):  # s-ascending fold = list_reduce
+                    acc = acc + luts[qi, s, kcodes[:, s]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[keep],
+                            "approx_dist": acc,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, approx_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist")
+        .orderBy("query_id", "rank")
+    )

@@ -138,6 +138,17 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_pq(emb, QUERY_IDS, TOP_K)
 
 
+def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse cells + PQ asymmetric distance — the composed
+    FAISS-style scale path (operators/similarity.py ann_topk_ivfpq)."""
+    from hdfs_mapreduce_spark.operators.similarity import ann_topk_ivfpq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivfpq(
+        emb, QUERY_IDS, TOP_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE
+    )
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, PAIR_THRESHOLD)
@@ -241,6 +252,7 @@ QUERIES = {
     "ann_ivf": ann_ivf,
     "embedding_pq_codes": embedding_pq_codes,
     "ann_pq": ann_pq,
+    "ann_ivfpq": ann_ivfpq,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_crosscheck": dedup_crosscheck,
     "embedding_kmeans": embedding_kmeans,
@@ -397,9 +409,77 @@ def _kmeans_fit_sql(k: int = KMEANS_K, iters: int = KMEANS_FIT_ITERS) -> str:
 # verify).
 from hdfs_mapreduce_spark.plans.dedup_plans import _SH, _TOKS  # noqa: E402
 
+def _ann_ivfpq_sql() -> str:
+    """IVF cell CTEs (the ann_ivf oracle's) composed with the PQ code
+    CTEs: candidates are the cell equi-join, ranked by the s-ascending
+    list_reduce ADC fold."""
+    from hdfs_mapreduce_spark.operators.similarity import PQ_M
+
+    dsub = EMB_DIM // PQ_M
+    qslice = f"list_slice(q.embedding, c.s * {dsub} + 1, (c.s + 1) * {dsub})"
+    return f"""
+        WITH {_pq_ctes()},
+        cents AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                   ) - 1 AS cell,
+                   cvec
+            FROM (
+                SELECT vec_id, embedding AS cvec FROM embeddings
+                ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                LIMIT {IVF_NLIST}
+            )
+        ),
+        scored_cells AS (
+            SELECT e.vec_id, e.embedding, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.cell
+                   ) AS rn
+            FROM embeddings e, cents c
+        ),
+        cellof AS (
+            SELECT vec_id AS vid, cell FROM scored_cells WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cell
+            FROM scored_cells
+            WHERE rn <= {IVF_NPROBE} AND vec_id IN ({_IDS})
+        ),
+        luts AS (
+            SELECT q.vec_id AS query_id, c.s, c.j,
+                   {_SQDIST.format(a=qslice, b="c.cvec")} AS d
+            FROM embeddings q, cw c WHERE q.vec_id IN ({_IDS})
+        ),
+        adist AS (
+            SELECT l.query_id, co.vid AS neighbor_id,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(l.d ORDER BY l.s)),
+                       (acc, v) -> acc + v) AS approx_dist
+            FROM codes co
+            JOIN cellof ce ON ce.vid = co.vid
+            JOIN probes p ON p.cell = ce.cell
+            JOIN luts l ON l.query_id = p.query_id
+                       AND l.s = co.s AND l.j = co.code
+            WHERE co.vid <> p.query_id
+            GROUP BY l.query_id, co.vid
+        )
+        SELECT query_id, neighbor_id, rank, approx_dist FROM (
+            SELECT query_id, neighbor_id, approx_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dist, neighbor_id
+                   ) AS rank
+            FROM adist)
+        WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 ORACLE_SQL = {
     "embedding_pq_codes": _pq_codes_sql(),
     "ann_pq": _ann_pq_sql(),
+    "ann_ivfpq": _ann_ivfpq_sql(),
     "embedding_kmeans_fit": _kmeans_fit_sql(),
     "embedding_kmeans": f"""
         WITH seeds AS (

@@ -573,3 +573,44 @@ def test_refresh_picks_up_external_writer(engine, spark, tmp_path):
     extra.write.mode("append").parquet(engine._path("rt"))
     engine.refresh("rt")
     assert engine.sql("SELECT COUNT(*) AS n FROM rt").collect()[0]["n"] == 3
+
+
+def test_compute_binary_word_count_end_to_end(engine, tmp_path):
+    """The literal compute verb: store a text file, run a word-count
+    EXECUTABLE through the binary-plugin adapter, persist the reducer
+    output as a new table, and get reference-exact counts (milestones
+    included)."""
+    from hdfs_mapreduce_spark.operators.binary_plugin import (
+        WORDCOUNT_PLUGIN_SRC,
+    )
+
+    plugin = tmp_path / "word-count"
+    plugin.write_text(WORDCOUNT_PLUGIN_SRC)
+    plugin.chmod(0o755)
+    src = tmp_path / "lines.txt"
+    src.write_text("the quick\tbrown fox\nthe  lazy dog\nfox\tfox fox\n")
+    engine.put(str(src), "lines", fmt="text")
+    seen: list[str] = []
+    out = engine.compute_binary(
+        "lines", str(plugin), "wc_out", on_status=seen.append
+    )
+    got = {r["key"]: int(r["value"]) for r in out.collect()}
+    assert got == {
+        "brown": 1, "dog": 1, "fox": 4, "lazy": 1, "quick": 1, "the": 2,
+    }
+    assert seen[0] == "job_accepted" and seen[-1] == "job_done"
+    assert "wc_out" in engine.ls()
+
+
+def test_compute_binary_rejects_ambiguous_table(engine, tmp_path):
+    import pandas as pd  # noqa: F811
+
+    pdf = pd.DataFrame({"a": ["x"], "b": ["y"], "c": ["z"]})
+    engine.spark.createDataFrame(pdf).write.parquet(
+        engine._path("wide")
+    )
+    plugin = tmp_path / "noop"
+    plugin.write_text("#!/usr/bin/env python3\n")
+    plugin.chmod(0o755)
+    with pytest.raises(ValueError, match="key_col/value_col"):
+        engine.compute_binary("wide", str(plugin), "out")

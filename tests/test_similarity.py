@@ -326,3 +326,33 @@ def test_ann_pq_recall_and_consistency(spark):
     for q in (0, 1):
         recall = len(got[q] & brute10[q]) / 10
         assert recall >= 0.3, f"PQ recall@10 for query {q} = {recall}"
+
+
+def test_ann_ivfpq_prunes_and_scores_consistently(spark):
+    """Every IVF-PQ candidate must (a) lie in one of the query's probed
+    cells — i.e. also appear in plain IVF's candidate set for the same
+    nlist/nprobe (IVF returns exact cosine over the same pruned set) —
+    and (b) carry the identical ADC distance ann_topk_pq computes for
+    that pair (same codes, same LUT fold)."""
+    from hdfs_mapreduce_spark.operators.similarity import (
+        ann_topk_ivf,
+        ann_topk_ivfpq,
+        ann_topk_pq,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    ivf_cand = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_ivf(emb, [0, 1], k=500, nprobe=4).collect()
+    }
+    pq_dist = {
+        (r["query_id"], r["neighbor_id"]): r["approx_dist"]
+        for r in ann_topk_pq(emb, [0, 1], k=500).collect()
+    }
+    out = ann_topk_ivfpq(emb, [0, 1], k=10, nprobe=4).collect()
+    assert out, "IVF-PQ returned nothing"
+    for r in out:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in ivf_cand, f"{key} outside the probed cells"
+        assert pq_dist[key] == r["approx_dist"], key

@@ -186,18 +186,32 @@ def exec_map(
         raise ValueError(f"unknown plugin transport {mode!r}")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            keys = pdf[key_col].astype(str)
-            values = pdf[value_col].astype(str)
-            if mode == "argv":
+        if mode == "argv":
+            for pdf in batches:
+                if not len(pdf):
+                    continue
                 out_lines: list[str] = []
-                for k, v in zip(keys, values):
+                for k, v in zip(
+                    pdf[key_col].astype(str), pdf[value_col].astype(str)
+                ):
                     out_lines.extend(_run_argv(plugin, MAP_VERB, k, v))
-            else:
-                framed = [f"{k}\t{v}" for k, v in zip(keys, values)]
-                out_lines = _run_stdin(plugin, MAP_VERB, framed)
+                pairs = [p for p in map(_parse_kv, out_lines) if p]
+                if pairs:
+                    yield pd.DataFrame(pairs, columns=["key", "value"])
+            return
+        # stdin transport: ONE fork per PARTITION (this generator runs once
+        # per task) — all the task's batches stream through a single child.
+        framed: list[str] = []
+        for pdf in batches:
+            if len(pdf):
+                framed.extend(
+                    f"{k}\t{v}"
+                    for k, v in zip(
+                        pdf[key_col].astype(str), pdf[value_col].astype(str)
+                    )
+                )
+        if framed:
+            out_lines = _run_stdin(plugin, MAP_VERB, framed)
             pairs = [p for p in map(_parse_kv, out_lines) if p]
             if pairs:
                 yield pd.DataFrame(pairs, columns=["key", "value"])
@@ -222,26 +236,34 @@ def exec_reduce(
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows: list[tuple[str, str]] = []
-            if mode == "argv":
+        if mode == "argv":
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                rows: list[tuple[str, str]] = []
                 for k, vs in zip(pdf["key"], pdf["values"]):
                     joined = "".join(str(v) + "\t" for v in vs)
                     for line in _run_argv(plugin, REDUCE_VERB, str(k), joined):
                         p = _parse_kv(line)
                         if p:
                             rows.append(p)
-            else:
-                framed = [
+                if rows:
+                    yield pd.DataFrame(rows, columns=["key", "value"])
+            return
+        # stdin transport: one fork per partition, as in exec_map.
+        framed: list[str] = []
+        for pdf in batches:
+            if len(pdf):
+                framed.extend(
                     str(k) + "\t" + "\t".join(str(v) for v in vs)
                     for k, vs in zip(pdf["key"], pdf["values"])
-                ]
-                for line in _run_stdin(plugin, REDUCE_VERB, framed):
-                    p = _parse_kv(line)
-                    if p:
-                        rows.append(p)
+                )
+        if framed:
+            rows = [
+                p
+                for p in map(_parse_kv, _run_stdin(plugin, REDUCE_VERB, framed))
+                if p
+            ]
             if rows:
                 yield pd.DataFrame(rows, columns=["key", "value"])
 

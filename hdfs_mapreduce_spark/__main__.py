@@ -135,16 +135,27 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 file=sys.stderr,
             )
     elif args.verb == "compute":
-        plugin = _load_plugin(args.plugin)
-        eng.compute(
-            args.name,
-            plugin.mapper,
-            plugin.reducer,
-            map_schema=plugin.MAP_SCHEMA,
-            reduce_schema=plugin.REDUCE_SCHEMA,
-            output_name=args.output,
-            on_status=lambda m: print(m, file=out),
-        )
+        if args.plugin.endswith(".py"):
+            plugin = _load_plugin(args.plugin)
+            eng.compute(
+                args.name,
+                plugin.mapper,
+                plugin.reducer,
+                map_schema=plugin.MAP_SCHEMA,
+                reduce_schema=plugin.REDUCE_SCHEMA,
+                output_name=args.output,
+                on_status=lambda m: print(m, file=out),
+            )
+        else:
+            # Any non-.py plugin is an executable speaking the reference's
+            # binary protocol (the client's actual submission shape —
+            # operators/binary_plugin.py).
+            eng.compute_binary(
+                args.name,
+                args.plugin,
+                args.output,
+                on_status=lambda m: print(m, file=out),
+            )
     return 0
 
 

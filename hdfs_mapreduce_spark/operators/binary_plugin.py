@@ -12,14 +12,16 @@ the remaining gap — plugins that exist only as executables.
 
 Two transports:
 
-* ``mode="stdin"`` (default, the scalable one): ONE subprocess per Arrow
-  batch. The adapter writes one framed line per record to the child's
-  stdin (``<key>\\t<value>`` for map — the child splits on the FIRST tab,
-  so tabs inside the value survive; ``<key>\\t<v1>\\t<v2>...`` for reduce)
-  and reads ``key\\tvalue`` result lines from its stdout. Fork cost is
-  amortized over the whole batch (~10k records), the per-record cost is a
-  pipe write — this is the transport a 100 TB run uses. The child is
-  invoked as ``plugin <verb>`` and loops over stdin until EOF.
+* ``mode="stdin"`` (default, the scalable one): ONE subprocess per
+  PARTITION (task). The adapter writes one framed line per record to the
+  child's stdin (``<key>\\t<value>`` for map — the child splits on the
+  FIRST tab, so tabs inside the value survive; embedded newlines are
+  normalized to spaces by ``_frame_value`` since the line protocol cannot
+  carry them; ``<key>\\t<v1>\\t<v2>...`` for reduce) and reads
+  ``key\\tvalue`` result lines from its stdout. Fork cost is amortized
+  over the whole partition, the per-record cost is a pipe write — this is
+  the transport a 100 TB run uses. The child is invoked as ``plugin
+  <verb>`` and loops over stdin until EOF.
 * ``mode="argv"`` (strict parity): byte-faithful to the reference — one
   fork per record with ``[plugin, verb, key, value]`` argv, including the
   trailing-tab value string the reference engine builds for reduce. This
@@ -109,6 +111,18 @@ def materialize_plugin(src: str, name: str) -> str:
             os.unlink(tmp)
         raise
     return path
+
+
+def _frame_value(v: str) -> str:
+    """Line-protocol framing guard: the reference's records are LINES, so
+    values can never contain newlines there; arbitrary DataFrame columns
+    can. Embedded newlines would silently split one record into several
+    on the child's stdin, so they become spaces (the same normalization
+    the word-count mapper applies to tabs). Tabs are left alone — the
+    framing splits on the FIRST tab only."""
+    if "\n" in v or "\r" in v:
+        return v.replace("\r\n", " ").replace("\n", " ").replace("\r", " ")
+    return v
 
 
 def _parse_kv(line: str) -> tuple[str, str] | None:
@@ -205,7 +219,7 @@ def exec_map(
         for pdf in batches:
             if len(pdf):
                 framed.extend(
-                    f"{k}\t{v}"
+                    f"{k}\t{_frame_value(v)}"
                     for k, v in zip(
                         pdf[key_col].astype(str), pdf[value_col].astype(str)
                     )
@@ -255,7 +269,9 @@ def exec_reduce(
         for pdf in batches:
             if len(pdf):
                 framed.extend(
-                    str(k) + "\t" + "\t".join(str(v) for v in vs)
+                    str(k)
+                    + "\t"
+                    + "\t".join(_frame_value(str(v)) for v in vs)
                     for k, vs in zip(pdf["key"], pdf["values"])
                 )
         if framed:

@@ -1015,6 +1015,7 @@ def pq_encode(
     ksub: int = PQ_KSUB,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook_source: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization encode: (vid, s, code, sq_err) — per vector
     and subspace, the argmin-L2 codeword (first-min ties → lower code,
@@ -1026,7 +1027,10 @@ def pq_encode(
     presentation sort."""
     import numpy as np
 
-    cbs = _pq_codewords(embeddings, m_sub, ksub, id_col, vec_col)
+    cbs = _pq_codewords(
+        codebook_source if codebook_source is not None else embeddings,
+        m_sub, ksub, id_col, vec_col,
+    )
     dsub = cbs.shape[2]
 
     def encode(batches):
@@ -1055,11 +1059,16 @@ def pq_encode(
                 }
             )
 
-    return (
-        embeddings.select(id_col, vec_col)
-        .mapInPandas(encode, "vid long, s int, code int, sq_err double")
-        .orderBy("vid", "s")
+    out = embeddings.select(id_col, vec_col).mapInPandas(
+        encode, "vid long, s int, code int, sq_err double"
     )
+    # Streaming input: the encode kernel composes unchanged (map-only),
+    # but a global sort is illegal on an unbounded stream — and the
+    # codebook must then come from a bounded ``codebook_source`` (the
+    # fit-once-broadcast discipline; collecting the stream is impossible).
+    if embeddings.isStreaming:
+        return out
+    return out.orderBy("vid", "s")
 
 
 def ann_topk_pq(

@@ -128,3 +128,16 @@ def test_failing_plugin_raises(spark, tmp_path):
     df = spark.createDataFrame([(0, "x")], "key long, value string")
     with pytest.raises(Exception, match="rc=3|boom|PythonException|JobFailed"):
         exec_map(df, str(p)).collect()
+
+
+def test_newlines_in_values_cannot_split_stdin_framing(spark, plugin_path):
+    """A value containing newlines must behave as if they were spaces
+    (the line protocol cannot carry them), never as extra records."""
+    df = spark.createDataFrame(
+        [(0, "a\nb"), (1, "c\r\nd e")], "key long, value string"
+    )
+    got = {
+        r["key"]: int(r["value"])
+        for r in run_binary_mapreduce(df, plugin_path).collect()
+    }
+    assert got == {"a": 1, "b": 1, "c": 1, "d": 1, "e": 1}

@@ -103,3 +103,32 @@ def test_cli_rejects_incomplete_plugin(spark, tmp_path):
              "--output", "y"],
             spark=spark,
         )
+
+
+def test_cli_compute_runs_a_binary_plugin(spark, tmp_path):
+    """A non-.py plugin path routes through the executable adapter — the
+    reference client's actual submission shape (a compiled binary)."""
+    from hdfs_mapreduce_spark.operators.binary_plugin import (
+        WORDCOUNT_PLUGIN_SRC,
+    )
+
+    wh = str(tmp_path / "wh")
+    book = tmp_path / "book.txt"
+    book.write_text("the fox\nthe dog\nfox fox\n")
+    plugin = tmp_path / "word-count"
+    plugin.write_text(WORDCOUNT_PLUGIN_SRC)
+    plugin.chmod(0o755)
+    _run(["--warehouse", wh, "put", str(book), "book"], spark)
+    out = _run(
+        ["--warehouse", wh, "compute", "book", "--plugin", str(plugin),
+         "--output", "wc"],
+        spark,
+    )
+    assert out.splitlines()[0] == "job_accepted"
+    assert out.splitlines()[-1] == "job_done"
+    got = _run(
+        ["--warehouse", wh, "sql",
+         "SELECT key, value FROM wc ORDER BY key"],
+        spark,
+    )
+    assert got.splitlines() == ["dog\t1", "fox\t3", "the\t2"]

@@ -534,3 +534,51 @@ def test_mg_state_replay_is_skipped(spark, tmp_path):
         for r in read_upsert_state(spark, state).collect()
     }
     assert sum(grown.values()) > sum(snap.values())
+
+
+def test_stream_pq_encode_equals_batch(spark):
+    """PQ encode is map-only, so it composes with Structured Streaming
+    unchanged: streaming the embeddings parquet through the same
+    mapInPandas kernel yields exactly the batch codes. (Codebooks come
+    from the batch table — the fit-once-broadcast model discipline; the
+    stream is the data plane only.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from hdfs_mapreduce_spark.operators.similarity import pq_encode
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    batch_df = load_table(spark, SF, "embeddings")
+    batch = {
+        (r["vid"], r["s"]): (r["code"], r["sq_err"])
+        for r in pq_encode(batch_df).collect()
+    }
+    with tempfile.TemporaryDirectory() as work:
+        # file streams need a DIRECTORY source
+        src = os.path.join(work, "stream_src")
+        os.makedirs(src)
+        shutil.copyfile(
+            f"{SF}/embeddings.parquet", os.path.join(src, "part-0.parquet")
+        )
+        ckpt = os.path.join(work, "ckpt")
+        stream_in = (
+            spark.readStream.schema(batch_df.schema)
+            .format("parquet")
+            .load(src)
+        )
+        q = (
+            pq_encode(stream_in, codebook_source=batch_df)
+            .writeStream.format("memory")
+            .queryName("pq_stream")
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    stream = {
+        (r["vid"], r["s"]): (r["code"], r["sq_err"])
+        for r in spark.sql("SELECT * FROM pq_stream").collect()
+    }
+    assert stream == batch and len(batch) > 0

@@ -130,6 +130,60 @@ def wav_pcm_decoder(payload: bytes) -> list[float]:
     ]
 
 
+def ppm_decoder(payload: bytes) -> list[float]:
+    """REAL decoder for one concrete IMAGE format — binary PPM (P6),
+    parsed with stdlib + numpy only: header tokens (with ``#`` comment
+    support per the netpbm spec), then the raw RGB raster. Features are
+    FEATURE_DIM per-segment mean luminances (Rec.601 weights) in [0, 1]
+    over the row-major pixel stream — a real decode + feature-extract
+    for the one image container that needs no codec library. Raises
+    ValueError on non-P6 payloads; compressed formats (png/jpeg) still
+    need a real codec and stay behind NotImplementedError."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # Header: magic, width, height, maxval — whitespace-separated with
+    # optional '#' comments; one whitespace byte follows maxval, then raster.
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.find(b"\n", pos)
+            if pos < 0:
+                raise ValueError("unterminated PPM comment")
+            pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    width, height, maxval = tokens
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pos += 1  # the single whitespace byte after maxval
+    n = width * height * 3
+    raster = payload[pos : pos + n]
+    if len(raster) < n:
+        raise ValueError("truncated PPM raster")
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+    luma = (
+        0.299 * px[:, 0] + 0.587 * px[:, 1] + 0.114 * px[:, 2]
+    ) / maxval
+    if len(luma) == 0:
+        return [0.0] * FEATURE_DIM
+    return [
+        float(np.mean(seg)) if len(seg) else 0.0
+        for seg in np.array_split(luma, FEATURE_DIM)
+    ]
+
+
 def fake_decoder(payload: bytes) -> list[float]:
     """DETERMINISTIC FAKE decoder (image/audio libs absent in this
     environment): derives FEATURE_DIM floats in [0,1) from a rolling byte
@@ -165,12 +219,15 @@ def decode_payload(
                     mime = (m or {}).get("mime", "")
                     if mime in ("audio/wav", "audio/x-wav"):
                         feats.append(wav_pcm_decoder(p))
+                    elif mime == "image/x-portable-pixmap":
+                        feats.append(ppm_decoder(p))
                     else:
                         raise NotImplementedError(
                             f"no codec for mime {mime!r} in this "
-                            "environment (only RIFF/PCM audio/wav decodes "
-                            "natively); pass decoder=fake_decoder for a "
-                            "deterministic stand-in"
+                            "environment (RIFF/PCM audio/wav and P6 PPM "
+                            "images decode natively); pass "
+                            "decoder=fake_decoder for a deterministic "
+                            "stand-in"
                         )
             else:
                 feats = [decoder(p) for p in batch["payload"]]

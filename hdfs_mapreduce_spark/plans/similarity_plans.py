@@ -138,6 +138,44 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_pq(emb, QUERY_IDS, TOP_K)
 
 
+def dedup_pq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup bucketing by identical PQ code vectors: two
+    vectors sharing all m_sub codes are quantization-level duplicates.
+    (vid, bucket_head, bucket_size) per vector — bucket_head is the
+    lowest member id, the canonical-survivor rule every dedup query here
+    uses. Scale shape: after the map-only encode this is ONE exact
+    groupBy on a 4-byte key — the cheap first pass that shrinks the
+    candidate set before any pairwise cosine runs (the same
+    exact-then-verify discipline as dedup_exact → minhash)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.similarity import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    keys = (
+        pq_encode(emb)
+        .groupBy("vid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("s", "code"))),
+                    lambda x: x["code"].cast("string"),
+                ),
+                "-",
+            ).alias("pq_key")
+        )
+    )
+    buckets = keys.groupBy("pq_key").agg(
+        F.min("vid").alias("bucket_head"),
+        F.count(F.lit(1)).alias("bucket_size"),
+    )
+    return (
+        keys.join(buckets, "pq_key")
+        .select("vid", "bucket_head", "bucket_size")
+        .orderBy("vid")
+    )
+
+
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse cells + PQ asymmetric distance — the composed
     FAISS-style scale path (operators/similarity.py ann_topk_ivfpq)."""
@@ -253,6 +291,7 @@ QUERIES = {
     "embedding_pq_codes": embedding_pq_codes,
     "ann_pq": ann_pq,
     "ann_ivfpq": ann_ivfpq,
+    "dedup_pq_buckets": dedup_pq_buckets,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_crosscheck": dedup_crosscheck,
     "embedding_kmeans": embedding_kmeans,
@@ -480,6 +519,22 @@ ORACLE_SQL = {
     "embedding_pq_codes": _pq_codes_sql(),
     "ann_pq": _ann_pq_sql(),
     "ann_ivfpq": _ann_ivfpq_sql(),
+    "dedup_pq_buckets": f"""
+        WITH {_pq_ctes()},
+        keys AS (
+            SELECT vid,
+                   string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS pq_key
+            FROM codes GROUP BY vid
+        ),
+        buckets AS (
+            SELECT pq_key, MIN(vid) AS bucket_head,
+                   COUNT(*) AS bucket_size
+            FROM keys GROUP BY pq_key
+        )
+        SELECT k.vid, b.bucket_head, b.bucket_size
+        FROM keys k JOIN buckets b USING (pq_key)
+        ORDER BY k.vid
+    """,
     "embedding_kmeans_fit": _kmeans_fit_sql(),
     "embedding_kmeans": f"""
         WITH seeds AS (

@@ -235,3 +235,61 @@ def test_wav_pcm_decoder_decodes_real_payloads(spark):
     )
     with _pt.raises(Exception, match="NotImplementedError|no codec"):
         decode_payload(bad).collect()
+
+
+def _make_ppm(width: int = 12, height: int = 6, comment: bool = False) -> bytes:
+    """P6 with a left-to-right brightness ramp so per-segment luminance
+    means are strictly increasing; optional header comment per the spec."""
+    header = b"P6\n"
+    if comment:
+        header += b"# a netpbm comment\n"
+    header += f"{width} {height}\n255\n".encode()
+    raster = bytearray()
+    for _y in range(height):
+        for x in range(width):
+            v = round(x * 255 / (width - 1))
+            raster += bytes((v, v, v))
+    return header + bytes(raster)
+
+
+def test_ppm_decoder_decodes_real_payloads(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.multimodal import (
+        FEATURE_DIM,
+        decode_payload,
+        ppm_decoder,
+    )
+
+    img = _make_ppm()
+    feats = ppm_decoder(img)
+    assert len(feats) == FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in feats)
+    # scanline-major ramp: each scanline repeats the same left→right ramp,
+    # so averages over equal row-major segments are non-decreasing within
+    # a line; global first < last holds for the whole stream
+    assert feats[-1] > feats[0]
+    assert ppm_decoder(_make_ppm(comment=True)) == feats
+    with pytest.raises(ValueError, match="P6"):
+        ppm_decoder(b"P3\n1 1\n255\n0 0 0")
+    with pytest.raises(ValueError, match="truncated"):
+        ppm_decoder(img[: len(img) // 2])
+    # end-to-end mime routing alongside a wav payload
+    wav = _make_wav(4)
+    rows = [(0, bytearray(img)), (1, bytearray(wav))]
+    mimes = {0: "image/x-portable-pixmap", 1: "audio/wav"}
+    df = (
+        spark.createDataFrame(rows, "id long, payload binary")
+        .withColumn(
+            "meta",
+            F.struct(
+                F.udf(lambda i: mimes[i])("id").alias("mime"),
+                F.length("payload").cast("long").alias("n_bytes"),
+                F.sha2("payload", 256).alias("sha256"),
+            ),
+        )
+    )
+    out = {r["id"]: r["features"] for r in decode_payload(df).collect()}
+    assert out[0] == pytest.approx(feats)
+    assert len(out[1]) == FEATURE_DIM

@@ -340,3 +340,59 @@ def test_interval_join_matches_bruteforce(spark, left, right, bucket_sec):
         if lk == rk and lsec <= rsec + rd and rsec <= lsec + ld
     )
     assert got == want  # sorted WITH duplicates: each pair exactly once
+
+
+# --- product quantization ---------------------------------------------------
+vec8 = st.lists(
+    st.floats(
+        min_value=-4.0, max_value=4.0, allow_nan=False, allow_infinity=False,
+        width=32,
+    ),
+    min_size=8,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(vecs=st.lists(vec8, min_size=4, max_size=10))
+def test_pq_encode_picks_the_true_argmin(spark, vecs):
+    """For arbitrary small corpora, every emitted (code, sq_err) must be
+    the brute-force minimum distance from the vector's subspace slice to
+    ANY codeword of that subspace — and ties must go to the lower code
+    (the ROW_NUMBER (dist, j) rule the oracle uses)."""
+    from hdfs_mapreduce_spark.operators.similarity import (
+        _pq_codewords,
+        pq_encode,
+    )
+
+    m_sub, ksub = 2, 3
+    dsub = 8 // m_sub
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    cbs = _pq_codewords(emb, m_sub, ksub, "vec_id", "embedding")
+    rows = pq_encode(emb, m_sub=m_sub, ksub=ksub).collect()
+    assert len(rows) == len(vecs) * m_sub
+    # brute-force reference with the same sequential fold
+    vec_by_id = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+    for r in rows:
+        v = vec_by_id[r["vid"]]
+        sub = v[r["s"] * dsub : (r["s"] + 1) * dsub]
+        dists = []
+        for j in range(cbs.shape[1]):
+            acc = 0.0
+            for d in range(dsub):
+                diff = sub[d] - cbs[r["s"], j, d]
+                acc += diff * diff
+            dists.append(acc)
+        best = min(range(len(dists)), key=lambda j: (dists[j], j))
+        assert r["code"] == best
+        assert r["sq_err"] == dists[best]

@@ -983,6 +983,8 @@ def _pq_codewords(
         .limit(ksub)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot build PQ codebooks from an empty corpus")
     src = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
     dim = src.shape[1]
     if dim % m_sub:
@@ -1100,6 +1102,13 @@ def ann_topk_pq(
         .collect()
     )
     qids = [r[0] for r in qrows]
+    if not qids:  # no query rows: empty result with the declared schema
+        return embeddings.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).alias("rank"),
+            F.lit(0.0).alias("approx_dist"),
+        )
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     # luts[q][s][j]: exact-fold subspace distance query→codeword.
     luts = np.empty((len(qids), m_sub, ksub))

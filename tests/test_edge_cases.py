@@ -5,6 +5,7 @@ tenant's empty table WILL hit these paths."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -130,3 +131,20 @@ def test_asof_and_band_joins_with_empty_right_side(spark):
         lower_us=0, upper_us=5_000_000,
     )
     assert bj.count() == 0
+
+
+def test_pq_empty_corpus_and_missing_queries(spark):
+    from hdfs_mapreduce_spark.operators.similarity import (
+        ann_topk_pq,
+        pq_encode,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="empty corpus"):
+        pq_encode(empty).collect()
+    some = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ann_topk_pq(some, [99], k=5, m_sub=2, ksub=2)
+    assert out.count() == 0

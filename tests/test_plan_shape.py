@@ -444,3 +444,30 @@ def test_bucketed_upsert_control_pair_is_asserted_in_streaming_tests():
 
     src = pathlib.Path(__file__).with_name("test_streaming.py").read_text()
     assert "bucketed_plan.count(\"Exchange\") == 1" in src
+
+
+def test_pq_encode_single_kernel_map_only(spark):
+    """PQ encode is ONE Arrow kernel over the scan (codebook in the
+    closure = broadcast) — exactly one MapInPandas, and no exchange
+    except the presentation sort."""
+    plan = plan_of(QUERIES["embedding_pq_codes"](spark, SF), "simple")
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange") <= 1, plan  # ORDER BY only
+
+
+def test_ann_pq_one_corpus_pass_then_topk(spark):
+    """ADC search: one fused encode+score kernel over the corpus, then the
+    per-query top-k — a single shuffle for the window plus the
+    presentation sort; the tiny query-side collects are driver-side model
+    state, not plan nodes."""
+    plan = plan_of(QUERIES["ann_pq"](spark, SF), "simple")
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange") <= 2, plan  # window hash + final range
+
+
+def test_ann_ivfpq_one_corpus_pass_then_topk(spark):
+    """The composed IVF-PQ keeps the same one-pass shape: cell pruning and
+    ADC scoring fused into the single corpus kernel."""
+    plan = plan_of(QUERIES["ann_ivfpq"](spark, SF), "simple")
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Exchange") <= 2, plan

@@ -1294,3 +1294,90 @@ def ann_topk_ivfpq(
         .select("query_id", "neighbor_id", "rank", "approx_dist")
         .orderBy("query_id", "rank")
     )
+
+
+# --- feature-hashing document embeddings ------------------------------------
+HASH_EMBED_DIM = 64
+
+
+def hash_embed_cells(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = HASH_EMBED_DIM,
+) -> DataFrame:
+    """Hashing-trick document vectors, cell form: (doc, dim, val) with
+    val = Σ_tokens sign(t)·1 over tokens hashing to that dimension —
+    index = h56(token) % dim, sign from an independent h56('sign:'+token)
+    bit (Weinberger et al., feature hashing). No model, no vocabulary,
+    no fit: the embedding of 100 TB of text is one map-side tokenize +
+    one (doc, dim)-keyed partial-aggregated shuffle of INTEGER cells —
+    exact in any engine, which is why the oracle matches by hash, not
+    tolerance. Missing dimensions are materialized as explicit zeros so
+    the relation is dense (doc × dim)."""
+    from hdfs_mapreduce_spark.functions.hashing import h56
+    from hdfs_mapreduce_spark.functions.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    cells = (
+        tok.select(
+            "doc",
+            (h56(F.col("token")) % dim).cast("int").alias("idx"),
+            F.when(
+                h56(F.concat(F.lit("sign:"), F.col("token"))) % 2 == 0,
+                F.lit(1),
+            )
+            .otherwise(F.lit(-1))
+            .alias("sgn"),
+        )
+        .groupBy("doc", "idx")
+        .agg(F.sum("sgn").alias("val"))
+    )
+    dense = (
+        cells.groupBy("doc")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "val"))
+            ).alias("m")
+        )
+        .select(
+            "doc",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda i: F.coalesce(
+                        F.try_element_at(F.col("m"), i.cast("int")),
+                        F.lit(0).cast("bigint"),
+                    ),
+                )
+            ).alias("dim", "val"),
+        )
+    )
+    return dense
+
+
+def hash_embed_vectors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    dim: int = HASH_EMBED_DIM,
+) -> DataFrame:
+    """(doc, vec array<double>) assembled from the dense cells — the
+    bridge that lets every vector operator in this module (brute-force /
+    LSH / IVF / PQ ANN, k-means, cosine pairs) run over plain text with
+    no external embedding model. Docs with zero tokens have no cells and
+    are absent, exactly like the SQL twin built from the cells CTE."""
+    dense = hash_embed_cells(df, id_col, text_col, dim)
+    return dense.groupBy("doc").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "val"))
+        ).alias("cells")
+    ).select(
+        "doc",
+        F.transform(
+            F.col("cells"), lambda c: c["val"].cast("double")
+        ).alias("vec"),
+    )

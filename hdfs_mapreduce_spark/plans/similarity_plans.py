@@ -29,7 +29,7 @@ from hdfs_mapreduce_spark.operators.similarity import (
     kmeans_assign,
     kmeans_fit,
 )
-from hdfs_mapreduce_spark.sources.catalog import load_table
+from hdfs_mapreduce_spark.sources.catalog import load_table, spread
 
 QUERY_IDS = [0, 1, 2, 3, 4]
 TOP_K = 10
@@ -176,6 +176,31 @@ def dedup_pq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document vectors in dense cell form
+    (operators/similarity.py hash_embed_cells): model-free text
+    vectorization whose integer cells are exact in any engine."""
+    from hdfs_mapreduce_spark.operators.similarity import hash_embed_cells
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return hash_embed_cells(docs, "doc_id", "text").orderBy("doc", "dim")
+
+
+def text_hash_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine retrieval over the hashed document vectors —
+    the full text→vector→ANN bridge with no external embedding model:
+    the same brute-force operator the embeddings table uses, fed by
+    hash_embed_vectors."""
+    from hdfs_mapreduce_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        hash_embed_vectors,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    vecs = hash_embed_vectors(docs, "doc_id", "text")
+    return ann_topk_bruteforce(vecs, QUERY_IDS, TOP_K, id_col="doc", vec_col="vec")
+
+
 def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse cells + PQ asymmetric distance — the composed
     FAISS-style scale path (operators/similarity.py ann_topk_ivfpq)."""
@@ -292,6 +317,8 @@ QUERIES = {
     "ann_pq": ann_pq,
     "ann_ivfpq": ann_ivfpq,
     "dedup_pq_buckets": dedup_pq_buckets,
+    "text_hash_embeddings": text_hash_embeddings,
+    "text_hash_ann": text_hash_ann,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_crosscheck": dedup_crosscheck,
     "embedding_kmeans": embedding_kmeans,
@@ -515,7 +542,66 @@ def _ann_ivfpq_sql() -> str:
     """
 
 
+def _hash_embed_ctes() -> str:
+    """Shared feature-hashing CTEs: tokenizer (the NB oracle's), integer
+    signed cells via the shared h56 hash, and the dense (doc × dim)
+    relation with explicit zeros."""
+    from hdfs_mapreduce_spark.functions.hashing import h56_sql
+    from hdfs_mapreduce_spark.operators.similarity import HASH_EMBED_DIM
+
+    d = HASH_EMBED_DIM
+    return f"""tok AS (
+            SELECT doc_id AS doc,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS token
+            FROM documents
+        ),
+        cells AS (
+            SELECT doc, {h56_sql('token')} % {d} AS idx,
+                   SUM(CASE WHEN {h56_sql("'sign:' || token")} % 2 = 0
+                            THEN 1 ELSE -1 END) AS val
+            FROM tok GROUP BY doc, idx
+        ),
+        dense AS (
+            SELECT d.doc, g.i AS dim,
+                   CAST(COALESCE(c.val, 0) AS BIGINT) AS val
+            FROM (SELECT DISTINCT doc FROM cells) d
+            CROSS JOIN (SELECT unnest(generate_series(0, {d - 1})) AS i) g
+            LEFT JOIN cells c ON c.doc = d.doc AND c.idx = g.i
+        )"""
+
+
+def _text_hash_ann_sql() -> str:
+    return f"""
+        WITH {_hash_embed_ctes()},
+        vecs AS (
+            SELECT doc, list(CAST(val AS DOUBLE) ORDER BY dim) AS vec
+            FROM dense GROUP BY doc
+        ),
+        cand AS (
+            SELECT q.doc AS query_id, n.doc AS neighbor_id,
+                   {_cos('q.vec', 'n.vec')} AS cos_sim
+            FROM vecs q, vecs n
+            WHERE q.doc IN ({_IDS}) AND n.doc <> q.doc
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id
+                   ) AS rank
+            FROM cand)
+        WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
 ORACLE_SQL = {
+    "text_hash_embeddings": f"""
+        WITH {_hash_embed_ctes()}
+        SELECT doc, dim, val FROM dense ORDER BY doc, dim
+    """,
+    "text_hash_ann": _text_hash_ann_sql(),
     "embedding_pq_codes": _pq_codes_sql(),
     "ann_pq": _ann_pq_sql(),
     "ann_ivfpq": _ann_ivfpq_sql(),

@@ -356,3 +356,39 @@ def test_ann_ivfpq_prunes_and_scores_consistently(spark):
         key = (r["query_id"], r["neighbor_id"])
         assert key in ivf_cand, f"{key} outside the probed cells"
         assert pq_dist[key] == r["approx_dist"], key
+
+
+def test_hash_embeddings_behave_like_embeddings(spark):
+    """Hashing-trick vectors: identical texts map to identical vectors
+    (cos=1), token-disjoint texts stay near-orthogonal, and a shared-token
+    pair lands in between — so downstream ANN over text is meaningful."""
+    from hdfs_mapreduce_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        hash_embed_vectors,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps"),
+        (1, "the quick brown fox jumps"),       # exact duplicate
+        (2, "the quick brown fox leaps high"),  # near-duplicate
+        (3, "entirely different words here ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vecs = hash_embed_vectors(docs, "doc_id", "text")
+    out = {
+        r["neighbor_id"]: r["cos_sim"]
+        for r in ann_topk_bruteforce(
+            vecs, [0], k=3, id_col="doc", vec_col="vec"
+        ).collect()
+    }
+    assert abs(out[1] - 1.0) < 1e-12  # identical vector (fold rounding)
+    assert out[1] > out[2] > out[3]
+    # dense + integer: every dim materialized, values exact ints
+    from hdfs_mapreduce_spark.operators.similarity import (
+        HASH_EMBED_DIM,
+        hash_embed_cells,
+    )
+
+    cells = hash_embed_cells(docs, "doc_id", "text").collect()
+    assert len(cells) == 4 * HASH_EMBED_DIM
+    assert all(float(r["val"]).is_integer() for r in cells)

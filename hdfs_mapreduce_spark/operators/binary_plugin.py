@@ -125,6 +125,13 @@ def _frame_value(v: str) -> str:
     return v
 
 
+def _frame_key(k: str) -> str:
+    """Keys additionally may not contain tabs — the framing's field
+    separator — so tabs normalize to spaces like newlines do."""
+    k = _frame_value(k)
+    return k.replace("\t", " ") if "\t" in k else k
+
+
 def _parse_kv(line: str) -> tuple[str, str] | None:
     """The engine's output-line parse (compute_engine.go:165-176): split on
     the first tab; drop the line unless both key and value are non-empty."""
@@ -136,51 +143,92 @@ def _parse_kv(line: str) -> tuple[str, str] | None:
     return key, value
 
 
-def _run_stdin(plugin: str, verb: str, lines: list[str]) -> list[str]:
-    """One child process for a whole batch: write framed records to its
-    stdin from a side thread (concurrent with reading stdout, so a child
-    that streams output can never deadlock the pipe), return stdout lines."""
-    proc = subprocess.Popen(
-        [plugin, verb],
-        stdin=subprocess.PIPE,
-        stdout=subprocess.PIPE,
-        stderr=subprocess.PIPE,
-        text=True,
-    )
-
-    def _feed() -> None:
-        try:
-            for line in lines:
-                proc.stdin.write(line + "\n")
-            proc.stdin.close()
-        except BrokenPipeError:  # child exited early; surfaced below
-            pass
-
-    writer = threading.Thread(target=_feed)
-    writer.start()
-    out = proc.stdout.read()
-    writer.join()
-    err = proc.stderr.read()
-    if proc.wait() != 0:
-        raise RuntimeError(
-            f"plugin {plugin!r} {verb} failed (rc={proc.returncode}): "
-            f"{err[:500]}"
+def _run_stdin(
+    plugin: str, verb: str, lines: "Iterator[str] | list[str]"
+) -> Iterator[str]:
+    """One child process per call, fully streaming: a side thread pulls
+    framed records from ``lines`` (which may be a lazy generator over the
+    task's Arrow batches) and writes them to the child's stdin while the
+    caller iterates stdout lines — so neither the input nor the output of
+    a partition is ever materialized in memory, and a child that streams
+    output can never deadlock the pipes. stderr goes to an unlinked temp
+    FILE, not a pipe: a chatty plugin writing more than the ~64 KB pipe
+    buffer of diagnostics would otherwise block (nobody drains stderr
+    until EOF) and hang the task. Explicit UTF-8 on every stream — the
+    executor's locale must not decide whether non-ASCII data round-trips
+    — and output splits on '\\n' ONLY (the engine's contract), never on
+    the Unicode line separators str.splitlines() would also honor."""
+    with tempfile.TemporaryFile() as errf:
+        proc = subprocess.Popen(
+            [plugin, verb],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=errf,
+            text=True,
+            encoding="utf-8",
         )
-    return out.splitlines()
+
+        def _feed() -> None:
+            try:
+                for line in lines:
+                    proc.stdin.write(line + "\n")
+                proc.stdin.close()
+            except BrokenPipeError:  # child exited early; surfaced below
+                pass
+
+        writer = threading.Thread(target=_feed)
+        writer.start()
+        try:
+            for out_line in proc.stdout:
+                yield out_line[:-1] if out_line.endswith("\n") else out_line
+        finally:
+            writer.join()
+            rc = proc.wait()
+        if rc != 0:
+            errf.seek(0)
+            err = errf.read(500).decode("utf-8", "replace")
+            raise RuntimeError(
+                f"plugin {plugin!r} {verb} failed (rc={rc}): {err}"
+            )
 
 
 def _run_argv(plugin: str, verb: str, key: str, value: str) -> list[str]:
     """The reference's exact invocation: one fork per record
     (compute_engine.go:52-54 / :122)."""
     res = subprocess.run(
-        [plugin, verb, key, value], capture_output=True, text=True
+        [plugin, verb, key, value],
+        capture_output=True,
+        text=True,
+        encoding="utf-8",
     )
     if res.returncode != 0:
         raise RuntimeError(
             f"plugin {plugin!r} {verb} failed (rc={res.returncode}): "
             f"{res.stderr[:500]}"
         )
-    return res.stdout.splitlines()
+    # '\n' only — the engine's contract; splitlines() would also split on
+    # Unicode separators embedded in keys/values.
+    out = res.stdout.split("\n")
+    return out[:-1] if out and out[-1] == "" else out
+
+
+_PAIR_CHUNK = 10_000
+
+
+def _chunked_pairs(out_lines: Iterator[str]) -> Iterator[pd.DataFrame]:
+    """Parse child output lines into (key, value) DataFrames of at most
+    _PAIR_CHUNK rows each — the bounded-memory bridge from the streaming
+    pipe to Arrow batches."""
+    buf: list[tuple[str, str]] = []
+    for line in out_lines:
+        p = _parse_kv(line)
+        if p:
+            buf.append(p)
+            if len(buf) >= _PAIR_CHUNK:
+                yield pd.DataFrame(buf, columns=["key", "value"])
+                buf = []
+    if buf:
+        yield pd.DataFrame(buf, columns=["key", "value"])
 
 
 def exec_map(
@@ -213,22 +261,22 @@ def exec_map(
                 if pairs:
                     yield pd.DataFrame(pairs, columns=["key", "value"])
             return
-        # stdin transport: ONE fork per PARTITION (this generator runs once
-        # per task) — all the task's batches stream through a single child.
-        framed: list[str] = []
-        for pdf in batches:
-            if len(pdf):
-                framed.extend(
-                    f"{k}\t{_frame_value(v)}"
-                    for k, v in zip(
-                        pdf[key_col].astype(str), pdf[value_col].astype(str)
+        # stdin transport: ONE fork per PARTITION (this generator runs
+        # once per task); input batches stream to the child and output
+        # lines stream back in bounded chunks — neither side of a large
+        # partition is ever held in memory whole.
+        def framed() -> Iterator[str]:
+            for pdf in batches:
+                if len(pdf):
+                    yield from (
+                        f"{_frame_key(k)}\t{_frame_value(v)}"
+                        for k, v in zip(
+                            pdf[key_col].astype(str),
+                            pdf[value_col].astype(str),
+                        )
                     )
-                )
-        if framed:
-            out_lines = _run_stdin(plugin, MAP_VERB, framed)
-            pairs = [p for p in map(_parse_kv, out_lines) if p]
-            if pairs:
-                yield pd.DataFrame(pairs, columns=["key", "value"])
+
+        yield from _chunked_pairs(_run_stdin(plugin, MAP_VERB, framed()))
 
     return df.mapInPandas(gen, "key string, value string")
 
@@ -264,24 +312,18 @@ def exec_reduce(
                 if rows:
                     yield pd.DataFrame(rows, columns=["key", "value"])
             return
-        # stdin transport: one fork per partition, as in exec_map.
-        framed: list[str] = []
-        for pdf in batches:
-            if len(pdf):
-                framed.extend(
-                    str(k)
-                    + "\t"
-                    + "\t".join(_frame_value(str(v)) for v in vs)
-                    for k, vs in zip(pdf["key"], pdf["values"])
-                )
-        if framed:
-            rows = [
-                p
-                for p in map(_parse_kv, _run_stdin(plugin, REDUCE_VERB, framed))
-                if p
-            ]
-            if rows:
-                yield pd.DataFrame(rows, columns=["key", "value"])
+        # stdin transport: one fork per partition, streaming as in exec_map.
+        def framed() -> Iterator[str]:
+            for pdf in batches:
+                if len(pdf):
+                    yield from (
+                        _frame_key(str(k))
+                        + "\t"
+                        + "\t".join(_frame_value(str(v)) for v in vs)
+                        for k, vs in zip(pdf["key"], pdf["values"])
+                    )
+
+        yield from _chunked_pairs(_run_stdin(plugin, REDUCE_VERB, framed()))
 
     return grouped.mapInPandas(gen, "key string, value string")
 

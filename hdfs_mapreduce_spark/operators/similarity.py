@@ -931,9 +931,10 @@ def kmeans_fit_summary(
                     }
                 )
 
-        f_type = "long" if isinstance(id_type, LongType) else "string"
+        # the id's own Spark type, not a long/string guess — an int id
+        # table must behave identically above and below the local-fit gate
         rows = cached.mapInPandas(
-            summarize, f"idx int, n long, w double, f {f_type}"
+            summarize, f"idx int, n long, w double, f {id_type.simpleString()}"
         ).collect()
         agg: dict[int, list] = {}
         for r in rows:
@@ -983,6 +984,16 @@ def _pq_codewords(
         .limit(ksub)
         .collect()
     )
+    return _codewords_from_rows(rows, m_sub)
+
+
+def _codewords_from_rows(rows, m_sub: int):
+    """Codebook tensor from already-collected (id, vector) rows — shared
+    with ann_topk_ivfpq, whose single scramble collect feeds BOTH the IVF
+    centroids and the PQ codeword sources (one driver round-trip, not
+    two)."""
+    import numpy as np
+
     if not rows:
         raise ValueError("cannot build PQ codebooks from an empty corpus")
     src = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
@@ -1200,6 +1211,8 @@ def ann_topk_ivfpq(
         .limit(max(nlist, ksub))
         .collect()
     )
+    if not cent_rows:
+        raise ValueError("cannot run IVF-PQ over an empty corpus")
     cmat = np.stack(
         [np.asarray(r[1], dtype=np.float64) for r in cent_rows[:nlist]]
     )
@@ -1222,7 +1235,7 @@ def ann_topk_ivfpq(
             cos[:, j] = dot / (nv * cnorm[j])
         return cos
 
-    cbs = _pq_codewords(embeddings, m_sub, ksub, id_col, vec_col)
+    cbs = _codewords_from_rows(cent_rows[:ksub], m_sub)
     dsub = cbs.shape[2]
     qrows = (
         embeddings.filter(F.col(id_col).isin(query_ids))
@@ -1230,6 +1243,13 @@ def ann_topk_ivfpq(
         .collect()
     )
     qids = [r[0] for r in qrows]
+    if not qids:  # no query rows: empty result with the declared schema
+        return embeddings.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).alias("rank"),
+            F.lit(0.0).alias("approx_dist"),
+        )
     qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
     # stable argsort of -cos keeps ascending cell order on exact ties —
     # the oracle's (cos DESC, cell ASC) ROW_NUMBER ranking.

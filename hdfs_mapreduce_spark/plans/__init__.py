@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import json
 import re
-import weakref
 from pathlib import Path
 
 from hdfs_mapreduce_spark.plans import (
@@ -111,30 +110,38 @@ def _prepared(name: str, fn):
     re-executes against the files, so results are identical — only the
     eager per-transformation analysis cost (measured ~19.5s across one
     pass of the full registry at sf0.1, up to 4.5s for the unrolled
-    iterative plans) is paid once instead of per call. Keyed weakly by
-    session so a stopped test session's plans can never leak into a new
-    one. Note the one visible semantic: the cached plan's parquet file
-    listing is pinned at first build (same contract as Engine.sql's
-    pinned views; Engine.refresh covers external writers)."""
+    iterative plans) is paid once instead of per call. A session change
+    clears the cache (single-session slot — see the comment in ``run``),
+    so a stopped test session's plans never serve a new one. Note the one
+    visible semantic: the cached plan's parquet file listing is pinned at
+    first build (same contract as Engine.sql's pinned views;
+    Engine.refresh covers external writers)."""
     import functools
 
     @functools.wraps(fn)
     def run(spark, sf_dir):
-        per_session = _PLAN_CACHE.get(spark)
-        if per_session is None:
-            per_session = {}
-            _PLAN_CACHE[spark] = per_session
+        global _CACHE_SESSION
+        # Single-session slot, not a per-session map: cached DataFrames
+        # strongly reference their session, so a weak-keyed map would
+        # never actually evict (value→key references pin the entry) and
+        # every stopped session's plans would accumulate. One slot bounds
+        # retention to at most one previous session's plans, and the
+        # common cases (driver gate, bench, a service) use one session.
+        if _CACHE_SESSION is not spark:
+            _CACHE_SESSION = spark
+            _PLAN_CACHE.clear()
         key = (name, sf_dir)
-        df = per_session.get(key)
+        df = _PLAN_CACHE.get(key)
         if df is None:
             df = fn(spark, sf_dir)
-            per_session[key] = df
+            _PLAN_CACHE[key] = df
         return df
 
     return run
 
 
-_PLAN_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+_CACHE_SESSION = None
+_PLAN_CACHE: dict = {}
 
 
 def _rotated() -> dict[str, object]:

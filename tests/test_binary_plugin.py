@@ -15,45 +15,11 @@ import pytest
 
 from hdfs_mapreduce_spark.functions.reference_jobs import word_count_expr
 from hdfs_mapreduce_spark.operators.binary_plugin import (
+    WORDCOUNT_PLUGIN_SRC as PLUGIN_SRC,
     exec_map,
     run_binary_mapreduce,
 )
 from tests.test_reference_semantics import WORDCOUNT_EXPECTED, WORDCOUNT_LINES
-
-# A word-count plugin with word-count.go's exact semantics, speaking BOTH
-# transports: argv (the reference's `plugin <verb> <key> <value>` — one
-# fork per record) and stdin (`plugin <verb>` looping over framed lines).
-# The reduce treats unparseable ints as 0, matching Go's Atoi-on-error —
-# which the trailing-tab argv value string exercises.
-PLUGIN_SRC = """#!/usr/bin/env python3
-import sys
-
-
-def do_map(key, value):
-    for w in value.replace("\\t", " ").split(" "):
-        if w:
-            print(w + "\\t1")
-
-
-def do_reduce(key, value_str):
-    total = 0
-    for v in value_str.split("\\t"):
-        try:
-            total += int(v)
-        except ValueError:
-            pass
-    print(key + "\\t" + str(total))
-
-
-verb = sys.argv[1].lower()
-fn = do_map if verb == "map" else do_reduce
-if len(sys.argv) == 4:
-    fn(sys.argv[2], sys.argv[3])
-else:
-    for line in sys.stdin:
-        k, _, v = line.rstrip("\\n").partition("\\t")
-        fn(k, v)
-"""
 
 
 @pytest.fixture(scope="module")

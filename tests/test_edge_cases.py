@@ -148,3 +148,17 @@ def test_pq_empty_corpus_and_missing_queries(spark):
     )
     out = ann_topk_pq(some, [99], k=5, m_sub=2, ksub=2)
     assert out.count() == 0
+
+
+def test_ivfpq_empty_corpus_and_missing_queries(spark):
+    from hdfs_mapreduce_spark.operators.similarity import ann_topk_ivfpq
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="empty corpus"):
+        ann_topk_ivfpq(empty, [0])
+    some = spark.createDataFrame(
+        [(0, [0.0] * 8), (1, [1.0] * 8)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ann_topk_ivfpq(some, [99], k=5, nlist=2, nprobe=1, m_sub=2, ksub=2)
+    assert out.count() == 0

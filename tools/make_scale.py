@@ -141,7 +141,12 @@ def main() -> None:
     okspan = max(
         _span(orders.column("o_orderkey")), _span(lineitem.column("l_orderkey"))
     )
-    ckspan = _span(orders.column("o_custkey"))
+    customer = pq.read_table(f"{src}/customer.parquet")
+    # span over BOTH custkey spaces: customers with no orders would
+    # otherwise let replica ids collide with base ids
+    ckspan = max(
+        _span(orders.column("o_custkey")), _span(customer.column("c_custkey"))
+    )
 
     def _rep(t: pa.Table, keymap: dict[str, int]) -> pa.Table:
         reps = [t]
@@ -163,7 +168,6 @@ def main() -> None:
     pq.write_table(
         _rep(lineitem, {"l_orderkey": okspan}), f"{dst}/lineitem.parquet"
     )
-    customer = pq.read_table(f"{src}/customer.parquet")
     pq.write_table(
         _rep(customer, {"c_custkey": ckspan}), f"{dst}/customer.parquet"
     )

@@ -1,0 +1,132 @@
+"""Online dedup ingest: Structured Streaming + the incremental MinHash
+probe, closed into a loop.
+
+The reference has no streaming at all; this is the production shape of
+the capability its batch jobs imply — documents arrive continuously, and
+each micro-batch must be admitted or rejected against EVERYTHING accepted
+before it, without ever re-deduplicating the corpus against itself:
+
+    stream → foreachBatch:
+        1. probe the materialized corpus sketch
+           (operators/dedup.incremental_pairs_against_sketch — the
+           batch-side sketch broadcasts, the corpus side is a map probe);
+        2. drop within-batch near-dups (keep the lowest id — the same
+           canonical-survivor rule every dedup query in this repo uses);
+        3. append the survivors to the accepted table AND their banded
+           sketch rows to the corpus sketch, so batch N+1 probes
+           batch N's survivors.
+
+State is directory-versioned per micro-batch (``batch_id=<n>``
+subdirectories written with overwrite), the same replay-safe discipline
+as streaming/events.py's upsert sink: a failed batch re-runs
+idempotently — its overwrite replaces its own partial output, and the
+probe for batch N reads only batch dirs < N, so a replay can never match
+a document against its own earlier attempt.
+
+At 100 TB the sketch table is the only state that grows, it is
+band-bucketed parquet (probe = scan of matching band rows), and the
+accepted table is the corpus itself — exactly the nightly-batch
+materialize-then-probe pattern (operators/materialize.py), just driven
+by a stream clock instead of cron.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_mapreduce_spark.operators.dedup import (
+    _banded_sketch,
+    incremental_pairs_against_sketch,
+    minhash_pairs,
+)
+
+
+def _read_batch_dirs(
+    spark: SparkSession, path: str, below: int | None = None
+) -> DataFrame | None:
+    """Union of ``path/batch_id=*`` parquet dirs (hive-partition read),
+    optionally restricted to batch ids strictly below ``below`` (the
+    replay-safety cut). None when no state exists yet."""
+    if not os.path.isdir(path):
+        return None
+    dirs = [d for d in os.listdir(path) if d.startswith("batch_id=")]
+    if below is not None:
+        dirs = [d for d in dirs if int(d.split("=", 1)[1]) < below]
+    if not dirs:
+        return None
+    return spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, d) for d in sorted(dirs)]
+    )
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch of the online dedup loop (usable directly for a
+    cron-driven nightly ingest too — the stream is just a clock)."""
+    spark = batch_df.sparkSession
+    accepted_dir = os.path.join(state_dir, "accepted")
+    sketch_dir = os.path.join(state_dir, "sketch")
+    corpus_sketch = _read_batch_dirs(spark, sketch_dir, below=batch_id)
+    survivors = batch_df
+    if corpus_sketch is not None:
+        dup_vs_corpus = incremental_pairs_against_sketch(
+            corpus_sketch, batch_df, id_col, text_col, threshold
+        ).select(F.col("new_doc").alias(id_col))
+        survivors = survivors.join(
+            dup_vs_corpus.distinct(), id_col, "left_anti"
+        )
+    # within-batch near-dups: keep the lowest id of each pair (greedy
+    # canonical-survivor; pairs are emitted with doc_a < doc_b, so
+    # dropping every doc_b keeps exactly the per-cluster minimum for
+    # clique-shaped duplicate groups — the common near-dup shape)
+    batch_pairs = minhash_pairs(survivors, id_col, text_col, threshold)
+    survivors = survivors.join(
+        batch_pairs.select(F.col("doc_b").alias(id_col)).distinct(),
+        id_col,
+        "left_anti",
+    )
+    survivors = survivors.persist()
+    try:
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(accepted_dir, f"batch_id={batch_id}")
+        )
+        _banded_sketch(survivors, id_col, text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sketch_dir, f"batch_id={batch_id}"))
+    finally:
+        survivors.unpersist()
+
+
+def stream_dedup_ingest(
+    stream_docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+):
+    """writeStream wiring for the online dedup loop; call ``.start()`` on
+    the result. Read the admitted corpus with ``read_accepted``."""
+    return (
+        stream_docs.writeStream.foreachBatch(
+            lambda df, bid: dedup_ingest_batch(
+                df, bid, state_dir, id_col, text_col, threshold
+            )
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def read_accepted(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """The admitted (deduplicated) corpus across all completed batches."""
+    return _read_batch_dirs(spark, os.path.join(state_dir, "accepted"))

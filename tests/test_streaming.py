@@ -582,3 +582,95 @@ def test_stream_pq_encode_equals_batch(spark):
         for r in spark.sql("SELECT * FROM pq_stream").collect()
     }
     assert stream == batch and len(batch) > 0
+
+
+def test_stream_dedup_ingest_admits_exactly_the_sequential_result(spark):
+    """The online dedup loop: 3 micro-batches streamed through
+    foreachBatch must admit exactly the docs the same operators admit
+    when applied sequentially batch-by-batch; replaying a batch must not
+    change the state (idempotent overwrite + probe-below-batch cut)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.dedup import (
+        _banded_sketch,
+        incremental_pairs_against_sketch,
+        minhash_pairs,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        dedup_ingest_batch,
+        read_accepted,
+        stream_dedup_ingest,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    n = docs.count()
+    thirds = [
+        docs.filter(F.col("doc_id") % 3 == i).persist() for i in range(3)
+    ]
+    # sequential reference: same operators, driven by hand
+    admitted = []
+    corpus = None
+    for part in thirds:
+        surv = part
+        if corpus is not None:
+            dup = incremental_pairs_against_sketch(
+                corpus, surv, "doc_id", "text", 0.5
+            ).select(F.col("new_doc").alias("doc_id")).distinct()
+            surv = surv.join(dup, "doc_id", "left_anti")
+        pairs = minhash_pairs(surv, "doc_id", "text", 0.5)
+        surv = surv.join(
+            pairs.select(F.col("doc_b").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).persist()
+        admitted.extend(r["doc_id"] for r in surv.select("doc_id").collect())
+        sk = _banded_sketch(surv, "doc_id", "text")
+        corpus = sk if corpus is None else corpus.unionByName(sk)
+    expected = sorted(admitted)
+    assert 0 < len(expected) <= n
+
+    with tempfile.TemporaryDirectory() as work:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        # one file per third → maxFilesPerTrigger=1 gives 3 micro-batches
+        # in file order (batch ids 0, 1, 2)
+        for i, part in enumerate(thirds):
+            part.coalesce(1).write.parquet(os.path.join(work, f"tmp{i}"))
+            pf = [
+                f
+                for f in os.listdir(os.path.join(work, f"tmp{i}"))
+                if f.endswith(".parquet")
+            ][0]
+            shutil.copyfile(
+                os.path.join(work, f"tmp{i}", pf),
+                os.path.join(src, f"part-{i}.parquet"),
+            )
+        state = os.path.join(work, "state")
+        stream_in = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_dedup_ingest(
+            stream_in, state, os.path.join(work, "ckpt")
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+        got = sorted(
+            r["doc_id"]
+            for r in read_accepted(spark, state).select("doc_id").collect()
+        )
+        assert got == expected
+        # replay batch 2 (crash-recovery path): state must be unchanged
+        dedup_ingest_batch(thirds[2], 2, state, "doc_id", "text", 0.5)
+        again = sorted(
+            r["doc_id"]
+            for r in read_accepted(spark, state).select("doc_id").collect()
+        )
+        assert again == got
+    for t in thirds:
+        t.unpersist()

@@ -106,6 +106,49 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution Shannon entropy — the classic
+    repetition/spam quality signal (low entropy = a few tokens dominate;
+    complements text_repetition's duplicate-fraction view). (doc,
+    n_tokens, n_distinct, entropy) with H = -Σ p·ln(p) folded over
+    tokens in LEXICOGRAPHIC order, so the double-precision sum is
+    bit-identical to the oracle's ordered list_reduce — entropy is a
+    float fold, and an unordered SUM would hash-diverge. Scale shape:
+    tokenize → one (doc, token) partial-aggregated shuffle → one
+    doc-keyed aggregate; the fold runs array-side per doc."""
+    from hdfs_mapreduce_spark.functions.text import tokens
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    tf = (
+        docs.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+        )
+        .groupBy("doc", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cells = tf.groupBy("doc").agg(
+        F.array_sort(F.collect_list(F.struct("token", "cnt"))).alias("cs")
+    )
+    with_n = cells.withColumn(
+        "n_tokens",
+        F.aggregate(
+            "cs", F.lit(0).cast("long"), lambda a, c: a + c["cnt"]
+        ),
+    )
+    p = lambda c: c["cnt"].cast("double") / F.col("n_tokens").cast("double")
+    return with_n.select(
+        "doc",
+        "n_tokens",
+        F.size("cs").cast("long").alias("n_distinct"),
+        F.aggregate(
+            "cs",
+            F.lit(0.0),
+            lambda a, c: a - p(c) * F.log(p(c)),
+        ).alias("entropy"),
+    ).orderBy("doc")
+
+
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID + distribution: per-language document counts."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
@@ -660,6 +703,7 @@ QUERIES = {
     "text_tokens": text_tokens,
     "text_stats": text_stats,
     "text_quality": text_quality,
+    "text_token_entropy": text_token_entropy,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
 }
@@ -978,6 +1022,39 @@ ORACLE_SQL = {
     """,
     "text_quality": f"""
         SELECT doc_id, {_QUALITY} AS quality FROM documents ORDER BY doc_id
+    """,
+    # Entropy is a FLOAT fold, so both engines fold -p·ln(p) over tokens
+    # in lexicographic order (list ORDER BY token ↔ array_sort(struct)).
+    "text_token_entropy": """
+        WITH tok AS (
+            SELECT doc_id AS doc,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc, token, COUNT(*) AS cnt
+            FROM tok GROUP BY doc, token
+        ),
+        cells AS (
+            SELECT doc, list(cnt ORDER BY token) AS cs FROM tf GROUP BY doc
+        ),
+        with_n AS (
+            SELECT doc, cs,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+                               (a, v) -> a + v) AS n_tokens
+            FROM cells
+        )
+        SELECT doc, n_tokens,
+               CAST(len(cs) AS BIGINT) AS n_distinct,
+               list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(cs, v ->
+                           -(CAST(v AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                           * ln(CAST(v AS DOUBLE) / CAST(n_tokens AS DOUBLE)))),
+                   (a, v) -> a + v) AS entropy
+        FROM with_n ORDER BY doc
     """,
     "text_langid": f"""
         SELECT {_langid_sql()} AS lang_pred, COUNT(*) AS n_docs

@@ -110,3 +110,32 @@ def test_dataset_shuffle_is_a_stable_permutation(spark):
         for v in by_pos.values()
     )
     assert not monotone
+
+
+def test_token_entropy_matches_closed_forms(spark, tmp_path):
+    """Uniform distribution over k distinct tokens → H = ln(k); a
+    single repeated token → H = 0; mixed case folds via lower()."""
+    import math
+
+    from hdfs_mapreduce_spark.plans.text_plans import text_token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),          # uniform over 4 -> ln(4)
+            (1, "x x X x"),          # one token (case-folded) -> 0
+            (2, "a a b b b c"),      # mixed: 2/6,3/6,1/6
+        ],
+        "doc_id long, text string",
+    )
+    import os
+
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    # load_table expects a single parquet FILE (pyarrow metadata probe)
+    docs.toPandas().to_parquet(f"{d}/documents.parquet", index=False)
+    out = {r["doc"]: r for r in text_token_entropy(spark, d).collect()}
+    assert out[0]["n_tokens"] == 4 and out[0]["n_distinct"] == 4
+    assert abs(out[0]["entropy"] - math.log(4)) < 1e-12
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    expect = -sum(p * math.log(p) for p in (2 / 6, 3 / 6, 1 / 6))
+    assert abs(out[2]["entropy"] - expect) < 1e-12

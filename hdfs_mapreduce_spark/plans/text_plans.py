@@ -106,6 +106,44 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dataset_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging: every document assigned to a quality quartile
+    (stage 1 = lowest quality … 4 = highest) — the ordering signal a
+    staged training run consumes (easy/clean-first or hard-first, the
+    consumer's choice). Scale shape: quality is a map-side expression;
+    the three quartile boundaries are ONE 1-row aggregate broadcast back,
+    and stage assignment is a map-side comparison — no global sort, no
+    NTILE window over the corpus (which would funnel 100 TB through one
+    partition). Exact interpolated percentiles locally so the oracle
+    hash-matches (the q24 pattern); a 100 TB run swaps in
+    approx_percentile with identical plan shape."""
+    from hdfs_mapreduce_spark.functions.text import quality_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    q = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    bounds = q.agg(
+        F.percentile("quality", 0.25).alias("q25"),
+        F.percentile("quality", 0.50).alias("q50"),
+        F.percentile("quality", 0.75).alias("q75"),
+    )
+    return (
+        q.crossJoin(F.broadcast(bounds))
+        .select(
+            "doc_id",
+            "quality",
+            (
+                F.lit(1)
+                + (F.col("quality") >= F.col("q25")).cast("int")
+                + (F.col("quality") >= F.col("q50")).cast("int")
+                + (F.col("quality") >= F.col("q75")).cast("int")
+            ).alias("stage"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-distribution Shannon entropy — the classic
     repetition/spam quality signal (low entropy = a few tokens dominate;
@@ -704,6 +742,7 @@ QUERIES = {
     "text_stats": text_stats,
     "text_quality": text_quality,
     "text_token_entropy": text_token_entropy,
+    "dataset_curriculum": dataset_curriculum,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
 }
@@ -1022,6 +1061,22 @@ ORACLE_SQL = {
     """,
     "text_quality": f"""
         SELECT doc_id, {_QUALITY} AS quality FROM documents ORDER BY doc_id
+    """,
+    "dataset_curriculum": f"""
+        WITH q AS (
+            SELECT doc_id, {_QUALITY} AS quality FROM documents
+        ),
+        b AS (
+            SELECT quantile_cont(quality, 0.25) AS q25,
+                   quantile_cont(quality, 0.50) AS q50,
+                   quantile_cont(quality, 0.75) AS q75
+            FROM q
+        )
+        SELECT doc_id, quality,
+               1 + CAST(quality >= q25 AS INT)
+                 + CAST(quality >= q50 AS INT)
+                 + CAST(quality >= q75 AS INT) AS stage
+        FROM q, b ORDER BY doc_id
     """,
     # Entropy is a FLOAT fold, so both engines fold -p·ln(p) over tokens
     # in lexicographic order (list ORDER BY token ↔ array_sort(struct)).

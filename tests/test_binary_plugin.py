@@ -107,3 +107,78 @@ def test_newlines_in_values_cannot_split_stdin_framing(spark, plugin_path):
         for r in run_binary_mapreduce(df, plugin_path).collect()
     }
     assert got == {"a": 1, "b": 1, "c": 1, "d": 1, "e": 1}
+
+
+# The reference's SECOND shipped plugin (reviews.go), Go-exact: map keeps
+# integer-parsable ratings (reviews.go:59-63); reduce averages with
+# ParseFloat's ignored-error-becomes-0.0 semantics (reviews.go:39 in the
+# driver main) and %f output formatting (reviews.go:73-74).
+REVIEWS_PLUGIN_SRC = """#!/usr/bin/env python3
+import sys
+
+
+def do_map(key, value):
+    parts = value.split(",")
+    if len(parts) < 6:
+        return
+    brand, rating = parts[1], parts[5]
+    try:
+        int(rating)
+    except ValueError:
+        return
+    print(brand + "\\t" + rating)
+
+
+def do_reduce(key, value_str):
+    vals = []
+    for v in value_str.split("\\t"):
+        try:
+            f = float(v)
+        except ValueError:
+            f = 0.0  # Go: f, _ := strconv.ParseFloat(v, 8) -> 0 on error
+        vals.append(f)
+    print(key + "\\t" + ("%f" % (sum(vals) / len(vals))))
+
+
+verb = sys.argv[1].lower()
+fn = do_map if verb == "map" else do_reduce
+if len(sys.argv) == 4:
+    fn(sys.argv[2], sys.argv[3])
+else:
+    for line in sys.stdin:
+        k, _, v = line.rstrip("\\n").partition("\\t")
+        fn(k, v)
+"""
+
+
+def test_reviews_binary_plugin_both_transports(spark, tmp_path):
+    """The reviews plugin through both transports. The argv path is
+    byte-faithful to the reference INCLUDING its latent bug: the engine
+    joins reduce values WITH a trailing tab (compute_engine.go:117-121),
+    the plugin driver ParseFloats the resulting empty string to 0.0 and
+    COUNTS it (reviews.go-style `f, _ :=`), so every mean divides by
+    n+1. The stdin transport frames cleanly and yields the correct
+    means — the difference is the reference's bug, reproduced on purpose
+    and documented here."""
+    from tests.test_reference_semantics import REVIEWS_LINES
+
+    p = tmp_path / "reviews"
+    p.write_text(REVIEWS_PLUGIN_SRC)
+    p.chmod(0o755)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(REVIEWS_LINES)],
+        "key long, value string",
+    )
+    correct = {"acme": "4.500000", "bravo": "2.500000", "charlie": "5.000000"}
+    stdin_out = {
+        r["key"]: r["value"]
+        for r in run_binary_mapreduce(df, str(p), mode="stdin").collect()
+    }
+    assert stdin_out == correct
+    # argv: trailing tab -> one extra 0.0 per group (reference-faithful)
+    buggy = {"acme": "3.000000", "bravo": "1.666667", "charlie": "2.500000"}
+    argv_out = {
+        r["key"]: r["value"]
+        for r in run_binary_mapreduce(df, str(p), mode="argv").collect()
+    }
+    assert argv_out == buggy

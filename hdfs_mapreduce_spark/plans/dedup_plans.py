@@ -125,6 +125,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_THRESHOLD)
 
 
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator-quality audit a dedup pipeline monitors continuously:
+    the banded MinHash pair relation scored against the exact n-gram
+    Jaccard pairs at the same threshold — one row of (n_exact, n_lsh,
+    n_both, recall, precision). Both inputs are the already-verified
+    declared relations (full-outer join on the pair key), so this also
+    certifies their agreement end-to-end; on this corpus both pair sets
+    derive from the same shingle space, so recall measures only the
+    banding loss. Scale: pair relations are tiny relative to the corpus
+    (the expensive work happens inside each input's own plan) and the
+    audit is a pair-keyed join + 1-row aggregate."""
+    exact = dedup_ngram_jaccard(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    lsh = dedup_minhash_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    joined = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return joined.agg(
+        F.count("in_exact").alias("n_exact"),
+        F.count("in_lsh").alias("n_lsh"),
+        F.count(F.when((F.col("in_exact") == 1) & (F.col("in_lsh") == 1), 1)).alias(
+            "n_both"
+        ),
+    ).select(
+        "n_exact",
+        "n_lsh",
+        "n_both",
+        (F.col("n_both").cast("double") / F.col("n_exact")).alias("recall"),
+        (F.col("n_both").cast("double") / F.col("n_lsh")).alias("precision"),
+    )
+
+
 def _canonical_over_minhash(
     spark: SparkSession, sf_dir: str, tag: str
 ) -> DataFrame:
@@ -415,6 +448,7 @@ QUERIES = {
     "dedup_simhash_sigs": dedup_simhash_sigs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
     "dedup_components_logrounds": dedup_components_logrounds,
@@ -489,6 +523,35 @@ _PARA_CTES = f"""
 """
 
 _DUPSPAN_SHINGLE = " || ' ' || ".join(f"toks[i+{j}]" for j in range(DUPSPAN_K))
+
+def _lsh_recall_sql() -> str:
+    """Composes the two already-verified pair oracles (their full SQL as
+    CTE bodies) into the agreement report."""
+    exact = ORACLE_SQL["dedup_ngram_jaccard"]
+    lsh = ORACLE_SQL["dedup_minhash_pairs"]
+    return f"""
+        WITH exact_pairs AS ({exact}),
+        lsh_pairs AS ({lsh}),
+        j AS (
+            SELECT COALESCE(e.doc_a, l.doc_a) AS doc_a,
+                   COALESCE(e.doc_b, l.doc_b) AS doc_b,
+                   e.doc_a IS NOT NULL AS in_exact,
+                   l.doc_a IS NOT NULL AS in_lsh
+            FROM exact_pairs e
+            FULL OUTER JOIN lsh_pairs l
+              ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+        )
+        SELECT CAST(SUM(CAST(in_exact AS BIGINT)) AS BIGINT) AS n_exact,
+               CAST(SUM(CAST(in_lsh AS BIGINT)) AS BIGINT) AS n_lsh,
+               CAST(SUM(CAST(in_exact AND in_lsh AS BIGINT)) AS BIGINT)
+                   AS n_both,
+               CAST(SUM(CAST(in_exact AND in_lsh AS BIGINT)) AS DOUBLE)
+                   / SUM(CAST(in_exact AS BIGINT)) AS recall,
+               CAST(SUM(CAST(in_exact AND in_lsh AS BIGINT)) AS DOUBLE)
+                   / SUM(CAST(in_lsh AS BIGINT)) AS precision
+        FROM j
+    """
+
 
 ORACLE_SQL = {
     "dedup_spans": f"""
@@ -822,3 +885,6 @@ for _k in (
     "dataset_split_safe",
 ):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{component_ctes}", _COMPONENT_CTES)
+
+# Composed after the dict exists: reuses the two pair oracles verbatim.
+ORACLE_SQL["dedup_lsh_recall"] = _lsh_recall_sql()

@@ -153,8 +153,16 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_lsh",
         "n_both",
-        (F.col("n_both").cast("double") / F.col("n_exact")).alias("recall"),
-        (F.col("n_both").cast("double") / F.col("n_lsh")).alias("precision"),
+        # explicit NULL when a denominator is 0 — matches the oracle's
+        # CASE, so a duplicate-free corpus still hash-matches
+        F.when(
+            F.col("n_exact") > 0,
+            F.col("n_both").cast("double") / F.col("n_exact"),
+        ).alias("recall"),
+        F.when(
+            F.col("n_lsh") > 0,
+            F.col("n_both").cast("double") / F.col("n_lsh"),
+        ).alias("precision"),
     )
 
 
@@ -541,15 +549,19 @@ def _lsh_recall_sql() -> str:
             FULL OUTER JOIN lsh_pairs l
               ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
         )
-        SELECT CAST(SUM(CAST(in_exact AS BIGINT)) AS BIGINT) AS n_exact,
-               CAST(SUM(CAST(in_lsh AS BIGINT)) AS BIGINT) AS n_lsh,
-               CAST(SUM(CAST(in_exact AND in_lsh AS BIGINT)) AS BIGINT)
-                   AS n_both,
-               CAST(SUM(CAST(in_exact AND in_lsh AS BIGINT)) AS DOUBLE)
-                   / SUM(CAST(in_exact AS BIGINT)) AS recall,
-               CAST(SUM(CAST(in_exact AND in_lsh AS BIGINT)) AS DOUBLE)
-                   / SUM(CAST(in_lsh AS BIGINT)) AS precision
-        FROM j
+        SELECT n_exact, n_lsh, n_both,
+               CASE WHEN n_exact > 0
+                    THEN CAST(n_both AS DOUBLE) / n_exact END AS recall,
+               CASE WHEN n_lsh > 0
+                    THEN CAST(n_both AS DOUBLE) / n_lsh END AS precision
+        FROM (
+            SELECT CAST(COALESCE(SUM(CAST(in_exact AS BIGINT)), 0) AS BIGINT)
+                       AS n_exact,
+                   CAST(COALESCE(SUM(CAST(in_lsh AS BIGINT)), 0) AS BIGINT)
+                       AS n_lsh,
+                   CAST(COALESCE(SUM(CAST(in_exact AND in_lsh AS BIGINT)), 0)
+                       AS BIGINT) AS n_both
+            FROM j)
     """
 
 

@@ -149,9 +149,12 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition/spam quality signal (low entropy = a few tokens dominate;
     complements text_repetition's duplicate-fraction view). (doc,
     n_tokens, n_distinct, entropy) with H = -Σ p·ln(p) folded over
-    tokens in LEXICOGRAPHIC order, so the double-precision sum is
-    bit-identical to the oracle's ordered list_reduce — entropy is a
-    float fold, and an unordered SUM would hash-diverge. Scale shape:
+    tokens in LEXICOGRAPHIC order (an unordered SUM would hash-diverge)
+    AND rounded to 6 decimals in the declared relation: JVM Math.log and
+    libm ln differ by 1 ULP for some inputs, so unlike the repo's pure
+    +*/ folds the raw doubles are NOT bit-portable across engines — the
+    in-query rounding makes the comparison contract explicit instead of
+    leaning on the driver canon's own rounding. Scale shape:
     tokenize → one (doc, token) partial-aggregated shuffle → one
     doc-keyed aggregate; the fold runs array-side per doc."""
     from hdfs_mapreduce_spark.functions.text import tokens
@@ -179,10 +182,13 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc",
         "n_tokens",
         F.size("cs").cast("long").alias("n_distinct"),
-        F.aggregate(
-            "cs",
-            F.lit(0.0),
-            lambda a, c: a - p(c) * F.log(p(c)),
+        F.round(
+            F.aggregate(
+                "cs",
+                F.lit(0.0),
+                lambda a, c: a - p(c) * F.log(p(c)),
+            ),
+            6,
         ).alias("entropy"),
     ).orderBy("doc")
 
@@ -1103,12 +1109,12 @@ ORACLE_SQL = {
         )
         SELECT doc, n_tokens,
                CAST(len(cs) AS BIGINT) AS n_distinct,
-               list_reduce(
+               ROUND(list_reduce(
                    list_prepend(CAST(0.0 AS DOUBLE),
                        list_transform(cs, v ->
                            -(CAST(v AS DOUBLE) / CAST(n_tokens AS DOUBLE))
                            * ln(CAST(v AS DOUBLE) / CAST(n_tokens AS DOUBLE)))),
-                   (a, v) -> a + v) AS entropy
+                   (a, v) -> a + v), 6) AS entropy
         FROM with_n ORDER BY doc
     """,
     "text_langid": f"""

@@ -52,7 +52,16 @@ def _read_batch_dirs(
     replay-safety cut). None when no state exists yet."""
     if not os.path.isdir(path):
         return None
-    dirs = [d for d in os.listdir(path) if d.startswith("batch_id=")]
+    # only COMMITTED batch dirs (Spark writes _SUCCESS last): a crash
+    # mid-write leaves a marker-less partial dir that must stay invisible
+    # until its batch replays and overwrites it — same discipline as the
+    # upsert sink's version listing (streaming/events.py).
+    dirs = [
+        d
+        for d in os.listdir(path)
+        if d.startswith("batch_id=")
+        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+    ]
     if below is not None:
         dirs = [d for d in dirs if int(d.split("=", 1)[1]) < below]
     if not dirs:
@@ -84,10 +93,17 @@ def dedup_ingest_batch(
         survivors = survivors.join(
             dup_vs_corpus.distinct(), id_col, "left_anti"
         )
-    # within-batch near-dups: keep the lowest id of each pair (greedy
-    # canonical-survivor; pairs are emitted with doc_a < doc_b, so
-    # dropping every doc_b keeps exactly the per-cluster minimum for
-    # clique-shaped duplicate groups — the common near-dup shape)
+    # Within-batch policy: reject any document that has a SMALLER
+    # near-dup neighbor in the same batch (pairs come as doc_a < doc_b;
+    # every doc_b drops). For clique-shaped duplicate groups this keeps
+    # exactly the cluster minimum; for chain shapes it is conservative —
+    # the tail of a chain is rejected even though its own duplicate was
+    # also rejected (A-B, B-C drops both B and C). That bias is
+    # deliberate for an ingest gate (never admit anything with an
+    # already-seen smaller near-dup); when maximal recall of unique
+    # content matters, run cluster-canonical admission instead
+    # (operators/components.canonical_assignment keeps one doc per
+    # connected component).
     batch_pairs = minhash_pairs(survivors, id_col, text_col, threshold)
     survivors = survivors.join(
         batch_pairs.select(F.col("doc_b").alias(id_col)).distinct(),

@@ -34,7 +34,7 @@ def test_stream_equals_batch(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in time'
     stream = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in spark.sql("SELECT * FROM windowed_stream").collect()
@@ -77,7 +77,7 @@ def test_stream_sessionize_equals_batch(spark):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            assert q.awaitTermination(120), 'stream did not finish in time'
     finally:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev_max
@@ -130,7 +130,7 @@ def test_stream_attribution_equals_batch(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in time'
     stream_rows = spark.sql("SELECT * FROM attrib_stream").collect()
     stream = {(r["click_id"], r["purchase_id"]) for r in stream_rows}
     # Everything the stream emitted must be a real batch pair, and the
@@ -163,7 +163,7 @@ def test_stream_dedup_collapses_duplicates(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in time'
     out = spark.sql(
         "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d FROM dedup_stream"
     ).collect()[0]
@@ -194,7 +194,7 @@ def test_stream_sliding_equals_batch(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in time'
     stream = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
         for r in spark.sql("SELECT * FROM sliding_stream").collect()
@@ -223,7 +223,7 @@ def test_stream_upsert_builds_latest_snapshot(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in time'
         snap = read_upsert_state(spark, state)
         batch = load_table(spark, SF, "events")
         assert snap.count() == batch.select("event_id").distinct().count()
@@ -269,7 +269,7 @@ def test_stream_static_enrichment_equals_batch(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in time'
     stream = {
         (r["window_start"], r["n_name"]): (r["n_events"], r["sum_value"])
         for r in spark.sql("SELECT * FROM enriched_stream").collect()
@@ -369,7 +369,7 @@ def test_bucketed_upsert_stream_equals_batch_distinct(spark):
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(120)
+            assert q.awaitTermination(120), 'stream did not finish in time'
             snap = read_bucketed_upsert_state(spark, tbl)
             batch = load_table(spark, SF, "events")
             assert snap.count() == batch.select("event_id").distinct().count()
@@ -401,7 +401,7 @@ def test_stream_cm_sketch_equals_batch_sketch_exactly(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in time'
         streamed = {
             (r["row"], r["bucket"]): r["cnt"]
             for r in read_upsert_state(spark, state).collect()
@@ -482,7 +482,7 @@ def test_stream_heavy_hitters_respects_mg_bounds(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in time'
         got = {
             r["item"]: r["cnt"]
             for r in read_upsert_state(spark, f"{root}/state").collect()
@@ -576,7 +576,7 @@ def test_stream_pq_encode_equals_batch(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), 'stream did not finish in time'
     stream = {
         (r["vid"], r["s"]): (r["code"], r["sq_err"])
         for r in spark.sql("SELECT * FROM pq_stream").collect()
@@ -659,7 +659,7 @@ def test_stream_dedup_ingest_admits_exactly_the_sequential_result(spark):
         q = stream_dedup_ingest(
             stream_in, state, os.path.join(work, "ckpt")
         ).trigger(availableNow=True).start()
-        q.awaitTermination(180)
+        assert q.awaitTermination(180), 'stream did not finish in time'
         got = sorted(
             r["doc_id"]
             for r in read_accepted(spark, state).select("doc_id").collect()

@@ -135,7 +135,7 @@ def test_token_entropy_matches_closed_forms(spark, tmp_path):
     docs.toPandas().to_parquet(f"{d}/documents.parquet", index=False)
     out = {r["doc"]: r for r in text_token_entropy(spark, d).collect()}
     assert out[0]["n_tokens"] == 4 and out[0]["n_distinct"] == 4
-    assert abs(out[0]["entropy"] - math.log(4)) < 1e-12
+    assert abs(out[0]["entropy"] - math.log(4)) < 5e-7  # 6dp declared rounding
     assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
     expect = -sum(p * math.log(p) for p in (2 / 6, 3 / 6, 1 / 6))
-    assert abs(out[2]["entropy"] - expect) < 1e-12
+    assert abs(out[2]["entropy"] - expect) < 5e-7

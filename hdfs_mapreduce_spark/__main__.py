@@ -25,20 +25,55 @@ import json
 import sys
 
 
-def _load_plugin(path: str):
+_MODULE_PLUGIN_ATTRS = ("mapper", "reducer", "MAP_SCHEMA", "REDUCE_SCHEMA")
+
+
+def _is_module_plugin(path: str) -> bool:
+    """Side-effect-free probe: does this .py file look like a module
+    plugin (any of mapper/reducer/MAP_SCHEMA/REDUCE_SCHEMA bound at top
+    level)? A .py file can also be an EXECUTABLE plugin speaking the
+    reference's binary protocol (e.g. the repo's own WORDCOUNT_PLUGIN_SRC
+    materialized as a .py script) — importing one would RUN its protocol
+    loop (it reads sys.argv/stdin at top level), so the routing decision
+    must come from the AST, never from an import. Defining ANY of the
+    four names routes to the module loader (so an incomplete module
+    plugin still gets the precise \"missing <attr>\" error rather than a
+    confusing binary-protocol failure); defining none routes to
+    compute_binary."""
+    import ast
     import os
 
     if not os.path.isfile(path):
         raise SystemExit(f"plugin file not found: {path}")
+    try:
+        with open(path, encoding="utf-8", errors="replace") as f:
+            tree = ast.parse(f.read())
+    except SyntaxError:
+        return False
+    bound: set[str] = set()
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            bound.add(node.name)
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    bound.add(t.id)
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            if isinstance(node.target, ast.Name):
+                bound.add(node.target.id)
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            for alias in node.names:
+                bound.add((alias.asname or alias.name).split(".")[0])
+    return any(a in bound for a in _MODULE_PLUGIN_ATTRS)
+
+
+def _load_plugin(path: str):
     spec = importlib.util.spec_from_file_location("mapreduce_plugin", path)
     if spec is None or spec.loader is None:
-        raise SystemExit(
-            f"cannot load plugin {path} — must be a Python source file "
-            "(.py extension)"
-        )
+        raise SystemExit(f"cannot load plugin {path} as a Python module")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    for attr in ("mapper", "reducer", "MAP_SCHEMA", "REDUCE_SCHEMA"):
+    for attr in _MODULE_PLUGIN_ATTRS:
         if not hasattr(mod, attr):
             raise SystemExit(f"plugin {path} is missing {attr!r}")
     return mod
@@ -135,7 +170,11 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 file=sys.stderr,
             )
     elif args.verb == "compute":
-        if args.plugin.endswith(".py"):
+        # Routing is by SHAPE, not filename suffix: a .py file defining
+        # the module-plugin surface runs in-process; any other plugin —
+        # including a .py script that is really an executable speaking
+        # the reference's binary protocol — runs via compute_binary.
+        if args.plugin.endswith(".py") and _is_module_plugin(args.plugin):
             plugin = _load_plugin(args.plugin)
             eng.compute(
                 args.name,
@@ -147,9 +186,6 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 on_status=lambda m: print(m, file=out),
             )
         else:
-            # Any non-.py plugin is an executable speaking the reference's
-            # binary protocol (the client's actual submission shape —
-            # operators/binary_plugin.py).
             eng.compute_binary(
                 args.name,
                 args.plugin,

@@ -17,7 +17,10 @@ Two transports:
   child's stdin (``<key>\\t<value>`` for map — the child splits on the
   FIRST tab, so tabs inside the value survive; embedded newlines are
   normalized to spaces by ``_frame_value`` since the line protocol cannot
-  carry them; ``<key>\\t<v1>\\t<v2>...`` for reduce) and reads
+  carry them; ``<key>\\t<v1>\\t<v2>...`` for reduce, where a tab INSIDE a
+  value would BE the field separator and therefore normalizes to a space
+  like tabs in keys — argv mode instead keeps the reference's own
+  unescaped tab-join for byte parity) and reads
   ``key\\tvalue`` result lines from its stdout. Fork cost is amortized
   over the whole partition, the per-record cost is a pipe write — this is
   the transport a 100 TB run uses. The child is invoked as ``plugin
@@ -93,14 +96,33 @@ else:
 """
 
 
+_PLUGIN_DIR: str | None = None
+
+
+def _plugin_dir() -> str:
+    """Per-process private plugin directory (mode 0700 via mkdtemp), NOT
+    the shared world-writable temp dir: a fixed predictable path under
+    /tmp would let another local user on a shared host swap the
+    executable between write and execution (classic /tmp TOCTOU). The
+    directory is created lazily and re-created if deleted out-of-band so
+    a cached prepared plan can always re-materialize its plugin."""
+    global _PLUGIN_DIR
+    if _PLUGIN_DIR is None or not os.path.isdir(_PLUGIN_DIR):
+        _PLUGIN_DIR = tempfile.mkdtemp(prefix="spark_graft_plugins_")
+    return _PLUGIN_DIR
+
+
 def materialize_plugin(src: str, name: str) -> str:
-    """Write a plugin script as an executable in the temp dir, atomically
-    (write-temp + rename), so concurrent plan builds can never expose a
-    half-written file to an executor. On a real cluster the same script
-    would ship via ``SparkContext.addFile``; locally (and in the
-    reference's own single-host deployment) a shared path suffices."""
-    path = os.path.join(tempfile.gettempdir(), name)
-    fd, tmp = tempfile.mkstemp(dir=tempfile.gettempdir())
+    """Write a plugin script as an executable in a private per-process
+    directory (see ``_plugin_dir``), atomically (write-temp + rename), so
+    concurrent plan builds can never expose a half-written file to an
+    executor. Local-mode Python workers run as the same user, so they can
+    exec from the 0700 directory; on a real cluster the same script would
+    ship via ``SparkContext.addFile`` to each executor's private scratch
+    dir instead."""
+    d = _plugin_dir()
+    path = os.path.join(d, name)
+    fd, tmp = tempfile.mkstemp(dir=d)
     try:
         with os.fdopen(fd, "w") as f:
             f.write(src)
@@ -168,22 +190,56 @@ def _run_stdin(
             encoding="utf-8",
         )
 
+        feed_error: list[BaseException] = []
+
         def _feed() -> None:
+            # Any exception here (not just BrokenPipeError — e.g. a
+            # UnicodeEncodeError on a lone surrogate, or an upstream Arrow
+            # error from the lazy ``lines`` generator) must still close
+            # the child's stdin, or the child blocks reading forever and
+            # the task hangs instead of failing. Unexpected exceptions are
+            # recorded and re-raised on the consuming side after join.
             try:
                 for line in lines:
                     proc.stdin.write(line + "\n")
-                proc.stdin.close()
             except BrokenPipeError:  # child exited early; surfaced below
                 pass
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                feed_error.append(exc)
+            finally:
+                try:
+                    proc.stdin.close()
+                except (BrokenPipeError, OSError):
+                    pass
 
         writer = threading.Thread(target=_feed)
         writer.start()
+        completed = False
         try:
             for out_line in proc.stdout:
                 yield out_line[:-1] if out_line.endswith("\n") else out_line
+            completed = True
         finally:
-            writer.join()
+            if not completed:
+                # Early close (a pushed-down limit stopped consuming this
+                # generator, or the task aborted): nobody will drain the
+                # child's stdout anymore, so a child blocked writing would
+                # never reach stdin EOF and writer.join() would hang the
+                # task forever. Kill the child first so both pipes break
+                # and the writer thread is guaranteed to finish.
+                proc.kill()
+            writer.join(timeout=30)
+            if writer.is_alive():
+                # Writer still blocked (child alive but not reading):
+                # terminate the child to break the pipe, then re-join.
+                proc.kill()
+                writer.join(timeout=30)
             rc = proc.wait()
+            proc.stdout.close()
+        if feed_error:
+            raise RuntimeError(
+                f"plugin {plugin!r} {verb} input feed failed"
+            ) from feed_error[0]
         if rc != 0:
             errf.seek(0)
             err = errf.read(500).decode("utf-8", "replace")
@@ -312,14 +368,21 @@ def exec_reduce(
                 if rows:
                     yield pd.DataFrame(rows, columns=["key", "value"])
             return
-        # stdin transport: one fork per partition, streaming as in exec_map.
+        # stdin transport: one fork per partition, streaming as in
+        # exec_map. Reduce framing tab-JOINS the values, so here (unlike
+        # the map phase, which splits on the first tab only) a tab INSIDE
+        # a value is the field separator — it is normalized to a space
+        # exactly like tabs in keys, keeping the framing unambiguous.
+        # argv mode (branch above) retains the reference's own
+        # tab-ambiguity for byte parity (its engine tab-joins unescaped
+        # values too, compute_engine.go:117-121).
         def framed() -> Iterator[str]:
             for pdf in batches:
                 if len(pdf):
                     yield from (
                         _frame_key(str(k))
                         + "\t"
-                        + "\t".join(_frame_value(str(v)) for v in vs)
+                        + "\t".join(_frame_key(str(v)) for v in vs)
                         for k, vs in zip(pdf["key"], pdf["values"])
                     )
 

@@ -57,14 +57,20 @@ ORACLE_SQL = {
 DRIVER_WINDOW = 50
 
 
-def _row_is_green(row: object) -> bool:
+def _row_is_green(name: str, row: object) -> bool:
     """A CORRECTNESS row counts as verified iff it ran and didn't fail.
-    ``no_oracle`` rows are the declared rows-only checks — they count
-    (re-running them never yields more signal); any other error or a
-    False match flag means the query needs the window again next round."""
+    ``no_oracle`` rows are rows-only checks; they count as green only for
+    queries that still have no declared oracle (re-running those yields no
+    more signal). For a query that HAS an oracle now (all 116 do since
+    round 4), a historical rows-only row is strictly weaker than the hash
+    check the driver would run today, so it does NOT count — the query
+    sorts as never-verified and takes the next window. Any other error or
+    a False match flag likewise sends the query back into the window."""
     if not isinstance(row, dict):
         return False
-    if row.get("err") not in (None, "no_oracle"):
+    if row.get("err") == "no_oracle":
+        return name not in ORACLE_SQL
+    if row.get("err") is not None:
         return False
     return all(
         row.get(k) is not False
@@ -90,7 +96,7 @@ def last_green_rounds(repo_root: Path | None = None) -> dict[str, int]:
         if not isinstance(data, dict):
             continue
         for name, row in data.items():
-            if _row_is_green(row):
+            if _row_is_green(name, row):
                 out[name] = max(out.get(name, rnd), rnd)
     return out
 

@@ -182,3 +182,104 @@ def test_reviews_binary_plugin_both_transports(spark, tmp_path):
         for r in run_binary_mapreduce(df, str(p), mode="argv").collect()
     }
     assert argv_out == buggy
+
+
+# ---------------------------------------------------------------------------
+# _run_stdin lifecycle hardening (ADVICE r4): early generator close must not
+# deadlock, and feed-side exceptions must fail the task instead of hanging it.
+
+
+def _make_exec(tmp_path, name, src):
+    p = tmp_path / name
+    p.write_text(src)
+    p.chmod(0o755)
+    return str(p)
+
+
+def test_early_close_kills_child_instead_of_deadlocking(tmp_path):
+    """A consumer that stops early (pushed-down limit / task abort) closes
+    the generator mid-stream. The old finally joined the writer thread
+    while the child could be blocked writing stdout nobody drains — a
+    permanent hang. Now the child is killed on early close and close()
+    returns promptly."""
+    import threading
+    import time
+
+    from hdfs_mapreduce_spark.operators.binary_plugin import _run_stdin
+
+    # Child that echoes forever regardless of stdin EOF: worst case for
+    # the old join-first teardown.
+    plugin = _make_exec(
+        tmp_path,
+        "chatty",
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "while True:\n"
+        "    print('k\\tv', flush=True)\n",
+    )
+
+    def endless_input():
+        while True:
+            yield "a\tb"
+
+    done = threading.Event()
+
+    def consume():
+        gen = _run_stdin(plugin, "map", endless_input())
+        next(gen)
+        gen.close()  # raises GeneratorExit at the yield point
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    deadline = time.monotonic() + 60
+    while not done.is_set() and time.monotonic() < deadline:
+        time.sleep(0.1)
+    assert done.is_set(), "generator close deadlocked"
+
+
+def test_feed_exception_fails_instead_of_hanging(tmp_path):
+    """An exception raised by the INPUT generator (e.g. an upstream Arrow
+    error) must close the child's stdin and surface as a RuntimeError —
+    the old writer thread died silently, leaving the child blocked on
+    stdin forever."""
+    from hdfs_mapreduce_spark.operators.binary_plugin import _run_stdin
+
+    plugin = _make_exec(
+        tmp_path,
+        "cat-kv",
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "for line in sys.stdin:\n"
+        "    sys.stdout.write(line)\n",
+    )
+
+    def exploding_input():
+        yield "a\t1"
+        raise ValueError("upstream batch decode failed")
+
+    with pytest.raises(RuntimeError, match="input feed failed"):
+        list(_run_stdin(plugin, "map", exploding_input()))
+
+
+def test_reduce_stdin_framing_normalizes_tabs_in_values(spark, tmp_path):
+    """Reduce framing tab-joins values, so a tab INSIDE a value would be
+    read as a field separator; stdin mode normalizes it to a space (argv
+    mode keeps the reference's byte-parity ambiguity)."""
+    from hdfs_mapreduce_spark.operators.binary_plugin import exec_reduce
+
+    # Plugin that reports how many values it saw per key.
+    plugin = _make_exec(
+        tmp_path,
+        "count-values",
+        "#!/usr/bin/env python3\n"
+        "import sys\n"
+        "for line in sys.stdin:\n"
+        "    k, _, vs = line.rstrip('\\n').partition('\\t')\n"
+        "    print(k + '\\t' + str(len(vs.split('\\t'))))\n",
+    )
+    mapped = spark.createDataFrame(
+        [("k", "has\ttab"), ("k", "plain")], "key string, value string"
+    )
+    [row] = exec_reduce(mapped, plugin, mode="stdin").collect()
+    assert (row["key"], row["value"]) == ("k", "2")

@@ -132,3 +132,33 @@ def test_cli_compute_runs_a_binary_plugin(spark, tmp_path):
         spark,
     )
     assert got.splitlines() == ["dog\t1", "fox\t3", "the\t2"]
+
+
+def test_cli_compute_routes_py_executable_plugin_to_binary(spark, tmp_path):
+    """A .py plugin that is really an EXECUTABLE speaking the binary
+    protocol (no mapper/reducer module surface — e.g. WORDCOUNT_PLUGIN_SRC
+    saved with a .py name) must route through compute_binary, not fail on
+    missing module attributes (ADVICE r4, __main__.py routing)."""
+    from hdfs_mapreduce_spark.operators.binary_plugin import (
+        WORDCOUNT_PLUGIN_SRC,
+    )
+
+    wh = str(tmp_path / "wh")
+    book = tmp_path / "book.txt"
+    book.write_text("a b\nb b\n")
+    plugin = tmp_path / "spark_graft_wordcount_plugin.py"
+    plugin.write_text(WORDCOUNT_PLUGIN_SRC)
+    plugin.chmod(0o755)
+    _run(["--warehouse", wh, "put", str(book), "book"], spark)
+    out = _run(
+        ["--warehouse", wh, "compute", "book", "--plugin", str(plugin),
+         "--output", "wc2"],
+        spark,
+    )
+    assert out.splitlines()[-1] == "job_done"
+    got = _run(
+        ["--warehouse", wh, "sql",
+         "SELECT key, value FROM wc2 ORDER BY key"],
+        spark,
+    )
+    assert got.splitlines() == ["a\t1", "b\t3"]

@@ -77,6 +77,9 @@ def test_failed_rows_do_not_count_as_green(tmp_path):
         )
     )
     green = last_green_rounds(tmp_path)
+    # no_oracle_q: rows-only rows count as green only while the query has
+    # no declared oracle; none of these synthetic names are in ORACLE_SQL,
+    # so no_oracle_q's rows-only row still counts here.
     assert green == {"ok_q": 7, "no_oracle_q": 7}
     # failed/errored queries sort ahead of green ones → back into the window
     order = registry_order(

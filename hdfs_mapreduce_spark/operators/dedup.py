@@ -348,48 +348,47 @@ def simhash_pairs(
     from band buckets (SIMHASH_BANDS bands × BAND_BITS bits); by pigeonhole
     any pair within Hamming ≤ SIMHASH_BANDS-1 shares at least one identical
     band, so the banding is exact for the default budget, never just
-    approximate. Pair uniqueness uses the same first-band-wins row-side
-    filter as minhash_pairs (a pair is emitted only from the lowest shared
-    band) instead of a distinct shuffle.
+    approximate. A pair that collides in several bands is deduplicated by
+    ``distinct()`` over the POST-hamming-filter pair relation — that
+    relation is proportional to the corpus's true near-duplicate mass
+    (at most SIMHASH_BANDS rows per real pair), so the dedup shuffle is
+    tiny at any scale. The previous first-band-wins row-side filter
+    (slice + zip_with over the band arrays on every bucket-matched
+    candidate) avoided that shuffle but cost more than it saved: A/B at
+    sf0.1 measured 1.93s vs 1.15s execution for identical output — the
+    per-candidate array allocations ran on ~800k probe matches while the
+    distinct handles ≤ 4x888 rows. Dropping the band array from the join
+    payload also narrows the shuffled rows to (doc, simhash, band).
 
     The self-join carries a shuffle_hash hint: left to itself, AQE sees a
     small signature table locally and broadcasts one side — which computes
     the token-explode + 56-sum aggregate TWICE (broadcast and probe sides
     can't share an exchange; measured 2x the query). Pinning both sides to
-    a shuffle join makes the subplans identical, so AQE's ReusedExchange
+    a shuffle join makes the subplans identical, so the exchange-reuse rule
     serves both from one shuffle write (asserted in test_plan_shape), and
     at 100 TB a corpus-wide sketch could never broadcast anyway."""
     sigs = simhash_signatures(df, id_col, text_col)
-    band_keys = F.array(
-        *[
-            F.shiftrightunsigned(F.col("simhash"), BAND_BITS * b).bitwiseAND(
-                F.lit((1 << BAND_BITS) - 1)
-            )
-            for b in range(SIMHASH_BANDS)
-        ]
-    )
     bands = sigs.select(
-        "doc", "simhash", band_keys.alias("bkeys")
-    ).select(
-        "doc", "simhash", "bkeys",
-        F.posexplode("bkeys").alias("band_idx", "band_key"),
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(
+                        F.col("simhash"), BAND_BITS * b
+                    ).bitwiseAND(F.lit((1 << BAND_BITS) - 1))
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
     )
     l, r = bands.hint("shuffle_hash").alias("l"), bands.hint("shuffle_hash").alias("r")
-    earlier_collision = F.array_contains(
-        F.zip_with(
-            F.slice(F.col("l.bkeys"), F.lit(1), F.col("l.band_idx")),
-            F.slice(F.col("r.bkeys"), F.lit(1), F.col("r.band_idx")),
-            lambda a, b: a == b,
-        ),
-        F.lit(True),
-    )
     return (
         l.join(
             r,
             (F.col("l.band_idx") == F.col("r.band_idx"))
             & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.doc") < F.col("r.doc"))
-            & ~earlier_collision,
+            & (F.col("l.doc") < F.col("r.doc")),
         )
         .select(
             F.col("l.doc").alias("doc_a"),
@@ -397,6 +396,7 @@ def simhash_pairs(
             F.expr("bit_count(l.simhash ^ r.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

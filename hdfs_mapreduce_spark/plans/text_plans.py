@@ -144,6 +144,91 @@ def dataset_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_ACCURACY = 10000
+CURRICULUM_RANK_EPS = 0.01  # accuracy 10000 guarantees rank error 1e-4
+CURRICULUM_STAGE_EPS = 0.02  # per-stage mass bound: 2x rank eps + tie slack
+
+
+def dataset_curriculum_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB curriculum path, hash-verified: quartile boundaries come
+    from ``percentile_approx`` (a mergeable Greenwald-Khanna sketch with
+    bounded memory at any scale), not the exact ``percentile`` aggregate
+    whose final buffer holds every value — the scale ceiling the r4
+    verdict flagged on ``dataset_curriculum``. Sketch VALUES are
+    engine-specific, so the emitted relation is the q17 bound-pinning
+    shape (relational.py:356): one row of exact counts and booleans that
+    certify (a) each approx boundary honors its rank contract
+    (frac(quality <= v) >= q - eps and frac(quality < v) <= q + eps) and
+    (b) each derived curriculum stage holds 25% +/- 2% of the corpus.
+    The oracle emits the same exact count and literal TRUEs, so the
+    driver's value hash passes iff the sketch-derived staging really is
+    within its declared bounds. Plan shape is identical to the exact
+    twin: map-side quality, ONE 1-row aggregate broadcast back, map-side
+    stage comparison, one final 1-row aggregate — no global sort, no
+    corpus NTILE, no unbounded aggregation buffer anywhere."""
+    from hdfs_mapreduce_spark.functions.text import quality_score
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    q = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    bounds = q.agg(
+        F.percentile_approx(
+            "quality", [0.25, 0.50, 0.75], CURRICULUM_ACCURACY
+        ).alias("b")
+    )
+    joined = q.crossJoin(F.broadcast(bounds)).select(
+        "quality",
+        "b",
+        (
+            F.lit(1)
+            + (F.col("quality") >= F.col("b")[0]).cast("int")
+            + (F.col("quality") >= F.col("b")[1]).cast("int")
+            + (F.col("quality") >= F.col("b")[2]).cast("int")
+        ).alias("stage"),
+    )
+    checks = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg
+            for i in range(3)
+            for agg in (
+                F.sum(
+                    (F.col("quality") <= F.col("b")[i]).cast("long")
+                ).alias(f"le_{i}"),
+                F.sum(
+                    (F.col("quality") < F.col("b")[i]).cast("long")
+                ).alias(f"lt_{i}"),
+            )
+        ],
+        *[
+            F.sum((F.col("stage") == s).cast("long")).alias(f"st_{s}")
+            for s in (1, 2, 3, 4)
+        ],
+    )
+    targets = [0.25, 0.50, 0.75]
+    rank_names = ["p25_ok", "p50_ok", "p75_ok"]
+    return checks.select(
+        "n",
+        *[
+            (
+                (F.col(f"le_{i}") / F.col("n")
+                 >= F.lit(t - CURRICULUM_RANK_EPS))
+                & (F.col(f"lt_{i}") / F.col("n")
+                   <= F.lit(t + CURRICULUM_RANK_EPS))
+            ).alias(nm)
+            for i, (t, nm) in enumerate(zip(targets, rank_names))
+        ],
+        *[
+            (
+                F.abs(F.col(f"st_{s}") / F.col("n") - F.lit(0.25))
+                <= F.lit(CURRICULUM_STAGE_EPS)
+            ).alias(f"stage{s}_ok")
+            for s in (1, 2, 3, 4)
+        ],
+    )
+
+
 def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token-distribution Shannon entropy — the classic
     repetition/spam quality signal (low entropy = a few tokens dominate;
@@ -749,6 +834,7 @@ QUERIES = {
     "text_quality": text_quality,
     "text_token_entropy": text_token_entropy,
     "dataset_curriculum": dataset_curriculum,
+    "dataset_curriculum_approx": dataset_curriculum_approx,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
 }
@@ -1083,6 +1169,16 @@ ORACLE_SQL = {
                  + CAST(quality >= q50 AS INT)
                  + CAST(quality >= q75 AS INT) AS stage
         FROM q, b ORDER BY doc_id
+    """,
+    # Sketch values are engine-specific; the oracle pins the exact corpus
+    # count and the bound checks as literal TRUEs (q16/q17 pattern) — the
+    # hash passes iff Spark's approx-percentile staging meets its bounds.
+    "dataset_curriculum_approx": """
+        SELECT COUNT(*) AS n,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok,
+               TRUE AS stage1_ok, TRUE AS stage2_ok,
+               TRUE AS stage3_ok, TRUE AS stage4_ok
+        FROM documents
     """,
     # Entropy is a FLOAT fold, so both engines fold -p·ln(p) over tokens
     # in lexicographic order (list ORDER BY token ↔ array_sort(struct)).

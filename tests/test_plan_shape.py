@@ -471,3 +471,25 @@ def test_ann_ivfpq_one_corpus_pass_then_topk(spark):
     plan = plan_of(QUERIES["ann_ivfpq"](spark, SF), "simple")
     assert plan.count("MapInPandas") == 1, plan
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_lsh_recall_exact_side_is_capped(spark):
+    """The agreement audit's exact side must be the CAPPED jaccard relation
+    (r4 verdict: an uncapped inverted-index self-join goes quadratic under
+    a hot boilerplate shingle at 100 TB). Witness: the hot-shingle
+    exclusion is a broadcast LEFT ANTI join, which only the capped variant
+    contains."""
+    plan = plan_of(QUERIES["dedup_lsh_recall"](spark, SF), "simple")
+    assert "LeftAnti" in plan, plan
+
+
+def test_curriculum_approx_single_broadcast_no_sort(spark):
+    """The scale-safe curriculum twin: approx-percentile bounds broadcast
+    back as ONE row, stage assignment map-side — no global sort, no NTILE
+    window, no exact-percentile unbounded buffer."""
+    plan = plan_of(QUERIES["dataset_curriculum_approx"](spark, SF), "simple")
+    assert "approx_percentile" in plan or "percentile_approx" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # the exact percentile aggregate must NOT appear
+    assert "percentile(" not in plan, plan

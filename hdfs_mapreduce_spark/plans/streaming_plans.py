@@ -1,0 +1,483 @@
+"""Declared STREAMING queries: each runs a Structured Streaming pipeline
+to completion (``availableNow`` trigger — process everything staged, then
+stop) and returns its TERMINAL-STATE relation as an ordinary DataFrame,
+so the driver's DuckDB hash gate certifies the stream's end state exactly
+like any batch query. This converts the stream ≡ batch equalities the
+pytest suite proves (tests/test_streaming.py) into registry rows with
+hash oracles (r4 verdict item 6).
+
+Determinism contract per query (what makes a hash oracle possible):
+
+* windowed / sliding aggs emit exactly the CLOSED windows — append mode
+  emits a window only once the watermark (max event time − 1h) passes its
+  end, so the terminal sink equals the batch agg restricted to
+  ``window_end <= max(ts) − 1h``. The declared relation applies that
+  restriction explicitly (idempotent — it IS the emission rule), so the
+  result is well-defined even if a source ever split into several
+  micro-batches with different interim watermarks.
+* the stream-stream attribution join is restricted to the closed region
+  ``purchase_ts <= max(ts) − 2h`` (watermark + window): the stream is
+  guaranteed complete there and emits nothing extra, so terminal ∩ closed
+  == batch ∩ closed.
+* the upsert sink's terminal snapshot is one row per event_id regardless
+  of batch boundaries (the anti-join merge is idempotent); the staged
+  source feeds every event TWICE across two micro-batches so the merge
+  path genuinely runs, and event_id is unique in the events table, so the
+  snapshot equals the events relation itself.
+* Misra-Gries heavy hitters: the maintained state depends on batch
+  boundaries, so the declared relation is the bound AUDIT in the
+  q16/q17 style (relational.py:331): booleans over exact counts that the
+  oracle pins with literal TRUEs — the hash passes iff the state honors
+  the N/(k+1) MG guarantee [Misra & Gries '82].
+* the online dedup ingest stages the corpus as three fixed micro-batches
+  (doc_id % 3 == 0, 1, 2 in that order); the admitted set is then a pure
+  function of the data, and the oracle unrolls the same three
+  probe-then-admit rounds over the shared MinHash CTEs.
+
+Scale: the streams themselves carry the scale posture (watermarked
+bounded state, broadcast batch sketches, versioned idempotent sinks —
+see streaming/events.py and streaming/dedup.py); this module only stages
+sources, drives the run, and reads the terminal state. Running a stream
+inside a ``queries()`` callable is the availableNow backfill pattern — a
+production deployment starts the same writer without the trigger and
+lets it run forever.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hdfs_mapreduce_spark.sources.catalog import load_table
+
+STREAM_TIMEOUT_SEC = 600
+
+# Unique per-invocation scratch suffix: a re-invocation (fresh RAW call in
+# the same session) must never point a fresh checkpoint at an existing
+# state/sink directory.
+_INVOCATION = 0
+
+
+def _scratch(spark: SparkSession, name: str, sf_dir: str) -> str:
+    from hdfs_mapreduce_spark.operators.materialize import session_scratch_dir
+
+    global _INVOCATION
+    _INVOCATION += 1
+    d = os.path.join(
+        session_scratch_dir(spark),
+        f"stream_{name}_{os.path.basename(sf_dir.rstrip('/'))}_{_INVOCATION}",
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _run(writer, sink_dir: str | None, ckpt: str) -> None:
+    """Drive a DataStreamWriter to completion with availableNow."""
+    if sink_dir is not None:
+        writer = writer.format("parquet").option("path", sink_dir)
+    q = writer.option("checkpointLocation", ckpt).trigger(
+        availableNow=True
+    ).start()
+    if not q.awaitTermination(STREAM_TIMEOUT_SEC):
+        q.stop()
+        raise TimeoutError(f"stream did not finish in {STREAM_TIMEOUT_SEC}s")
+
+
+def _max_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (max_ts) relation, broadcast into the closed-region filters —
+    the cutoff stays declarative instead of a driver-side collect."""
+    return load_table(spark, sf_dir, "events").agg(
+        F.max("ts").alias("max_ts")
+    )
+
+
+def stream_windowed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal state of the watermarked tumbling-window stream
+    (streaming/events.py:stream_windowed_event_stats): closed 1h windows
+    per event_type. Oracle = the events_windowed batch SQL restricted to
+    the closed region."""
+    from hdfs_mapreduce_spark.streaming.events import (
+        stream_windowed_event_stats,
+    )
+
+    root = _scratch(spark, "windowed", sf_dir)
+    sink = os.path.join(root, "sink")
+    _run(
+        stream_windowed_event_stats(spark, sf_dir),
+        sink,
+        os.path.join(root, "ckpt"),
+    )
+    out = spark.read.parquet(sink).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    closed = out.crossJoin(F.broadcast(_max_ts(spark, sf_dir))).filter(
+        F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+        <= F.col("max_ts") - F.expr("INTERVAL 1 HOUR")
+    )
+    return closed.drop("max_ts").orderBy("window_start", "event_type")
+
+
+def stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal state of the sliding-window stream (30 min / 10 min):
+    closed windows only, same emission rule as the tumbling twin."""
+    from hdfs_mapreduce_spark.streaming.events import (
+        SLIDE_DUR_MIN,
+        stream_sliding_event_stats,
+    )
+
+    root = _scratch(spark, "sliding", sf_dir)
+    sink = os.path.join(root, "sink")
+    _run(
+        stream_sliding_event_stats(spark, sf_dir),
+        sink,
+        os.path.join(root, "ckpt"),
+    )
+    out = spark.read.parquet(sink).select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    closed = out.crossJoin(F.broadcast(_max_ts(spark, sf_dir))).filter(
+        F.col("window_start") + F.expr(f"INTERVAL {SLIDE_DUR_MIN} MINUTES")
+        <= F.col("max_ts") - F.expr("INTERVAL 1 HOUR")
+    )
+    return closed.drop("max_ts").orderBy("window_start", "event_type")
+
+
+def stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal state of the stream-stream click→purchase join, restricted
+    to the closed region (purchase_ts ≤ max(ts) − watermark − window =
+    2h): the stream is provably complete and exact there (inner join
+    emits only real matches; the watermark guarantees nothing in the
+    closed region is still buffered when the stream drains)."""
+    from hdfs_mapreduce_spark.streaming.events import (
+        stream_click_attribution,
+    )
+
+    root = _scratch(spark, "attrib", sf_dir)
+    sink = os.path.join(root, "sink")
+    _run(
+        stream_click_attribution(spark, sf_dir),
+        sink,
+        os.path.join(root, "ckpt"),
+    )
+    out = spark.read.parquet(sink).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
+    closed = out.crossJoin(F.broadcast(_max_ts(spark, sf_dir))).filter(
+        F.col("purchase_ts") <= F.col("max_ts") - F.expr("INTERVAL 2 HOURS")
+    )
+    return closed.drop("max_ts").orderBy(
+        "user_id", "purchase_id", "click_id"
+    )
+
+
+def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal snapshot of the versioned upsert sink after feeding every
+    event TWICE across two micro-batches (maxFilesPerTrigger=1 over two
+    staged copies): batch 0 seeds the state, batch 1's rows all hit the
+    anti-join — the merge path runs for real, and the terminal snapshot
+    must still be exactly one row per event_id (= the events relation,
+    event_id being unique)."""
+    from hdfs_mapreduce_spark.streaming.events import (
+        _stream_source,
+        read_upsert_state,
+        stream_upsert_events,
+    )
+
+    root = _scratch(spark, "upsert", sf_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(root, "src")
+    os.makedirs(stage, exist_ok=True)
+    for i in range(2):
+        os.symlink(src, os.path.join(stage, f"copy{i}.parquet"))
+    stream = _stream_source(spark, sf_dir, stage)
+    # maxFilesPerTrigger lives on the source options; _stream_source built
+    # the reader already, so re-read with the option via the same helper's
+    # schema by limiting files per batch at the writer level is not
+    # possible — stage the option on a fresh reader instead.
+    stream = (
+        spark.readStream.schema(stream.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    _run(
+        stream_upsert_events(
+            spark,
+            sf_dir,
+            os.path.join(root, "state"),
+            stream=stream,
+        ),
+        None,
+        os.path.join(root, "ckpt"),
+    )
+    snap = read_upsert_state(spark, os.path.join(root, "state"))
+    return snap.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    ).orderBy("event_id")
+
+
+MG_K = 64
+
+
+def stream_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy-hitter state audited against exact counts: one
+    row of (n, state_bounded, heavy_all_present, estimates_within_bound)
+    where the booleans certify |state| ≤ k, every true heavy hitter
+    (exact > N/(k+1)) present, and every estimate within
+    [exact − N/(k+1), exact]. The oracle pins the exact count and literal
+    TRUEs — engine-specific state contents never enter the hash."""
+    from hdfs_mapreduce_spark.streaming.events import (
+        _state_versions,
+        stream_heavy_hitters,
+    )
+
+    root = _scratch(spark, "mg", sf_dir)
+    state = os.path.join(root, "state")
+    _run(
+        stream_heavy_hitters(spark, sf_dir, state, k=MG_K),
+        None,
+        os.path.join(root, "ckpt"),
+    )
+    versions = _state_versions(state)
+    mg = spark.read.parquet(os.path.join(state, versions[-1][2]))
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("item"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    totals = exact.agg(F.sum("exact_cnt").alias("n"))
+    joined = exact.join(F.broadcast(mg), "item", "left_outer").crossJoin(
+        F.broadcast(totals)
+    )
+    # Integer arithmetic throughout (cnt * (k+1) vs n) — no float division
+    # to drift between engines. F.min over booleans is logical AND;
+    # non-qualifying rows contribute NULL, which min skips.
+    heavy = F.col("exact_cnt") * (MG_K + 1) > F.col("n")
+    in_state = F.col("cnt").isNotNull()
+    est_ok = (F.col("cnt") <= F.col("exact_cnt")) & (
+        (F.col("exact_cnt") - F.col("cnt")) * (MG_K + 1) <= F.col("n")
+    )
+    return joined.agg(
+        F.max("n").alias("n"),
+        (F.count("cnt") <= F.lit(MG_K)).alias("state_bounded"),
+        F.coalesce(
+            F.min(F.when(heavy, in_state)), F.lit(True)
+        ).alias("heavy_all_present"),
+        F.coalesce(
+            F.min(F.when(in_state, est_ok)), F.lit(True)
+        ).alias("estimates_within_bound"),
+    )
+
+
+def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal admitted corpus of the online dedup ingest loop
+    (streaming/dedup.py): the documents table streamed as three fixed
+    micro-batches (doc_id % 3 == 0, 1, 2 — one file each,
+    maxFilesPerTrigger=1 preserves order), each probed against everything
+    accepted before it. The oracle unrolls the same three rounds over the
+    shared MinHash band/base CTEs."""
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        read_accepted,
+        stream_dedup_ingest,
+    )
+
+    root = _scratch(spark, "dedup_ingest", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = os.path.join(root, "src")
+    os.makedirs(src, exist_ok=True)
+    for i in range(3):
+        part_dir = os.path.join(root, f"tmp{i}")
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            part_dir
+        )
+        pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
+        shutil.copyfile(
+            os.path.join(part_dir, pf), os.path.join(src, f"part-{i}.parquet")
+        )
+    stream_in = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    state = os.path.join(root, "state")
+    q = stream_dedup_ingest(
+        stream_in, state, os.path.join(root, "ckpt")
+    ).trigger(availableNow=True).start()
+    if not q.awaitTermination(STREAM_TIMEOUT_SEC):
+        q.stop()
+        raise TimeoutError(f"stream did not finish in {STREAM_TIMEOUT_SEC}s")
+    return (
+        read_accepted(spark, state)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "stream_windowed_stats": stream_windowed_stats,
+    "stream_sliding_stats": stream_sliding_stats,
+    "stream_attribution": stream_attribution,
+    "stream_upsert_snapshot": stream_upsert_snapshot,
+    "stream_heavy_hitters_audit": stream_heavy_hitters_audit,
+    "stream_dedup_admitted": stream_dedup_admitted,
+}
+
+
+def _dedup_admitted_sql() -> str:
+    """Unrolls the three probe-then-admit rounds over the shared MinHash
+    CTEs (dedup_plans): ``pairs`` is the full near-dup pair relation
+    (band collision + exact Jaccard ≥ t — a per-pair property, so pairs
+    WITHIN any subset are just the filtered relation); each round drops
+    batch docs with an accepted near-dup (either direction, via ``sym``)
+    then applies the within-batch smaller-neighbor rule on survivors."""
+    from hdfs_mapreduce_spark.plans.dedup_plans import (
+        MINHASH_THRESHOLD,
+        _BANDS_CTE,
+        _BASE_CTE,
+    )
+
+    return f"""
+        WITH {_BASE_CTE},
+        {_BANDS_CTE},
+        cand AS (
+            SELECT DISTINCT l.doc AS a, r.doc AS b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc < r.doc
+        ),
+        pairs AS (
+            SELECT a, b FROM (
+                SELECT c.a, c.b,
+                       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                           / len(list_distinct(x.sh || y.sh)) AS j
+                FROM cand c
+                JOIN base x ON x.doc = c.a
+                JOIN base y ON y.doc = c.b
+            ) WHERE j >= {MINHASH_THRESHOLD}
+        ),
+        sym AS (
+            SELECT a, b FROM pairs
+            UNION ALL SELECT b AS a, a AS b FROM pairs
+        ),
+        acc0 AS (
+            SELECT doc FROM base WHERE doc % 3 = 0 AND doc NOT IN (
+                SELECT p.b FROM pairs p WHERE p.a % 3 = 0 AND p.b % 3 = 0)
+        ),
+        s1 AS (
+            SELECT doc FROM base WHERE doc % 3 = 1 AND doc NOT IN (
+                SELECT s.a FROM sym s JOIN acc0 c ON s.b = c.doc)
+        ),
+        acc1 AS (
+            SELECT doc FROM s1 WHERE doc NOT IN (
+                SELECT p.b FROM pairs p
+                WHERE p.a IN (SELECT doc FROM s1)
+                  AND p.b IN (SELECT doc FROM s1))
+        ),
+        acc01 AS (
+            SELECT doc FROM acc0 UNION ALL SELECT doc FROM acc1
+        ),
+        s2 AS (
+            SELECT doc FROM base WHERE doc % 3 = 2 AND doc NOT IN (
+                SELECT s.a FROM sym s JOIN acc01 c ON s.b = c.doc)
+        ),
+        acc2 AS (
+            SELECT doc FROM s2 WHERE doc NOT IN (
+                SELECT p.b FROM pairs p
+                WHERE p.a IN (SELECT doc FROM s2)
+                  AND p.b IN (SELECT doc FROM s2))
+        )
+        SELECT doc AS doc_id FROM (
+            SELECT doc FROM acc01 UNION ALL SELECT doc FROM acc2
+        ) ORDER BY doc_id
+    """
+
+
+def _oracle_sql() -> dict[str, str]:
+    from hdfs_mapreduce_spark.streaming.events import (
+        ATTRIB_WINDOW_MIN,
+        SLIDE_DUR_MIN,
+        SLIDE_STEP_MIN,
+    )
+
+    return {
+        "stream_windowed_stats": """
+            SELECT * FROM (
+                SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                       event_type, COUNT(*) AS n_events,
+                       SUM(value) AS sum_value
+                FROM events GROUP BY 1, 2
+            )
+            WHERE window_start + INTERVAL 1 HOUR
+                  <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+            ORDER BY window_start, event_type
+        """,
+        "stream_sliding_stats": f"""
+            SELECT * FROM (
+                SELECT window_start, event_type,
+                       COUNT(*) AS n_events, SUM(value) AS sum_value
+                FROM (
+                    SELECT e.*,
+                           time_bucket(INTERVAL '{SLIDE_STEP_MIN} minutes', ts)
+                               - k * INTERVAL '{SLIDE_STEP_MIN} minutes'
+                               AS window_start
+                    FROM events e,
+                         (SELECT unnest(generate_series(
+                              0, {SLIDE_DUR_MIN // SLIDE_STEP_MIN - 1})) AS k) ks
+                )
+                WHERE window_start > ts - INTERVAL '{SLIDE_DUR_MIN} minutes'
+                GROUP BY 1, 2
+            )
+            WHERE window_start + INTERVAL {SLIDE_DUR_MIN} MINUTES
+                  <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+            ORDER BY window_start, event_type
+        """,
+        "stream_attribution": f"""
+            SELECT p.user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   c.ts AS click_ts, p.ts AS purchase_ts
+            FROM events p JOIN events c ON c.user_id = p.user_id
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+              AND c.ts <= p.ts
+              AND c.ts > p.ts - INTERVAL {ATTRIB_WINDOW_MIN} MINUTES
+              AND p.ts <= (SELECT MAX(ts) FROM events) - INTERVAL 2 HOURS
+            ORDER BY p.user_id, purchase_id, click_id
+        """,
+        # event_id is unique in the events table (asserted in pytest), so
+        # the upsert sink's terminal snapshot — whatever the batch
+        # boundaries — is the events relation itself.
+        "stream_upsert_snapshot": """
+            SELECT event_id, user_id, event_type, value, ts
+            FROM events ORDER BY event_id
+        """,
+        # MG state contents are batch-boundary-specific; the relation is
+        # the bound audit, pinned by exact count + literal TRUEs.
+        "stream_heavy_hitters_audit": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   TRUE AS state_bounded,
+                   TRUE AS heavy_all_present,
+                   TRUE AS estimates_within_bound
+            FROM events
+        """,
+        "stream_dedup_admitted": _dedup_admitted_sql(),
+    }
+
+
+ORACLE_SQL = _oracle_sql()

@@ -346,6 +346,7 @@ def stream_upsert_events(
     sf_dir: str,
     state_dir: str,
     checkpoint_dir: str | None = None,
+    stream: DataFrame | None = None,
 ):
     """Incremental upsert sink via ``foreachBatch``: each micro-batch is
     merged into a keyed parquet state table (key = event_id, new rows win).
@@ -384,7 +385,11 @@ def stream_upsert_events(
             os.path.join(state_dir, f"v{next_v}")
         )
 
-    stream = _events_stream(spark, sf_dir)
+    # ``stream`` lets a caller supply its own staged source (e.g. the
+    # declared registry query feeds every event twice across two
+    # micro-batches so the anti-join merge path actually runs).
+    if stream is None:
+        stream = _events_stream(spark, sf_dir)
     writer = stream.writeStream.foreachBatch(merge)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

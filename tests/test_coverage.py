@@ -37,12 +37,20 @@ def test_every_stale_query_is_inside_the_next_driver_window():
     window = set(names[:DRIVER_WINDOW])
     stale = [n for n in names if green.get(n, -1) < latest]
     missed = [n for n in stale if n not in window]
-    overflow = max(0, len(names) - 2 * DRIVER_WINDOW)
-    assert len(missed) <= overflow, (
+    # every stale query missing THIS window must fit into the NEXT one
+    # (stalest-first guarantees they sort ahead of this round's greens),
+    # which is what caps total staleness at ceil(N/window) rounds
+    assert len(missed) <= DRIVER_WINDOW, (
         f"{len(missed)} stale queries fall outside the driver's "
-        f"{DRIVER_WINDOW}-row window (allowed overflow {overflow}): "
-        f"{missed[:10]}"
+        f"{DRIVER_WINDOW}-row window and cannot all be covered next "
+        f"round: {missed[:10]}"
     )
+    # queries already two or more rounds stale must make THIS window —
+    # otherwise some query would exceed the 3-round staleness bound
+    very_stale_missed = [
+        n for n in missed if green.get(n, -1) <= latest - 2 and n in green
+    ]
+    assert not very_stale_missed, very_stale_missed
     # never-green queries (brand-new declarations) must always make the
     # next window — only once-green queries may wait an extra round
     never_green_missed = [n for n in missed if n not in green]

@@ -236,6 +236,114 @@ def decode_payload(
     return df.mapInPandas(run, schema="id long, features array<double>")
 
 
+def decode_payload_external(
+    df: DataFrame,
+    executable: str,
+) -> DataFrame:
+    """Decode payloads through an EXTERNAL decoder executable — the
+    deploy-time escape hatch for ffmpeg/PIL-class codecs this container
+    cannot host (r4 verdict item 8). The executable speaks a simple
+    synchronous binary protocol (payloads are bytes, so the line framing
+    of operators/binary_plugin.py cannot carry them):
+
+        request:  4-byte big-endian length N, then N payload bytes
+        response: ONE '\\n'-terminated line of space-separated floats
+                  (the feature vector), flushed per request
+
+    One fork per PARTITION (the binary-plugin stdin discipline — fork
+    cost amortizes over the whole partition, per-record cost is a pipe
+    round-trip); the strict request/response lockstep makes the pipe
+    pair deadlock-free by construction as long as the child answers
+    every frame. stderr goes to an unlinked temp file, never a pipe (a
+    chatty decoder would block on a full pipe buffer nobody drains).
+    Teardown closes stdin and kills the child if it ignores EOF."""
+    import struct
+    import subprocess
+    import tempfile
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        proc = None
+        with tempfile.TemporaryFile() as errf:
+            try:
+                for batch in batches:
+                    if not len(batch):
+                        continue
+                    if proc is None:
+                        proc = subprocess.Popen(
+                            [executable],
+                            stdin=subprocess.PIPE,
+                            stdout=subprocess.PIPE,
+                            stderr=errf,
+                        )
+                    feats = []
+                    for p in batch["payload"]:
+                        b = bytes(p)
+                        proc.stdin.write(struct.pack(">I", len(b)))
+                        proc.stdin.write(b)
+                        proc.stdin.flush()
+                        line = proc.stdout.readline()
+                        if not line:
+                            rc = proc.poll()
+                            errf.seek(0)
+                            err = errf.read(500).decode("utf-8", "replace")
+                            raise RuntimeError(
+                                f"external decoder {executable!r} closed "
+                                f"stdout mid-stream (rc={rc}): {err}"
+                            )
+                        feats.append([float(x) for x in line.split()])
+                    out = pd.DataFrame(
+                        {"id": batch["id"], "features": feats}
+                    )
+                    # pandas infers object dtype for the empty-batch edge;
+                    # features stays a list column either way
+                    yield out
+            finally:
+                if proc is not None:
+                    try:
+                        proc.stdin.close()
+                    except (BrokenPipeError, OSError):
+                        pass
+                    try:
+                        proc.wait(timeout=30)
+                    except subprocess.TimeoutExpired:
+                        proc.kill()
+                        proc.wait()
+                    proc.stdout.close()
+
+    return df.mapInPandas(run, schema="id long, features array<double>")
+
+
+# Reference decoder executable speaking the decode_payload_external
+# protocol, computing the same features as ``fake_decoder`` — so a pytest
+# can prove external ≡ in-process byte-for-byte. A real deployment ships
+# the same loop around ffmpeg/PIL instead of the hash.
+EXTERNAL_FAKE_DECODER_SRC = """#!/usr/bin/env python3
+import struct
+import sys
+
+FEATURE_DIM = 16
+
+def fake(payload):
+    feats = []
+    acc = 2166136261
+    for i in range(FEATURE_DIM):
+        for b in payload[i::FEATURE_DIM] or b"\\x00":
+            acc = (acc ^ b) * 16777619 % (1 << 32)
+        feats.append((acc % 10_000) / 10_000.0)
+    return feats
+
+rd, wr = sys.stdin.buffer, sys.stdout.buffer
+while True:
+    head = rd.read(4)
+    if len(head) < 4:
+        break
+    n = struct.unpack(">I", head)[0]
+    payload = rd.read(n) if n else b""
+    wr.write((" ".join(repr(f) for f in fake(payload)) + "\\n").encode())
+    wr.flush()
+"""
+
+
 def tile_grid(
     df: DataFrame,
     row_bytes: int = 64,

@@ -162,3 +162,145 @@ def test_ivfpq_empty_corpus_and_missing_queries(spark):
     )
     out = ann_topk_ivfpq(some, [99], k=5, nlist=2, nprobe=1, m_sub=2, ksub=2)
     assert out.count() == 0
+
+
+# --- adversarial documents (r4 verdict item 9) -----------------------------------
+# Pathological inputs at the limits the operators encode: a multi-MB
+# single-line document (the shingle transform materializes ~n_tokens
+# array cells per doc), an all-duplicate-token document (one distinct
+# shingle, maximal collision mass), NUL bytes and astral-plane Unicode
+# (md5/h56 must hash them losslessly, framing must not split on them).
+
+
+def _adversarial_docs(spark):
+    big = ("token " * 400_000).strip()          # ~2.4 MB, one line
+    dup = ("same " * 5_000).strip()             # all-duplicate tokens
+    nul = "alpha\x00beta gamma\x00 delta"       # embedded NULs
+    astral = "🜁🜂🜃 𐍈𐍉 😀😀😀 " * 50           # astral-plane code points
+    one = "solo"
+    return spark.createDataFrame(
+        [(0, big), (1, dup), (2, nul), (3, astral), (4, one)],
+        "doc_id long, text string",
+    )
+
+
+def test_shingles_and_signatures_survive_adversarial_docs(spark):
+    """The shingle when-ladder and the MinHash/SimHash signature paths
+    must process every pathological doc without error, one signature per
+    doc, and identical bytes → identical signatures."""
+    from hdfs_mapreduce_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_relation,
+        simhash_signatures,
+    )
+
+    docs = _adversarial_docs(spark)
+    sh = shingle_relation(docs, "doc_id", "text")
+    per_doc = {
+        r["doc"]: r["n"]
+        for r in sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # big doc: n_tokens - k + 1 shingles (k=3); dup doc: same count with
+    # duplicates retained; 1-token docs contribute exactly one shingle
+    assert per_doc[0] == 400_000 - 2
+    assert per_doc[1] == 5_000 - 2
+    assert per_doc[4] == 1
+    assert per_doc[2] >= 1 and per_doc[3] >= 1
+
+    mh = minhash_signatures(docs, "doc_id", "text")
+    assert mh.count() == 5
+    sim = {r["doc"]: r["simhash"] for r in
+           simhash_signatures(docs, "doc_id", "text").collect()}
+    assert len(sim) == 5
+    # all-duplicate doc: its only distinct token decides every vote, so
+    # the signature must equal the signature of one copy of the token
+    solo = spark.createDataFrame([(9, "same")], "doc_id long, text string")
+    [r] = simhash_signatures(solo, "doc_id", "text").collect()
+    assert sim[1] == r["simhash"]
+
+
+def test_simhash_lane_capacity_at_the_packing_limit(spark):
+    """The packed 2-per-accumulator SimHash lanes hold 2^28 tokens/doc;
+    prove no cross-lane carry at a scale big enough that a packing bug
+    (e.g. lane width 14 instead of 28) WOULD corrupt: a 400k-token doc's
+    packed votes must reproduce the unpacked per-bit sums exactly."""
+    from hdfs_mapreduce_spark.functions.hashing import h56
+    from hdfs_mapreduce_spark.functions.text import tokens
+    from hdfs_mapreduce_spark.operators.dedup import (
+        SIMHASH_BITS,
+        simhash_signatures,
+    )
+
+    text = ("alpha beta gamma " * 133_334).strip()  # ~400k tokens
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    [row] = simhash_signatures(docs, "doc_id", "text").collect()
+    # unpacked reference: 56 independent SUMs, no lane packing
+    tok = docs.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("t")
+    ).withColumn("h", h56(F.col("t")))
+    agg = tok.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"(h >> {j}) & 1")).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    ).collect()[0]
+    expected = sum(
+        (1 << j) for j in range(SIMHASH_BITS)
+        if 2 * agg[f"s{j}"] > agg["n"]
+    )
+    assert row["simhash"] == expected
+
+
+def test_text_stats_and_fingerprint_on_adversarial_docs(spark):
+    """Quality metrics, token stats and the rolling-hash fingerprint must
+    produce one finite row per pathological doc (no overflow, no crash on
+    NUL/astral input)."""
+    import math
+
+    from hdfs_mapreduce_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    docs = _adversarial_docs(spark)
+    rows = docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_tokens"] >= 1
+        assert r["q"] is not None and math.isfinite(r["q"])
+        assert r["fp"] is not None and 0 <= r["fp"]
+
+
+def test_binary_plugin_framing_with_nul_and_astral_input(spark, tmp_path):
+    """The executable word-count plugin must round-trip NUL bytes and
+    astral-plane tokens through the stdin pipe protocol identically to
+    the expression twin (UTF-8 framing, '\\n'-only splitting)."""
+    from hdfs_mapreduce_spark.functions.reference_jobs import word_count_expr
+    from hdfs_mapreduce_spark.operators.binary_plugin import (
+        WORDCOUNT_PLUGIN_SRC,
+        run_binary_mapreduce,
+    )
+
+    plugin = tmp_path / "wc"
+    plugin.write_text(WORDCOUNT_PLUGIN_SRC)
+    plugin.chmod(0o755)
+    lines = ["nul\x00token nul\x00token plain", "😀 𐍈 😀 plain"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(lines)], "key long, value string"
+    )
+    got = {
+        (r["key"], r["value"])
+        for r in run_binary_mapreduce(df, str(plugin)).collect()
+    }
+    expect = {
+        (r["token"], str(r["cnt"]))
+        for r in word_count_expr(df, "value").collect()
+    }
+    assert got == expect and ("nul\x00token", "2") in got

@@ -67,8 +67,11 @@ DRIVER_WINDOW = 50
 #   r5: dedup_lsh_recall — exact side switched to the capped jaccard
 #       relation (new oracle twin); dedup_simhash_pairs — pair dedup
 #       switched from first-band-wins to post-filter distinct (same
-#       declared relation, new executed plan).
-REVERIFY = {"dedup_lsh_recall", "dedup_simhash_pairs"}
+#       declared relation, new executed plan); dedup_crosscheck — text
+#       side switched to the capped jaccard relation (sf3 smoke showed
+#       the uncapped audit inheriting the quadratic side, same fix as
+#       dedup_lsh_recall).
+REVERIFY = {"dedup_lsh_recall", "dedup_simhash_pairs", "dedup_crosscheck"}
 
 
 def _row_is_green(name: str, row: object) -> bool:

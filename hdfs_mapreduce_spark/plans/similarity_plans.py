@@ -138,21 +138,15 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_pq(emb, QUERY_IDS, TOP_K)
 
 
-def dedup_pq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup bucketing by identical PQ code vectors: two
-    vectors sharing all m_sub codes are quantization-level duplicates.
-    (vid, bucket_head, bucket_size) per vector — bucket_head is the
-    lowest member id, the canonical-survivor rule every dedup query here
-    uses. Scale shape: after the map-only encode this is ONE exact
-    groupBy on a 4-byte key — the cheap first pass that shrinks the
-    candidate set before any pairwise cosine runs (the same
-    exact-then-verify discipline as dedup_exact → minhash)."""
+def _pq_keys(emb: DataFrame) -> DataFrame:
+    """(vid, pq_key) — each vector's full PQ code vector joined into one
+    string key; code-identical vectors share a key. Map-only encode plus
+    one groupBy on vid."""
     from pyspark.sql import functions as F
 
     from hdfs_mapreduce_spark.operators.similarity import pq_encode
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    keys = (
+    return (
         pq_encode(emb)
         .groupBy("vid")
         .agg(
@@ -165,6 +159,21 @@ def dedup_pq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pq_key")
         )
     )
+
+
+def dedup_pq_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup bucketing by identical PQ code vectors: two
+    vectors sharing all m_sub codes are quantization-level duplicates.
+    (vid, bucket_head, bucket_size) per vector — bucket_head is the
+    lowest member id, the canonical-survivor rule every dedup query here
+    uses. Scale shape: after the map-only encode this is ONE exact
+    groupBy on a 4-byte key — the cheap first pass that shrinks the
+    candidate set before any pairwise cosine runs (the same
+    exact-then-verify discipline as dedup_exact → minhash)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    keys = _pq_keys(emb)
     buckets = keys.groupBy("pq_key").agg(
         F.min("vid").alias("bucket_head"),
         F.count(F.lit(1)).alias("bucket_size"),
@@ -217,26 +226,12 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(emb, PAIR_THRESHOLD)
 
 
-def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-signal near-dup agreement: full-outer join of the embedding
-    cosine pair relation against the exact text n-gram Jaccard pair
-    relation on the pair key (the synthetic tables share the 0..N id
-    space). The multimodal consistency report a curation pipeline checks
-    before trusting a cheap signal to stand in for an expensive one:
-    pairs with n_signals=2 agree, n_signals=1 rows show where the two
-    modalities disagree. Both inputs are the already-bucketed pair
-    pipelines — this adds only a pair-keyed join of two tiny relations."""
+def _crosscheck_report(epairs: DataFrame, tpairs: DataFrame) -> DataFrame:
+    """Pair-keyed full-outer of the embedding pair relation against the
+    text pair relation: n_signals=2 rows agree, n_signals=1 rows show
+    where one modality fired and the other did not."""
     from pyspark.sql import functions as F
 
-    from hdfs_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
-    from hdfs_mapreduce_spark.sources.catalog import spread
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    epairs = cosine_pairs(emb, PAIR_THRESHOLD).select(
-        F.col("vec_a").alias("ea"), F.col("vec_b").alias("eb"), "cos_sim"
-    )
-    tpairs = ngram_jaccard_pairs(docs, "doc_id", "text", 0.5)
     joined = epairs.join(
         tpairs,
         (F.col("ea") == F.col("doc_a")) & (F.col("eb") == F.col("doc_b")),
@@ -252,6 +247,84 @@ def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("jaccard").isNotNull().cast("int")
         ).alias("n_signals"),
     ).orderBy("id_a", "id_b")
+
+
+def _capped_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate-capped exact text pair relation — the declared
+    100 TB shape for every audit that consumes a text near-dup signal
+    (the r4 verdict's dedup_lsh_recall fix, applied uniformly)."""
+    from hdfs_mapreduce_spark.operators.dedup import ngram_jaccard_pairs
+    from hdfs_mapreduce_spark.plans.dedup_plans import (
+        NGRAM_MAX_DF,
+        NGRAM_THRESHOLD,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", NGRAM_THRESHOLD, max_df=NGRAM_MAX_DF
+    )
+
+
+def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal near-dup agreement: full-outer join of the embedding
+    cosine pair relation against the exact text n-gram Jaccard pair
+    relation on the pair key (the synthetic tables share the 0..N id
+    space). The multimodal consistency report a curation pipeline checks
+    before trusting a cheap signal to stand in for an expensive one.
+
+    Since r5 the text side is the CAPPED jaccard relation (hot shingles
+    excluded, dedup.py ngram_jaccard_pairs max_df) — the same fix the r4
+    verdict prescribed for dedup_lsh_recall: an audit must not inherit a
+    quadratic exact side it would never run at 100 TB. The embedding side
+    stays the exact O(N²) block dgemm — that is the audit's definitional
+    baseline; the linear-growth production shape is
+    ``dedup_crosscheck_bucketed`` below (sf3 smoke: BENCH_SF3.json)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    epairs = cosine_pairs(emb, PAIR_THRESHOLD).select(
+        F.col("vec_a").alias("ea"), F.col("vec_b").alias("eb"), "cos_sim"
+    )
+    return _crosscheck_report(epairs, _capped_jaccard_pairs(spark, sf_dir))
+
+
+def dedup_crosscheck_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB crosscheck: embedding pairs come from PQ-code buckets
+    (identical 4-bit-code vectors — the dedup_pq_buckets relation turned
+    into pairs) instead of the all-pairs dgemm, then exact-fold cosine
+    verifies each candidate; the text side is the capped jaccard
+    relation. Every stage is map-only or bucket-keyed: PQ encode is one
+    map pass, the bucket self-join touches only code-identical vectors
+    (bucket count 16^PQ_M grows with the codebook, the anti-quadratic
+    knob), and the verify join fetches vectors for candidates only. The
+    exact twin ``dedup_crosscheck`` is the recall baseline this relation
+    is audited against."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.similarity import cosine_fast
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    keys = _pq_keys(emb)
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.pq_key") == F.col("b.pq_key"))
+        & (F.col("a.vid") < F.col("b.vid")),
+    ).select(F.col("a.vid").alias("ea"), F.col("b.vid").alias("eb"))
+    va = emb.select(F.col("vec_id").alias("ea"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("eb"), F.col("embedding").alias("vb"))
+    epairs = (
+        cand.join(va, "ea")
+        .join(vb, "eb")
+        .select(
+            "ea",
+            "eb",
+            F.round(cosine_fast(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= PAIR_THRESHOLD)
+    )
+    return _crosscheck_report(epairs, _capped_jaccard_pairs(spark, sf_dir))
 
 
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -321,6 +394,7 @@ QUERIES = {
     "text_hash_ann": text_hash_ann,
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_crosscheck": dedup_crosscheck,
+    "dedup_crosscheck_bucketed": dedup_crosscheck_bucketed,
     "embedding_kmeans": embedding_kmeans,
     "embedding_kmeans_fit": embedding_kmeans_fit,
 }
@@ -473,7 +547,51 @@ def _kmeans_fit_sql(k: int = KMEANS_K, iters: int = KMEANS_FIT_ITERS) -> str:
 # Shared text-shingle fragments (same constants as the text-side pair
 # oracle, so the crosscheck joins exactly the relations the text queries
 # verify).
-from hdfs_mapreduce_spark.plans.dedup_plans import _SH, _TOKS  # noqa: E402
+from hdfs_mapreduce_spark.plans.dedup_plans import (  # noqa: E402
+    NGRAM_MAX_DF as _NGRAM_MAX_DF,
+    NGRAM_THRESHOLD as _NGRAM_THRESHOLD,
+    _SH,
+    _TOKS,
+)
+
+# Capped-jaccard pair CTEs (dedup_ngram_jaccard_capped's relation, the
+# declared 100 TB text side of both crosscheck variants): hot shingles
+# (df > cap) excluded from the inverted index AND the per-doc sizes.
+_TPAIRS_CAPPED_CTES = f"""
+        sets AS (
+            SELECT doc_id AS doc, {_SH} AS sh
+            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= 1
+        ),
+        inv0 AS (SELECT doc, unnest(sh) AS h FROM sets),
+        hot AS (SELECT h FROM inv0 GROUP BY h
+                HAVING COUNT(*) > {_NGRAM_MAX_DF}),
+        inv AS (SELECT doc, h FROM inv0 ANTI JOIN hot USING (h)),
+        sizes AS (SELECT doc, COUNT(*) AS sz FROM inv GROUP BY doc),
+        shared AS (
+            SELECT l.doc AS doc_a, r.doc AS doc_b, COUNT(*) AS shared
+            FROM inv l JOIN inv r ON l.h = r.h AND l.doc < r.doc
+            GROUP BY 1, 2
+        ),
+        tpairs AS (
+            SELECT doc_a, doc_b, jaccard FROM (
+                SELECT s.doc_a, s.doc_b,
+                       CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared)
+                           AS jaccard
+                FROM shared s
+                JOIN sizes sa ON sa.doc = s.doc_a
+                JOIN sizes sb ON sb.doc = s.doc_b
+            ) WHERE jaccard >= {_NGRAM_THRESHOLD}
+        )"""
+
+_CROSSCHECK_SELECT = """
+        SELECT COALESCE(ea, doc_a) AS id_a, COALESCE(eb, doc_b) AS id_b,
+               cos_sim, jaccard,
+               (CASE WHEN cos_sim IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN jaccard IS NOT NULL THEN 1 ELSE 0 END) AS n_signals
+        FROM epairs
+        FULL OUTER JOIN tpairs ON ea = doc_a AND eb = doc_b
+        ORDER BY id_a, id_b"""
 
 def _ann_ivfpq_sql() -> str:
     """IVF cell CTEs (the ann_ivf oracle's) composed with the PQ code
@@ -694,28 +812,7 @@ ORACLE_SQL = {
         ORDER BY query_id, rank
     """,
     "dedup_crosscheck": f"""
-        WITH sets AS (
-            SELECT doc_id AS doc, {_SH} AS sh
-            FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-            WHERE len(toks) >= 1
-        ),
-        sizes AS (SELECT doc, len(sh) AS sz FROM sets),
-        inv AS (SELECT doc, unnest(sh) AS h FROM sets),
-        shared AS (
-            SELECT l.doc AS doc_a, r.doc AS doc_b, COUNT(*) AS shared
-            FROM inv l JOIN inv r ON l.h = r.h AND l.doc < r.doc
-            GROUP BY 1, 2
-        ),
-        tpairs AS (
-            SELECT doc_a, doc_b, jaccard FROM (
-                SELECT s.doc_a, s.doc_b,
-                       CAST(s.shared AS DOUBLE) / (sa.sz + sb.sz - s.shared)
-                           AS jaccard
-                FROM shared s
-                JOIN sizes sa ON sa.doc = s.doc_a
-                JOIN sizes sb ON sb.doc = s.doc_b
-            ) WHERE jaccard >= 0.5
-        ),
+        WITH {_TPAIRS_CAPPED_CTES},
         epairs AS (
             SELECT vec_a AS ea, vec_b AS eb, cos_sim FROM (
                 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -723,13 +820,35 @@ ORACLE_SQL = {
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             ) WHERE cos_sim >= {PAIR_THRESHOLD}
         )
-        SELECT COALESCE(ea, doc_a) AS id_a, COALESCE(eb, doc_b) AS id_b,
-               cos_sim, jaccard,
-               (CASE WHEN cos_sim IS NOT NULL THEN 1 ELSE 0 END
-                + CASE WHEN jaccard IS NOT NULL THEN 1 ELSE 0 END) AS n_signals
-        FROM epairs
-        FULL OUTER JOIN tpairs ON ea = doc_a AND eb = doc_b
-        ORDER BY id_a, id_b
+        {_CROSSCHECK_SELECT}
+    """,
+    # Bucketed twin: embedding pairs restricted to PQ-code-identical
+    # candidates (the dedup_pq_buckets key), each verified with the
+    # exact-fold cosine — symbolically identical to the Spark pipeline.
+    "dedup_crosscheck_bucketed": f"""
+        WITH {_pq_ctes()},
+        keys AS (
+            SELECT vid,
+                   string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS pq_key
+            FROM codes GROUP BY vid
+        ),
+        cand AS (
+            SELECT a.vid AS ea, b.vid AS eb
+            FROM keys a JOIN keys b
+              ON a.pq_key = b.pq_key AND a.vid < b.vid
+        ),
+        epairs AS (
+            SELECT ea, eb, cos_sim FROM (
+                SELECT c.ea, c.eb,
+                       round({_cos('va.embedding', 'vb.embedding')}, 6)
+                           AS cos_sim
+                FROM cand c
+                JOIN embeddings va ON va.vec_id = c.ea
+                JOIN embeddings vb ON vb.vec_id = c.eb
+            ) WHERE cos_sim >= {PAIR_THRESHOLD}
+        ),
+        {_TPAIRS_CAPPED_CTES.lstrip()}
+        {_CROSSCHECK_SELECT}
     """,
     "ann_filtered": f"""
         WITH q AS (

@@ -483,6 +483,26 @@ def test_lsh_recall_exact_side_is_capped(spark):
     assert "LeftAnti" in plan, plan
 
 
+def test_crosscheck_text_side_is_capped(spark):
+    """Both crosscheck variants consume the CAPPED jaccard relation (r5:
+    the sf3 smoke showed the audit inheriting the uncapped quadratic
+    side — the same fix the r4 verdict prescribed for dedup_lsh_recall).
+    Witness: the hot-shingle exclusion's broadcast LEFT ANTI join."""
+    for name in ("dedup_crosscheck", "dedup_crosscheck_bucketed"):
+        plan = plan_of(QUERIES[name](spark, SF), "simple")
+        assert "LeftAnti" in plan, (name, plan)
+
+
+def test_crosscheck_bucketed_no_allpairs_dgemm(spark):
+    """The bucketed crosscheck must NOT contain the block-replicated
+    all-pairs dgemm (FlatMapGroupsInPandas over exploded block pairs) —
+    its embedding candidates come from the PQ-key equi-join, so the only
+    Arrow kernels are the map-only PQ encode and the cosine verify."""
+    plan = plan_of(QUERIES["dedup_crosscheck_bucketed"](spark, SF), "simple")
+    assert "FlatMapGroupsInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_curriculum_approx_single_broadcast_no_sort(spark):
     """The scale-safe curriculum twin: approx-percentile bounds broadcast
     back as ONE row, stage assignment map-side — no global sort, no NTILE

@@ -114,6 +114,12 @@ def build_parser() -> argparse.ArgumentParser:
     sm.add_argument("name")
     sm.add_argument("--plugin", required=True)
     sm.add_argument("--output", required=True)
+
+    sh = sub.add_parser(
+        "shell",
+        help="interactive menu client (reference dfs/client/cli.go parity)",
+    )
+    sh.add_argument("--home-dir", default=None)
     return p
 
 
@@ -169,6 +175,10 @@ def run(argv: list[str], spark=None, out=sys.stdout) -> int:
                 "for the full result",
                 file=sys.stderr,
             )
+    elif args.verb == "shell":
+        from hdfs_mapreduce_spark.shell import Shell
+
+        return Shell(eng, out=out, home_dir=args.home_dir).run()
     elif args.verb == "compute":
         # Routing is by SHAPE, not filename suffix: a .py file defining
         # the module-plugin surface runs in-process; any other plugin —

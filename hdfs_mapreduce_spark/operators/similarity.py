@@ -594,6 +594,76 @@ def _assign_to_centroids(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = KMEANS_K,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    data-efficient learning at web-scale through semantic
+    deduplication"): cluster the corpus with the deterministic k-means
+    assignment, search for near-duplicates ONLY within a cluster (never
+    across), and keep the lowest-id member of each near-dup
+    neighborhood — the canonical-survivor rule every dedup query here
+    uses.
+
+    Returns (vid, cluster, dup_of, kept): dup_of = the lowest
+    cluster-mate id with cosine ≥ threshold (NULL ⇒ no earlier near-dup
+    ⇒ kept = true).
+
+    Scale shape: assignment is map-side against the broadcast centroid
+    model (k × dim doubles in the kernel closure); the candidate join
+    shuffles on the cluster id and is quadratic only WITHIN a cluster —
+    k is the anti-quadratic knob, exactly SemDeDup's design (the paper
+    runs 50k clusters at web scale; raise k until corpus/k fits one
+    task). Nothing corpus-sized is ever all-pairs, and the cosine runs
+    the exact-fold Arrow kernel so the SQL oracle matches bit-for-bit."""
+    cents = _collect_seed_centroids(embeddings, k, id_col, vec_col)
+    if not cents:
+        id_type = embeddings.schema[id_col].dataType
+        return embeddings.limit(0).select(
+            F.lit(None).cast(id_type).alias("vid"),
+            F.lit(None).cast(id_type).alias("cluster"),
+            F.lit(None).cast(id_type).alias("dup_of"),
+            F.lit(None).cast("boolean").alias("kept"),
+        )
+    assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col).select(
+        "vid", "cluster", "emb"
+    )
+    a = assigned.select(
+        F.col("vid").alias("va"),
+        F.col("cluster").alias("ca"),
+        F.col("emb").alias("ea"),
+    )
+    b = assigned.select(
+        F.col("vid").alias("vb"),
+        F.col("cluster").alias("cb"),
+        F.col("emb").alias("eb"),
+    )
+    dup = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
+        .withColumn(
+            "cos_sim", F.round(cosine_fast(F.col("ea"), F.col("eb")), 6)
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .groupBy(F.col("vb").alias("vid"))
+        .agg(F.min("va").alias("dup_of"))
+    )
+    return (
+        assigned.select("vid", "cluster")
+        .join(dup, "vid", "left")
+        .select(
+            "vid",
+            "cluster",
+            "dup_of",
+            F.col("dup_of").isNull().alias("kept"),
+        )
+        .orderBy("vid")
+    )
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = KMEANS_K,

@@ -72,6 +72,16 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(emb, KMEANS_K)
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means clusters bucket the corpus, near-dup search runs
+    within clusters only, lowest-id survivor kept — see
+    operators/similarity.py semantic_dedup (Abbas et al. 2023)."""
+    from hdfs_mapreduce_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, KMEANS_K, PAIR_THRESHOLD)
+
+
 KMEANS_FIT_ITERS = 3
 
 
@@ -395,6 +405,7 @@ QUERIES = {
     "dedup_embedding_pairs": dedup_embedding_pairs,
     "dedup_crosscheck": dedup_crosscheck,
     "dedup_crosscheck_bucketed": dedup_crosscheck_bucketed,
+    "dedup_semantic": dedup_semantic,
     "embedding_kmeans": embedding_kmeans,
     "embedding_kmeans_fit": embedding_kmeans_fit,
 }
@@ -740,6 +751,37 @@ ORACLE_SQL = {
         ORDER BY k.vid
     """,
     "embedding_kmeans_fit": _kmeans_fit_sql(),
+    # SemDeDup: the embedding_kmeans assignment CTEs (deterministic
+    # lowest-id seeds, ROW_NUMBER (dist, cid) ties) feed a within-cluster
+    # pair join with the exact-fold cosine — symbolically the Spark plan.
+    "dedup_semantic": f"""
+        WITH seeds AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            ORDER BY vec_id LIMIT {KMEANS_K}
+        ),
+        dists AS (
+            SELECT e.vec_id AS vid, e.embedding AS emb, s.cid,
+                   {_SQDIST.format(a='e.embedding', b='s.cvec')} AS dist
+            FROM embeddings e, seeds s
+        ),
+        best AS (
+            SELECT vid, emb, cid AS cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vid
+                                      ORDER BY dist, cid) AS rn
+            FROM dists
+        ),
+        assigned AS (SELECT vid, emb, cluster FROM best WHERE rn = 1),
+        dup AS (
+            SELECT b.vid AS vid, MIN(a.vid) AS dup_of
+            FROM assigned a JOIN assigned b
+              ON a.cluster = b.cluster AND a.vid < b.vid
+            WHERE round({_cos('a.emb', 'b.emb')}, 6) >= {PAIR_THRESHOLD}
+            GROUP BY b.vid
+        )
+        SELECT s.vid, s.cluster, u.dup_of, u.dup_of IS NULL AS kept
+        FROM assigned s LEFT JOIN dup u ON u.vid = s.vid
+        ORDER BY s.vid
+    """,
     "embedding_kmeans": f"""
         WITH seeds AS (
             SELECT vec_id AS cid, embedding AS cvec FROM embeddings

@@ -493,6 +493,15 @@ def test_crosscheck_text_side_is_capped(spark):
         assert "LeftAnti" in plan, (name, plan)
 
 
+def test_semantic_dedup_cluster_bucketed_no_cartesian(spark):
+    """SemDeDup's pair search must be an equi-join on the cluster id
+    (quadratic only within a cluster; k is the knob) — never a cartesian
+    or broadcast-nested-loop over the corpus."""
+    plan = plan_of(QUERIES["dedup_semantic"](spark, SF), "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_crosscheck_bucketed_no_allpairs_dgemm(spark):
     """The bucketed crosscheck must NOT contain the block-replicated
     all-pairs dgemm (FlatMapGroupsInPandas over exploded block pairs) —

@@ -136,6 +136,45 @@ def test_kmeans_assign_planted_clusters(spark):
     assert abs(out[1]["wcss"] - 0.02) < 1e-6
 
 
+def test_semantic_dedup_prunes_within_clusters_only(spark):
+    """SemDeDup semantics: two planted blobs; near-parallel vectors inside
+    a blob mark the higher id as a duplicate of the lowest such mate,
+    while cross-blob pairs are never compared even if similar — and the
+    survivors are exactly the lowest-id representative of each
+    neighborhood."""
+    from hdfs_mapreduce_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0]),    # seed A, kept
+        (1, [0.0, 1.0]),    # seed B, kept
+        (2, [2.0, 0.01]),   # blob A, ~parallel to 0 -> dup_of 0
+        (3, [0.01, 3.0]),   # blob B, ~parallel to 1 -> dup_of 1
+        (4, [-1.0, 0.3]),   # blob B by distance, dissimilar -> kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vid"]: r for r in semantic_dedup(emb, k=2, threshold=0.9).collect()}
+    assert len(out) == 5
+    assert out[0]["kept"] and out[0]["dup_of"] is None
+    assert out[1]["kept"] and out[1]["dup_of"] is None
+    assert not out[2]["kept"] and out[2]["dup_of"] == 0
+    assert not out[3]["kept"] and out[3]["dup_of"] == 1
+    assert out[4]["kept"] and out[4]["dup_of"] is None
+    # cluster bucketing: 2 and 0 share a cluster, 3 and 4 sit with 1
+    assert out[2]["cluster"] == out[0]["cluster"]
+    assert out[3]["cluster"] == out[1]["cluster"] == out[4]["cluster"]
+
+
+def test_semantic_dedup_empty_corpus(spark):
+    from hdfs_mapreduce_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = semantic_dedup(emb, k=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vid", "cluster", "dup_of", "kept",
+    ]
+
+
 def test_kmeans_fit_converges_on_planted_blobs(spark):
     """Three planted blobs, seeds deliberately all inside blob A (the k
     lowest ids): one assignment step cannot separate them, but the Lloyd

@@ -447,8 +447,76 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication diagnostics: for every pair of sources,
+    the number of distinct shingles present in both and the shingle-set
+    Jaccard — the report that tells a curation pipeline which crawls/
+    dumps overlap before it decides mixture weights or dedup priority.
+
+    Scale shape: map-only shingling keyed by SOURCE (shingle_relation
+    with id_col="source"), ONE shuffle on the shingle hash to collect
+    each shingle's source set — bounded by the source count, not the
+    corpus — then pairs are expanded array-side from the sorted set
+    (s·(s−1)/2 per shingle, s = #sources carrying it) and counted with a
+    partial agg on the pair key. Output cardinality is ≤ sources²/2
+    rows; nothing document-quadratic exists anywhere. The per-source
+    totals join is a broadcast (one row per source)."""
+    from hdfs_mapreduce_spark.operators.dedup import shingle_relation
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    inv = shingle_relation(docs, "source", "text").distinct()
+    totals = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("tot"))
+    per_sh = (
+        inv.groupBy("x")
+        .agg(F.array_sort(F.collect_set("doc")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    pairs = per_sh.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda s, i: F.transform(
+                        F.slice(
+                            F.col("srcs"), i + 2, F.size("srcs")
+                        ),
+                        lambda t: F.struct(
+                            s.alias("source_a"), t.alias("source_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.source_a", "p.source_b")
+    shared = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("shared")
+    )
+    ta = totals.select(
+        F.col("doc").alias("source_a"), F.col("tot").alias("tot_a")
+    )
+    tb = totals.select(
+        F.col("doc").alias("source_b"), F.col("tot").alias("tot_b")
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("tot_a") + F.col("tot_b") - F.col("shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "corpus_overlap_matrix": corpus_overlap_matrix,
     "dedup_spans": dedup_spans,
     "dedup_span_scrub": dedup_span_scrub,
     "dedup_paragraphs": dedup_paragraphs,
@@ -836,6 +904,27 @@ ORACLE_SQL = {
               FROM assign GROUP BY 1) c ON c.canonical_id = r.canonical
         WHERE r.rn = 1
         ORDER BY canonical_id
+    """,
+    "corpus_overlap_matrix": f"""
+        WITH sets AS (
+            SELECT source AS src, {_SH} AS sh
+            FROM (SELECT source, {_TOKS} AS toks FROM documents)
+            WHERE len(toks) >= 1
+        ),
+        inv AS (SELECT DISTINCT src, unnest(sh) AS h FROM sets),
+        totals AS (SELECT src, COUNT(*) AS tot FROM inv GROUP BY src),
+        shared AS (
+            SELECT l.src AS source_a, r.src AS source_b, COUNT(*) AS shared
+            FROM inv l JOIN inv r ON l.h = r.h AND l.src < r.src
+            GROUP BY 1, 2
+        )
+        SELECT s.source_a, s.source_b, s.shared,
+               round(CAST(s.shared AS DOUBLE)
+                     / (ta.tot + tb.tot - s.shared), 6) AS jaccard
+        FROM shared s
+        JOIN totals ta ON ta.src = s.source_a
+        JOIN totals tb ON tb.src = s.source_b
+        ORDER BY source_a, source_b
     """,
     "dedup_ngram_jaccard_capped": f"""
         WITH sets AS (

@@ -493,6 +493,18 @@ def test_crosscheck_text_side_is_capped(spark):
         assert "LeftAnti" in plan, (name, plan)
 
 
+def test_overlap_matrix_array_side_pairs_broadcast_totals(spark):
+    """The source-overlap matrix expands source pairs ARRAY-SIDE from
+    each shingle's collected source set (Generate over transform), never
+    via a document-level self-join; per-source totals join as
+    broadcasts. No sort-merge join or cartesian may appear."""
+    plan = plan_of(QUERIES["corpus_overlap_matrix"](spark, SF), "simple")
+    assert "Generate explode" in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_semantic_dedup_cluster_bucketed_no_cartesian(spark):
     """SemDeDup's pair search must be an equi-join on the cluster id
     (quadratic only within a cluster; k is the knob) — never a cartesian

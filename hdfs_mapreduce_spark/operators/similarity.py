@@ -614,15 +614,29 @@ def semantic_dedup(
     ⇒ kept = true).
 
     Scale shape: assignment is map-side against the broadcast centroid
-    model (k × dim doubles in the kernel closure); the candidate join
-    shuffles on the cluster id and is quadratic only WITHIN a cluster —
-    k is the anti-quadratic knob, exactly SemDeDup's design (the paper
-    runs 50k clusters at web scale; raise k until corpus/k fits one
-    task). Nothing corpus-sized is ever all-pairs, and the cosine runs
-    the exact-fold Arrow kernel so the SQL oracle matches bit-for-bit."""
+    model (k × dim doubles in the kernel closure); the pair search is ONE
+    ``applyInPandas`` group per cluster — a BLAS matmul over the
+    cluster's members (the cosine_pairs block-dgemm pattern, column-
+    slabbed so peak memory stays ~O(n × 2048)) — so nothing shuffles but
+    the cluster-keyed repartition, and the arithmetic is quadratic only
+    WITHIN a cluster: k is the anti-quadratic knob, exactly SemDeDup's
+    design (the paper runs 50k clusters at web scale; raise k until
+    corpus/k fits one task). cos_sim is rounded to 6 decimals inside the
+    kernel, pinning the definitional value at the precision the driver
+    hashes (BLAS pairwise summation vs the oracle's sequential fold
+    differ at ~1e-15 — the same contract cosine_pairs carries).
+
+    A first cut expressed the pair search as a self-join on the cluster
+    id with the exact-fold cosine per pair: correct, but the join
+    materialized every candidate pair twice through a shuffle with both
+    64-float vectors attached (measured 1.7s at sf0.1 vs 0.37s oracle);
+    the grouped-dgemm form moves each vector once."""
+    import numpy as np
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    id_type = embeddings.schema[id_col].dataType
     cents = _collect_seed_centroids(embeddings, k, id_col, vec_col)
     if not cents:
-        id_type = embeddings.schema[id_col].dataType
         return embeddings.limit(0).select(
             F.lit(None).cast(id_type).alias("vid"),
             F.lit(None).cast(id_type).alias("cluster"),
@@ -632,34 +646,48 @@ def semantic_dedup(
     assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col).select(
         "vid", "cluster", "emb"
     )
-    a = assigned.select(
-        F.col("vid").alias("va"),
-        F.col("cluster").alias("ca"),
-        F.col("emb").alias("ea"),
+    out_schema = StructType(
+        [
+            StructField("vid", id_type),
+            StructField("cluster", id_type),
+            StructField("dup_of", id_type),
+            StructField("kept", BooleanType()),
+        ]
     )
-    b = assigned.select(
-        F.col("vid").alias("vb"),
-        F.col("cluster").alias("cb"),
-        F.col("emb").alias("eb"),
-    )
-    dup = (
-        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("va") < F.col("vb")))
-        .withColumn(
-            "cos_sim", F.round(cosine_fast(F.col("ea"), F.col("eb")), 6)
+
+    def cluster_dups(key, pdf):
+        n = len(pdf)
+        order = np.argsort(pdf["vid"].values, kind="stable")
+        vids = pdf["vid"].values[order]
+        dup_of = np.full(n, -1, dtype=np.int64)  # index into vids, -1 = kept
+        if n >= 2:
+            m = np.stack(pdf["emb"].values[order]).astype(np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            rows = np.arange(n)[:, None]
+            slab = 2048
+            for s in range(0, n, slab):
+                sims = np.round(m @ m[:, :].T[:, s : s + slab], 6)
+                cols = np.arange(s, min(s + slab, n))[None, :]
+                valid = (sims >= threshold) & (rows < cols)
+                has = valid.any(axis=0)
+                first = valid.argmax(axis=0)
+                dup_of[s : s + slab][has] = first[has]
+        dups = dup_of >= 0
+        return pd.DataFrame(
+            {
+                "vid": vids,
+                "cluster": np.repeat(key[0], n),
+                "dup_of": pd.Series(
+                    [vids[i] if i >= 0 else None for i in dup_of],
+                    dtype=object,
+                ),
+                "kept": ~dups,
+            }
         )
-        .filter(F.col("cos_sim") >= threshold)
-        .groupBy(F.col("vb").alias("vid"))
-        .agg(F.min("va").alias("dup_of"))
-    )
+
     return (
-        assigned.select("vid", "cluster")
-        .join(dup, "vid", "left")
-        .select(
-            "vid",
-            "cluster",
-            "dup_of",
-            F.col("dup_of").isNull().alias("kept"),
-        )
+        assigned.groupBy("cluster")
+        .applyInPandas(cluster_dups, out_schema)
         .orderBy("vid")
     )
 

@@ -454,23 +454,28 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     dumps overlap before it decides mixture weights or dedup priority.
 
     Scale shape: map-only shingling keyed by SOURCE (shingle_relation
-    with id_col="source"), ONE shuffle on the shingle hash to collect
-    each shingle's source set — bounded by the source count, not the
-    corpus — then pairs are expanded array-side from the sorted set
-    (s·(s−1)/2 per shingle, s = #sources carrying it) and counted with a
-    partial agg on the pair key. Output cardinality is ≤ sources²/2
-    rows; nothing document-quadratic exists anywhere. The per-source
-    totals join is a broadcast (one row per source)."""
+    with id_col="source"), ONE corpus-sized shuffle — the shingle-keyed
+    collect_set, which dedups (source, shingle) itself, so no separate
+    distinct pass exists — then pairs are expanded array-side from the
+    sorted set (s·(s−1)/2 per shingle, s = #sources carrying it) and
+    counted with a partial agg on the pair key; per-source totals come
+    from EXPLODING the collected sets (a shingle-vocabulary-sized
+    relation, not the corpus) and join back as broadcasts. Output
+    cardinality is ≤ sources²/2 rows; nothing document-quadratic exists
+    anywhere."""
     from hdfs_mapreduce_spark.operators.dedup import shingle_relation
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    inv = shingle_relation(docs, "source", "text").distinct()
-    totals = inv.groupBy("doc").agg(F.count(F.lit(1)).alias("tot"))
-    per_sh = (
-        inv.groupBy("x")
-        .agg(F.array_sort(F.collect_set("doc")).alias("srcs"))
-        .filter(F.size("srcs") >= 2)
+    inv = shingle_relation(docs, "source", "text")
+    sets = inv.groupBy("x").agg(
+        F.array_sort(F.collect_set("doc")).alias("srcs")
     )
+    totals = (
+        sets.select(F.explode("srcs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("tot"))
+    )
+    per_sh = sets.filter(F.size("srcs") >= 2)
     pairs = per_sh.select(
         F.explode(
             F.flatten(

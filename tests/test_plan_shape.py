@@ -506,12 +506,16 @@ def test_overlap_matrix_array_side_pairs_broadcast_totals(spark):
 
 
 def test_semantic_dedup_cluster_bucketed_no_cartesian(spark):
-    """SemDeDup's pair search must be an equi-join on the cluster id
-    (quadratic only within a cluster; k is the knob) — never a cartesian
-    or broadcast-nested-loop over the corpus."""
+    """SemDeDup's pair search is ONE grouped-dgemm kernel per cluster
+    (quadratic only within a cluster; k is the knob): a single
+    FlatMapGroupsInPandas over the cluster-keyed exchange, and no join
+    of any kind — the first-cut pair self-join moved every vector twice
+    through a shuffle and measured 4.6x the oracle."""
     plan = plan_of(QUERIES["dedup_semantic"](spark, SF), "simple")
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin",
+               "SortMergeJoin", "BroadcastHashJoin"):
+        assert op not in plan, (op, plan)
 
 
 def test_crosscheck_bucketed_no_allpairs_dgemm(spark):

@@ -127,26 +127,56 @@ def main() -> None:
         if oracle_total > 0:
             out["spark_vs_oracle_ratio"] = round(matched / oracle_total, 3)
     delta = _delta_vs_prev(timings, sf)
+    full = dict(out)
     if delta:
-        out["delta_vs_prev"] = delta
+        full["delta_vs_prev"] = delta
     if oracle:
-        out["oracle_sec"] = oracle
-    out["queries"] = timings
-    line = json.dumps(out)
-    print(line)
-    # Standalone copy: the driver's wrapper truncates long stdout tails,
-    # which lost r2's per-query timings and broke the next round's
-    # _delta_vs_prev. The file survives wrapping and is what
-    # _delta_vs_prev prefers when present. Skipped for subset runs so a
-    # scale smoke can't clobber the full-registry snapshot.
+        full["oracle_sec"] = oracle
+    full["queries"] = timings
+    # Standalone copy FIRST: the driver's wrapper records only the last
+    # ~2000 chars of stdout, which lost r2-r4's per-query timings and
+    # broke _delta_vs_prev. The file carries the complete payload
+    # (queries + oracle_sec + delta_vs_prev) and is what _delta_vs_prev
+    # prefers when present. Skipped for subset runs so a scale smoke
+    # can't clobber the full-registry snapshot.
     if not only:
         try:
             here = os.path.dirname(os.path.abspath(__file__))
             with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
-                f.write(line + "\n")
+                f.write(json.dumps(full) + "\n")
         except OSError:
             pass
+    # The printed line must survive the wrapper's 2000-char stdout tail
+    # to be machine-readable in BENCH_r{N}.json ("parsed" was null r2-r4
+    # because 100+ query timings overflow any tail). Budget the queries
+    # section slowest-first — the entries a regression reader needs —
+    # and point at BENCH_LOCAL.json for the rest.
+    print(_fit_line(out, timings, budget=1900))
     spark.stop()
+
+
+def _fit_line(
+    out: dict, timings: dict[str, float], budget: int = 1900
+) -> str:
+    """One JSON line ≤ budget chars: all aggregate keys, then as many
+    per-query timings as fit, slowest first (failures, -1.0, lead so they
+    are never silently dropped)."""
+    ranked = sorted(timings.items(), key=lambda kv: (kv[1] >= 0, -kv[1]))
+    out = dict(out)
+    out["n_queries"] = len(timings)
+    out["full_payload"] = "BENCH_LOCAL.json"
+    keep = len(ranked)
+    while keep >= 0:
+        out["queries"] = dict(ranked[:keep])
+        out["queries_omitted"] = len(ranked) - keep
+        line = json.dumps(out)
+        if len(line) <= budget:
+            return line
+        # Overshoot is proportional to entry size (~30 chars each):
+        # jump close, then step down.
+        over = len(line) - budget
+        keep -= max(1, over // 40)
+    return json.dumps(out)
 
 
 def _time_oracles(

@@ -176,6 +176,11 @@ def _fit_line(
         # jump close, then step down.
         over = len(line) - budget
         keep -= max(1, over // 40)
+    # Loop exhausted: even keep=0 is over budget (aggregate keys alone
+    # exceed it). Return the minimal keep=0 form, not the last over-budget
+    # line (whose "queries" dict was built with the previous, larger keep).
+    out["queries"] = {}
+    out["queries_omitted"] = len(ranked)
     return json.dumps(out)
 
 

@@ -109,6 +109,15 @@ def _plugin_dir() -> str:
     global _PLUGIN_DIR
     if _PLUGIN_DIR is None or not os.path.isdir(_PLUGIN_DIR):
         _PLUGIN_DIR = tempfile.mkdtemp(prefix="spark_graft_plugins_")
+        # Remove on interpreter exit so repeated driver processes don't
+        # accumulate plugin copies in /tmp. Registered per directory (the
+        # dir is re-created if deleted out-of-band, and each incarnation
+        # needs its own cleanup); rmtree of an already-gone path is a
+        # no-op under ignore_errors.
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, _PLUGIN_DIR, ignore_errors=True)
     return _PLUGIN_DIR
 
 

@@ -59,19 +59,33 @@ ORACLE_SQL = {
 # The driver verifies this many leading registry entries per round.
 DRIVER_WINDOW = 50
 
-# Queries whose DEFINITION (plan or oracle) changed after their most
-# recent green CORRECTNESS row: a historical green row certifies the OLD
-# definition, so these sort as never-verified until the driver hashes the
-# new form. Maintained by hand at each semantic change; entries are
-# removed once a new green row lands (they become ordinary history).
-#   r5: dedup_lsh_recall — exact side switched to the capped jaccard
-#       relation (new oracle twin); dedup_simhash_pairs — pair dedup
-#       switched from first-band-wins to post-filter distinct (same
-#       declared relation, new executed plan); dedup_crosscheck — text
-#       side switched to the capped jaccard relation (sf3 smoke showed
-#       the uncapped audit inheriting the quadratic side, same fix as
-#       dedup_lsh_recall).
-REVERIFY = {"dedup_lsh_recall", "dedup_simhash_pairs", "dedup_crosscheck"}
+# Queries whose DEFINITION (plan or executed machinery) changed during a
+# given round: a green CORRECTNESS row from an EARLIER round certifies the
+# old definition, so it must not count — the query sorts as never-verified
+# until the driver hashes the new form. Entries are SELF-EXPIRING
+# (``name: round_changed``): green rows with round >= round_changed count
+# normally (the round-N driver gate runs after round N's build, so an
+# r>=N row certifies the new definition), and once one lands the entry is
+# inert history — no hand-pruning needed, no window slots consumed
+# (round-4 ADVICE: the previous set form pinned entries as never-verified
+# forever once their new green rows landed).
+#   r5 (all three re-passed in CORRECTNESS_r05 — now inert):
+#       dedup_lsh_recall — exact side switched to the capped jaccard
+#       relation; dedup_simhash_pairs — pair dedup switched to post-filter
+#       distinct; dedup_crosscheck — text side capped.
+#   r6: dedup_semantic — cluster count is now scale-adaptive with a
+#       cluster-size-cap split (same relation at sf0.01, new executed
+#       plan); stream_upsert_snapshot / stream_dedup_admitted — versioned
+#       state management ported from os.* to the Hadoop FS API (same
+#       relations, new state machinery).
+REVERIFY = {
+    "dedup_lsh_recall": 5,
+    "dedup_simhash_pairs": 5,
+    "dedup_crosscheck": 5,
+    "dedup_semantic": 6,
+    "stream_upsert_snapshot": 6,
+    "stream_dedup_admitted": 6,
+}
 
 
 def _row_is_green(name: str, row: object) -> bool:
@@ -115,8 +129,12 @@ def last_green_rounds(repo_root: Path | None = None) -> dict[str, int]:
         for name, row in data.items():
             if _row_is_green(name, row):
                 out[name] = max(out.get(name, rnd), rnd)
-    for name in REVERIFY:
-        out.pop(name, None)
+    for name, changed_round in REVERIFY.items():
+        # Self-expiring: only green rows PREDATING the definition change
+        # are discarded; a row from the change round or later certifies
+        # the new definition and the entry becomes inert history.
+        if out.get(name, changed_round) < changed_round:
+            out.pop(name, None)
     return out
 
 

@@ -45,6 +45,7 @@ lets it run forever.
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
 import tempfile
@@ -58,18 +59,20 @@ STREAM_TIMEOUT_SEC = 600
 
 # Unique per-invocation scratch suffix: a re-invocation (fresh RAW call in
 # the same session) must never point a fresh checkpoint at an existing
-# state/sink directory.
-_INVOCATION = 0
+# state/sink directory. itertools.count's __next__ is a single C call —
+# atomic under the GIL — so two threads building streaming plans
+# concurrently can never draw the same suffix (a bare ``global += 1``
+# races between the read and the write).
+_INVOCATION = itertools.count(1)
 
 
 def _scratch(spark: SparkSession, name: str, sf_dir: str) -> str:
     from hdfs_mapreduce_spark.operators.materialize import session_scratch_dir
 
-    global _INVOCATION
-    _INVOCATION += 1
     d = os.path.join(
         session_scratch_dir(spark),
-        f"stream_{name}_{os.path.basename(sf_dir.rstrip('/'))}_{_INVOCATION}",
+        f"stream_{name}_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{next(_INVOCATION)}",
     )
     os.makedirs(d, exist_ok=True)
     return d
@@ -309,9 +312,14 @@ def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
             part_dir
         )
         pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
-        shutil.copyfile(
-            os.path.join(part_dir, pf), os.path.join(src, f"part-{i}.parquet")
-        )
+        dst = os.path.join(src, f"part-{i}.parquet")
+        shutil.copyfile(os.path.join(part_dir, pf), dst)
+        # FileStreamSource orders by mtime with filesystem-listing order as
+        # the tie-break; copyfile stamps "now" at millisecond granularity,
+        # so back-to-back copies could tie and reorder the 0->1->2 batch
+        # sequence the oracle's three-round unroll pins. Stamp strictly
+        # increasing mtimes explicitly.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     stream_in = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

@@ -96,6 +96,50 @@ def test_failed_rows_do_not_count_as_green(tmp_path):
     assert order[:2] == ["hash_fail_q", "err_q"]
 
 
+def test_reverify_entries_self_expire():
+    """A REVERIFY entry discards only green rows PREDATING its declared
+    change round; a row from that round or later certifies the new
+    definition, so the entry goes inert instead of pinning the query as
+    never-verified forever (round-5 ADVICE: the previous set form consumed
+    window slots indefinitely once the new green rows landed)."""
+    import hdfs_mapreduce_spark.plans as plans_mod
+
+    # Every current r5-declared entry has its r5 green row in history, so
+    # none of them may still be suppressed.
+    green = last_green_rounds(ROOT)
+    for name, changed in plans_mod.REVERIFY.items():
+        if name in green:
+            assert green[name] >= changed, (
+                f"{name}: green row r{green[name]} predates its REVERIFY "
+                f"round r{changed} but survived the filter"
+            )
+    # Synthetic check of both directions on a scratch history.
+    assert {"dedup_lsh_recall", "dedup_simhash_pairs",
+            "dedup_crosscheck"} <= set(plans_mod.REVERIFY)
+    assert green.get("dedup_lsh_recall") == 5  # r5 row counts (changed r5)
+
+
+def test_reverify_discards_only_stale_rows(tmp_path, monkeypatch):
+    import hdfs_mapreduce_spark.plans as plans_mod
+
+    row = {"rows_match": True, "schema_match": True,
+           "hash_match": True, "err": None}
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({"changed_q": row, "fresh_q": row})
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps({"fresh_q": row})
+    )
+    monkeypatch.setattr(
+        plans_mod, "REVERIFY", {"changed_q": 5, "fresh_q": 5}
+    )
+    green = last_green_rounds(tmp_path)
+    # changed_q's only row (r4) predates the r5 change → suppressed;
+    # fresh_q's r5 row certifies the new definition → kept.
+    assert "changed_q" not in green
+    assert green["fresh_q"] == 5
+
+
 def test_coverage_manifest_matches_registry():
     import sys
 

@@ -674,3 +674,30 @@ def test_stream_dedup_ingest_admits_exactly_the_sequential_result(spark):
         assert again == got
     for t in thirds:
         t.unpersist()
+
+
+def test_concurrent_scratch_dirs_never_collide(spark):
+    """plans/streaming_plans._scratch draws its per-invocation suffix from
+    itertools.count (GIL-atomic next()); two threads building streaming
+    plans concurrently must get distinct scratch dirs (round-5 verdict:
+    the previous bare ``global += 1`` could race between read and
+    write)."""
+    import threading
+
+    from hdfs_mapreduce_spark.plans.streaming_plans import _scratch
+
+    dirs: list[str] = []
+    lock = threading.Lock()
+
+    def build():
+        got = [_scratch(spark, "racecheck", SF) for _ in range(50)]
+        with lock:
+            dirs.extend(got)
+
+    threads = [threading.Thread(target=build) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(dirs) == 200
+    assert len(set(dirs)) == 200, "scratch suffix collision across threads"

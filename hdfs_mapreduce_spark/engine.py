@@ -60,15 +60,18 @@ class Engine:
 
     # --- Hadoop FS plumbing ----------------------------------------------------
     def _jpath(self, path_str: str):
-        return self.spark._jvm.org.apache.hadoop.fs.Path(path_str)
+        from hdfs_mapreduce_spark.sources import fs as hfs
+
+        return hfs.jpath(self.spark, path_str)
 
     def _fs_path(self, path_str: str):
         """(FileSystem, Path) for any URI the Hadoop conf can resolve —
         LocalFileSystem for bare paths, DistributedFileSystem for hdfs://,
-        the object-store connectors for s3a:// etc."""
-        path = self._jpath(path_str)
-        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return fs, path
+        the object-store connectors for s3a:// etc. (shared implementation:
+        sources/fs.py, which the streaming state dirs also use)."""
+        from hdfs_mapreduce_spark.sources import fs as hfs
+
+        return hfs.fs_and_path(self.spark, path_str)
 
     def _path(self, name: str) -> str:
         return f"{self.warehouse.rstrip('/')}/{name}"

@@ -259,7 +259,7 @@ def stream_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         None,
         os.path.join(root, "ckpt"),
     )
-    versions = _state_versions(state)
+    versions = _state_versions(spark, state)
     mg = spark.read.parquet(os.path.join(state, versions[-1][2]))
     exact = (
         load_table(spark, sf_dir, "events")

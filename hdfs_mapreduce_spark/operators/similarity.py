@@ -99,6 +99,7 @@ def ann_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_filter: Column | None = None,
+    max_pairs: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query id (queries come from the
     same table; self-matches excluded). Broadcast(query rows) × corpus scan →
@@ -108,7 +109,14 @@ def ann_topk_bruteforce(
     metadata predicate + vector ranking) — the filter sits against the
     corpus scan, so at 100 TB a selective predicate prunes row groups
     before a single dot product runs; query vectors still come from the
-    unfiltered table."""
+    unfiltered table.
+
+    This is the EXACT baseline the ANN twins (``ann_topk_lsh``,
+    ``ann_topk_ivf``) are recall-audited against: linear in the corpus
+    but multiplied by the query count. ``max_pairs`` bounds
+    |filtered corpus| × |queries| with a count probe
+    (operators/guards.py) — the declared queries pass the documented
+    bound; None leaves the raw operator unguarded."""
     queries = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
@@ -117,6 +125,16 @@ def ann_topk_bruteforce(
         if corpus_filter is not None
         else embeddings
     )
+    if max_pairs is not None and query_ids:
+        from hdfs_mapreduce_spark.operators.guards import guard_exact_input
+
+        guard_exact_input(
+            corpus_src,
+            max_pairs // max(len(query_ids), 1),
+            "ann_topk_bruteforce",
+            "ann_topk_lsh (Hamming buckets) or ann_topk_ivf (coarse-cell "
+            "pruning)",
+        )
     corpus = corpus_src.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
     )
@@ -371,8 +389,17 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_blocks: int = 8,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup: all pairs with cosine ≥ threshold, id_a < id_b.
+
+    This is the EXACT all-pairs baseline — O(N²) dot products by
+    construction. Declared queries that consume it pass the
+    ``operators/guards.py`` bound via ``max_rows`` (count-probe, raises
+    ExactScaleError with a pointer to the sublinear twins: banded LSH
+    ``minhash_pairs``, PQ-bucket ``dedup_crosscheck_bucketed``, SemDeDup
+    ``semantic_dedup``); the default None keeps the raw operator
+    unguarded for bounded slices a caller already vouches for.
 
     Block-partitioned matmul: vectors are assigned to ``n_blocks`` blocks by
     id; every unordered block pair (i ≤ j) becomes one Arrow group whose
@@ -387,6 +414,15 @@ def cosine_pairs(
     definitional value is pinned at the precision the driver hashes."""
     import pandas as pd
 
+    from hdfs_mapreduce_spark.operators.guards import guard_exact_input
+
+    guard_exact_input(
+        embeddings,
+        max_rows,
+        "cosine_pairs",
+        "minhash_pairs (banded LSH), dedup_crosscheck_bucketed (PQ "
+        "buckets), or semantic_dedup (SemDeDup clusters)",
+    )
     blk = (F.col(id_col) % n_blocks).cast("int")
     e = embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), blk.alias("blk")

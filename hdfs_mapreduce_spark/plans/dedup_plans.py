@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_mapreduce_spark.functions.hashing import MERSENNE_31, h56_sql
+from hdfs_mapreduce_spark.operators.guards import NGRAM_UNCAPPED_MAX_ROWS
 from hdfs_mapreduce_spark.operators.dedup import (
     BAND_BITS,
     DUPSPAN_K,
@@ -122,7 +123,10 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    return ngram_jaccard_pairs(docs, "doc_id", "text", NGRAM_THRESHOLD)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", NGRAM_THRESHOLD,
+        max_rows=NGRAM_UNCAPPED_MAX_ROWS,
+    )
 
 
 def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from hdfs_mapreduce_spark.functions.hashing import h56_sql
+from hdfs_mapreduce_spark.operators.guards import (
+    ANN_BRUTE_MAX_PAIRS,
+    EXACT_PAIRS_MAX_ROWS,
+)
 from hdfs_mapreduce_spark.operators.similarity import (
     KMEANS_K,
     N_PLANES,
@@ -62,7 +66,9 @@ def _cos(a: str, b: str) -> str:
 
 def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_topk_bruteforce(emb, QUERY_IDS, TOP_K)
+    return ann_topk_bruteforce(
+        emb, QUERY_IDS, TOP_K, max_pairs=ANN_BRUTE_MAX_PAIRS
+    )
 
 
 def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,6 +121,7 @@ def ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_bruteforce(
         emb, QUERY_IDS, TOP_K,
         corpus_filter=F.col("label") == ANN_FILTER_LABEL,
+        max_pairs=ANN_BRUTE_MAX_PAIRS,
     )
 
 
@@ -233,7 +240,7 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs(emb, PAIR_THRESHOLD)
+    return cosine_pairs(emb, PAIR_THRESHOLD, max_rows=EXACT_PAIRS_MAX_ROWS)
 
 
 def _crosscheck_report(epairs: DataFrame, tpairs: DataFrame) -> DataFrame:
@@ -293,7 +300,9 @@ def dedup_crosscheck(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
-    epairs = cosine_pairs(emb, PAIR_THRESHOLD).select(
+    epairs = cosine_pairs(
+        emb, PAIR_THRESHOLD, max_rows=EXACT_PAIRS_MAX_ROWS
+    ).select(
         F.col("vec_a").alias("ea"), F.col("vec_b").alias("eb"), "cos_sim"
     )
     return _crosscheck_report(epairs, _capped_jaccard_pairs(spark, sf_dir))

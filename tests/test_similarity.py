@@ -431,3 +431,75 @@ def test_hash_embeddings_behave_like_embeddings(spark):
     cells = hash_embed_cells(docs, "doc_id", "text").collect()
     assert len(cells) == 4 * HASH_EMBED_DIM
     assert all(float(r["val"]).is_integer() for r in cells)
+
+
+def test_adaptive_k_floor_scaling_and_cap():
+    """k = max(8, min(ceil(N/target), model cap)): every oracle fixture
+    (N <= 8*1024) resolves to exactly 8 — the pinned plan the DuckDB twin
+    unrolls — and beyond that k tracks corpus size so cluster size stays
+    ~target instead of ~N/8 (round-5 verdict item 1)."""
+    from hdfs_mapreduce_spark.operators.similarity import (
+        SEMANTIC_MODEL_CAP,
+        _adaptive_k,
+    )
+
+    assert _adaptive_k(0) == 8
+    assert _adaptive_k(500) == 8        # sf0.01 embeddings
+    assert _adaptive_k(2_000) == 8      # sf0.1 embeddings
+    assert _adaptive_k(8 * 1024) == 8   # floor boundary
+    assert _adaptive_k(8 * 1024 + 1) == 9
+    assert _adaptive_k(60_000) == 59    # sf3 fixture
+    assert _adaptive_k(10**9) == SEMANTIC_MODEL_CAP
+    # raising target at extreme scale lowers k back under the cap
+    assert _adaptive_k(10**11, target_cluster_rows=10**6) == SEMANTIC_MODEL_CAP
+    assert _adaptive_k(10**11, target_cluster_rows=2 * 10**6) == 50_000
+
+
+def test_semantic_dedup_adaptive_equals_pinned_k_on_small_corpus(spark):
+    """At N=500 the adaptive path must resolve to k=8 with zero splits —
+    the exact relation the declared oracle pins."""
+    from hdfs_mapreduce_spark.operators.similarity import semantic_dedup
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    adaptive = semantic_dedup(emb, None, 0.4).collect()
+    pinned = semantic_dedup(emb, 8, 0.4, max_cluster_rows=None).collect()
+    assert adaptive == pinned
+    assert len(adaptive) == 500
+
+
+def test_semantic_dedup_splits_oversized_clusters(spark):
+    """Seed collapse (k=1 forces everything into one cluster) must be
+    repaired by the recursive size-cap split: final clusters respect the
+    cap, labels stay member ids, every row appears exactly once, and
+    dup_of still points at a same-cluster lower id."""
+    from hdfs_mapreduce_spark.operators.similarity import semantic_dedup
+
+    # 120 vectors on a 2-d grid — all distinct directions, no near-dups
+    # at threshold 0.999 except planted pairs 100/101 (parallel vectors)
+    rows = [(i, [1.0 + (i % 12), 1.0 + (i // 12) * 7.0]) for i in range(100)]
+    rows += [(100, [50.0, 1.0]), (101, [100.0, 2.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(
+        emb,
+        k=1,
+        threshold=0.9999,
+        target_cluster_rows=10,
+        max_cluster_rows=25,
+    ).collect()
+    assert sorted(r["vid"] for r in out) == list(range(102))
+    sizes: dict = {}
+    cluster_of = {}
+    for r in out:
+        sizes[r["cluster"]] = sizes.get(r["cluster"], 0) + 1
+        cluster_of[r["vid"]] = r["cluster"]
+    assert max(sizes.values()) <= 25, sizes
+    assert len(sizes) > 1
+    # labels are member ids of their own cluster
+    for label in sizes:
+        assert cluster_of[label] == label
+    # dedup semantics survive the split: dup_of is a same-cluster lower id
+    for r in out:
+        if r["dup_of"] is not None:
+            assert r["dup_of"] < r["vid"]
+            assert cluster_of[r["dup_of"]] == r["cluster"]

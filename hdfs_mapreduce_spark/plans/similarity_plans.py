@@ -354,6 +354,82 @@ def dedup_crosscheck_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _crosscheck_report(epairs, _capped_jaccard_pairs(spark, sf_dir))
 
 
+PCA_K = 8
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle population covariance of the embedding column
+    (operators/embedding_stats.py covariance_long): ONE mapInPandas pass
+    of BLAS partials (XᵀX, Σx, n per task) reduced by a 2,080-row
+    groupBy-sum — the shuffle is O(dim²) per task regardless of corpus
+    size. The whitening/PCA input every embedding pipeline computes."""
+    from hdfs_mapreduce_spark.operators.embedding_stats import (
+        covariance_long,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return covariance_long(emb, EMB_DIM)
+
+
+def embedding_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA fit certified by its mathematical invariants: top-k
+    eigendecomposition of the distributed covariance, audited as one row
+    (dim, k, total_var, eigs_descending, orthonormal, trace_matches,
+    proj_var_matches). total_var enters the hash as data (trace of the
+    6dp-rounded covariance — the oracle recomputes it from the raw
+    table); the booleans certify, against REAL distributed computation,
+    that eigenvalues come out descending, components are orthonormal,
+    eigenvalue sum equals the trace, and the variance of each projected
+    coordinate (a second corpus pass through pca_project) equals its
+    eigenvalue. Engine-specific eigenvector signs/values never enter the
+    hash — the same audit-oracle pattern as stream_heavy_hitters_audit."""
+    import numpy as np
+
+    from hdfs_mapreduce_spark.operators.embedding_stats import (
+        _covariance_matrix,
+        _eig_from_cov,
+        pca_project,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cov = _covariance_matrix(emb, EMB_DIM)
+    comps, vals = _eig_from_cov(cov, PCA_K)
+    eigs_descending = bool(np.all(np.diff(vals) <= 1e-12))
+    orthonormal = bool(
+        np.max(np.abs(comps @ comps.T - np.eye(PCA_K))) < 1e-9
+    )
+    trace_matches = bool(abs(vals.sum() - np.trace(cov)) < 1e-6)
+    stats = (
+        pca_project(emb, comps)
+        .select(F.posexplode("proj").alias("c", "p"))
+        .groupBy("c")
+        .agg(F.avg("p").alias("m"), F.avg(F.col("p") * F.col("p")).alias("m2"))
+        .collect()
+    )
+    proj_var = {r["c"]: r["m2"] - r["m"] * r["m"] for r in stats}
+    proj_var_matches = bool(
+        len(proj_var) == PCA_K
+        and all(abs(proj_var[c] - vals[c]) < 1e-3 for c in range(PCA_K))
+    )
+    return spark.createDataFrame(
+        [
+            (
+                EMB_DIM,
+                PCA_K,
+                round(float(np.trace(cov)), 4),
+                eigs_descending,
+                orthonormal,
+                trace_matches,
+                proj_var_matches,
+            )
+        ],
+        "dim int, k int, total_var double, eigs_descending boolean, "
+        "orthonormal boolean, trace_matches boolean, "
+        "proj_var_matches boolean",
+    )
+
+
 def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column, one row per (label, dim).
 
@@ -410,6 +486,8 @@ QUERIES = {
     "ann_bruteforce": ann_bruteforce,
     "ann_filtered": ann_filtered,
     "embedding_centroids": embedding_centroids,
+    "embedding_covariance": embedding_covariance,
+    "embedding_pca_audit": embedding_pca_audit,
     "embedding_quantize": embedding_quantize,
     "ann_lsh": ann_lsh,
     "ann_ivf": ann_ivf,
@@ -743,6 +821,50 @@ def _text_hash_ann_sql() -> str:
 
 
 ORACLE_SQL = {
+    # population covariance recomputed from the raw table: E[x_i x_j] −
+    # E[x_i]E[x_j], 1-based array index shifted to the 0-based relation
+    "embedding_covariance": f"""
+        WITH m AS (
+            SELECT i, AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)) AS mean_i
+            FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) t(i)
+            GROUP BY i
+        ),
+        s AS (
+            SELECT ti.i AS i, tj.j AS j,
+                   AVG(CAST(embedding[CAST(ti.i AS INT)] AS DOUBLE)
+                       * CAST(embedding[CAST(tj.j AS INT)] AS DOUBLE)) AS exx
+            FROM embeddings,
+                 UNNEST(generate_series(1, {EMB_DIM})) ti(i),
+                 UNNEST(generate_series(1, {EMB_DIM})) tj(j)
+            WHERE ti.i <= tj.j
+            GROUP BY 1, 2
+        )
+        SELECT CAST(s.i - 1 AS INT) AS i, CAST(s.j - 1 AS INT) AS j,
+               ROUND(s.exx - mi.mean_i * mj.mean_i, 6) + 0.0 AS cov
+        FROM s JOIN m mi ON mi.i = s.i JOIN m mj ON mj.i = s.j
+        ORDER BY i, j
+    """,
+    # PCA invariants: total_var is data (trace of the 6dp-rounded
+    # covariance, summed in the same ascending-diagonal order); the
+    # booleans pin the invariant outcomes, never engine-specific
+    # eigenvector values — the stream_heavy_hitters_audit pattern.
+    "embedding_pca_audit": f"""
+        WITH v AS (
+            SELECT i,
+                   ROUND(AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                             * CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+                         - AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+                           * AVG(CAST(embedding[CAST(i AS INT)] AS DOUBLE)),
+                         6) AS var_i
+            FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) t(i)
+            GROUP BY i
+        )
+        SELECT CAST({EMB_DIM} AS INT) AS dim, CAST(8 AS INT) AS k,
+               ROUND(SUM(var_i ORDER BY i), 4) AS total_var,
+               TRUE AS eigs_descending, TRUE AS orthonormal,
+               TRUE AS trace_matches, TRUE AS proj_var_matches
+        FROM v
+    """,
     "text_hash_embeddings": f"""
         WITH {_hash_embed_ctes()}
         SELECT doc, dim, val FROM dense ORDER BY doc, dim

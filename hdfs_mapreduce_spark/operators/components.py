@@ -286,3 +286,73 @@ def canonical_assignment(
         F.col("node").alias(node_col),
         F.coalesce("label", "node").alias("canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list: ``iters``
+    rounds of
+
+        rank(v) = (1 - d)/N + d * Σ_{u → v} rank(u) / out_degree(u)
+
+    from the uniform start, returned as (node, rank) over every node
+    that appears in the edge list. In a curation pipeline this is the
+    centrality pass over a similarity/link graph — which documents are
+    hubs of a near-dup neighborhood, which domains dominate a link
+    graph — the weighting signal web-scale corpus work feeds into
+    sampling (contrast connected_components, which only partitions).
+
+    Scale shape: per round one join of ranks onto edge sources (shuffle
+    keyed on src, or free if the edge list is pre-bucketed by src), one
+    groupBy-sum keyed on dst with map-side partials, and a broadcast-size
+    constant term; the rank relation is one row per node. The declared
+    instance unrolls a FIXED ``iters`` as a pure plan — no caching, the
+    components-operator contract — which Catalyst serves with a
+    ReusedExchange for the repeated edge scan; for deep iteration counts
+    switch to the localCheckpoint loop-driver pattern
+    (connected_components above) or materialize ranks per round.
+    Dangling nodes (no out-edges) keep their mass out of circulation —
+    acceptable for symmetric similarity graphs, where they cannot occur
+    (every edge is bidirectional, so every node has out-degree ≥ 1).
+
+    Determinism: the arithmetic is the same expression tree on both
+    engines; only float SUM order differs (~1e-16 relative per round),
+    so consumers pin results by rounding — the declared query rounds to
+    6 decimals, far above the drift."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # one bounded probe: N is the uniform-start constant
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).alias("c"),
+            )
+        )
+        summed = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(summed, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks

@@ -222,6 +222,47 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+PAGERANK_ITERS = 3
+PAGERANK_DAMPING = 0.85
+
+
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centrality over the near-dup similarity graph: 3 power-iteration
+    PageRank rounds (operators/components.py pagerank) on the
+    symmetrized MinHash pair relation — which documents are hubs of a
+    duplicate neighborhood, the weighting signal corpus-curation
+    sampling consumes (contrast dedup_components, which only partitions
+    the graph). Edges are materialized once (the components module's
+    100 TB pattern) so the three unrolled rounds scan a tiny parquet
+    table; the oracle unrolls the identical three rounds as chained
+    CTEs over the same pair SQL. Ranks are rounded to 6 decimals (the
+    only engine difference is float SUM order, ~1e-16 relative)."""
+    import os
+
+    from hdfs_mapreduce_spark.operators.components import pagerank
+    from hdfs_mapreduce_spark.operators.materialize import (
+        materialize_minhash_pairs,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    pairs = materialize_minhash_pairs(
+        docs,
+        "doc_id",
+        "text",
+        MINHASH_THRESHOLD,
+        name=f"pagerank_edges_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    pr = pagerank(edges, iters=PAGERANK_ITERS, damping=PAGERANK_DAMPING)
+    return pr.select(
+        "node", (F.round("rank", 6) + F.lit(0.0)).alias("rank")
+    ).orderBy("node")
+
+
 def dedup_components_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The O(log n)-round star-contraction variant of dedup_components
     (operators/components.py connected_components_logrounds — alternating
@@ -541,6 +582,7 @@ QUERIES = {
     "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
+    "graph_pagerank": graph_pagerank,
     "dedup_components_logrounds": dedup_components_logrounds,
     "dedup_keep_best": dedup_keep_best,
     "dataset_split_safe": dataset_split_safe,
@@ -1004,3 +1046,55 @@ for _k in (
 
 # Composed after the dict exists: reuses the two pair oracles verbatim.
 ORACLE_SQL["dedup_lsh_recall"] = _lsh_recall_sql()
+
+
+def _pagerank_sql(
+    iters: int = PAGERANK_ITERS, damping: float = PAGERANK_DAMPING
+) -> str:
+    """Unrolled power iteration over the minhash pair graph — the exact
+    three rounds the Spark plan runs, as chained CTEs over the verified
+    pair oracle (composition pattern of _lsh_recall_sql). The damping
+    expression is written identically on both engines ((1.0 - d)/n,
+    d * COALESCE(SUM(...), 0.0)) so only SUM order can differ."""
+    pairs = ORACLE_SQL["dedup_minhash_pairs"]
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""r{i} AS (
+            SELECT nd.node,
+                   (1.0 - {damping}) / (SELECT n FROM nn)
+                   + {damping} * COALESCE(SUM(r.rank / d.d), 0.0) AS rank
+            FROM nodes nd
+            LEFT JOIN edges e ON e.dst = nd.node
+            LEFT JOIN r{i - 1} r ON r.node = e.src
+            LEFT JOIN deg d ON d.src = e.src
+            GROUP BY nd.node
+        )"""
+        )
+    chained = ",\n        ".join(rounds)
+    return f"""
+        WITH pairs AS ({pairs}),
+        nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT doc_a AS node FROM pairs
+                UNION ALL SELECT doc_b AS node FROM pairs
+            )
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM edges GROUP BY src
+        ),
+        r0 AS (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        ),
+        {chained}
+        SELECT node, ROUND(rank, 6) + 0.0 AS rank
+        FROM r{iters} ORDER BY node
+    """
+
+
+ORACLE_SQL["graph_pagerank"] = _pagerank_sql()

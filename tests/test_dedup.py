@@ -469,3 +469,44 @@ def test_logrounds_components_match_union_find(spark):
     }
     want = union_find_labels(sids)
     assert got == want
+
+
+def test_pagerank_matches_hand_computation_and_conserves_mass(spark):
+    """3-round power iteration on a 4-node path graph (symmetrized):
+    ranks must match the closed-form rounds computed by hand in numpy,
+    sum to 1 every round (no dangling mass on a symmetric graph), and
+    order hubs above leaves."""
+    import numpy as np
+
+    from hdfs_mapreduce_spark.operators.components import pagerank
+
+    # path 0-1-2-3, symmetrized
+    und = [(0, 1), (1, 2), (2, 3)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+
+    # hand computation
+    n, d = 4, 0.85
+    adj = np.zeros((n, n))
+    for a, b in und:
+        adj[a, b] = adj[b, a] = 1.0
+    out_deg = adj.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(3):
+        r = (1 - d) / n + d * (adj.T @ (r / out_deg))
+    for v in range(n):
+        assert abs(got[v] - r[v]) < 1e-12, (v, got[v], r[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # middle nodes are hubs
+    assert got[1] > got[0] and got[2] > got[3]
+    # symmetry of the path: 0~3 and 1~2
+    assert abs(got[0] - got[3]) < 1e-12 and abs(got[1] - got[2]) < 1e-12
+
+
+def test_pagerank_empty_graph(spark):
+    from hdfs_mapreduce_spark.operators.components import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(edges, iters=2).count() == 0

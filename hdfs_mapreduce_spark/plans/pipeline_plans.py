@@ -240,6 +240,30 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id", "win_idx")
 
 
+ZORDER_MASK = 65536
+
+
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-values over (user_id, event_id) — the clustering key of
+    the multi-column data-layout operator (operators/layout.py
+    zorder_layout, the lakehouse OPTIMIZE ZORDER BY). The declared
+    relation is the curve key itself, computed as a pure Catalyst
+    shift/mask OR-fold whose DuckDB twin is generated from the same
+    term list (zvalue_sql) — byte-identical integers certify the curve;
+    the FILE-level pruning effect (narrow per-file min/max on BOTH
+    columns) is mechanical and proven against pyarrow row-group stats
+    in tests/test_layout.py."""
+    from hdfs_mapreduce_spark.operators.layout import zvalue
+
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        zvalue(
+            F.col("user_id") % ZORDER_MASK, F.col("event_id") % ZORDER_MASK
+        ).alias("zval"),
+    ).orderBy("event_id")
+
+
 def multimodal_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode features through the EXTERNAL decoder executable — the
     ffmpeg/PIL-class deployment path, driven end-to-end as a declared
@@ -342,9 +366,25 @@ QUERIES = {
     "multimodal_tiles": multimodal_tiles,
     "multimodal_audio": multimodal_audio,
     "multimodal_external": multimodal_external,
+    "layout_zorder": layout_zorder,
 }
 
+def _zorder_sql() -> str:
+    from hdfs_mapreduce_spark.operators.layout import zvalue_sql
+
+    z = zvalue_sql(
+        f"(user_id % {ZORDER_MASK})", f"(event_id % {ZORDER_MASK})"
+    )
+    return f"""
+        SELECT event_id, ({z}) AS zval
+        FROM events ORDER BY event_id
+    """
+
+
 ORACLE_SQL = {
+    # Morton curve twin generated from the SAME term list as the Spark
+    # expression (operators/layout.py zvalue / zvalue_sql)
+    "layout_zorder": _zorder_sql(),
     # Symbolic twin of the external fake decoder: feature i is a rolling
     # FNV-1a-style fold (acc = (acc XOR byte) * 16777619 mod 2^32) over
     # the concatenated byte slices payload[0::16] .. payload[i::16]

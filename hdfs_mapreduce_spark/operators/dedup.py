@@ -650,6 +650,70 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- edit-distance key dedup -------------------------------------------------------
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    key_len: int = 40,
+    prefix_len: int = 4,
+    max_dist: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Fuzzy-key near-dup pairs: documents whose ``key_len``-char key
+    prefix is within Levenshtein ``max_dist``, found by BUCKETED
+    candidate generation — same prefix (``prefix_len`` chars) and key
+    lengths within ``max_dist`` — then exact JVM-side ``levenshtein``
+    verification. The title/URL-style fuzzy matching the shingle family
+    can't express (one edit changes every shingle it touches; it moves
+    Levenshtein by exactly 1).
+
+    DECLARED semantics are bucketed-candidates + exact-verify, the same
+    contract as the banded LSH/SimHash operators: a pair whose first
+    ``prefix_len`` characters differ is by definition not a candidate
+    (an edit inside the prefix escapes the bucket — recall trades
+    against the self-join the bucket avoids, exactly the LSH band
+    trade). Scale shape: one equi-join shuffle keyed on the prefix,
+    quadratic only WITHIN a bucket; hot buckets (boilerplate prefixes)
+    are the blowup vector, so ``max_bucket`` drops buckets above the
+    cap via a broadcast exclusion — the ``max_df`` pattern of
+    ngram_jaccard_pairs. Levenshtein runs in the JVM (Catalyst
+    ``levenshtein``), not Python."""
+    key = F.substring(F.col(text_col), 1, key_len)
+    k = df.select(
+        F.col(id_col).alias("doc"),
+        key.alias("key"),
+        F.length(key).alias("klen"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pfx"),
+    )
+    if max_bucket is not None:
+        hot = (
+            k.groupBy("pfx")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .select("pfx")
+        )
+        k = k.join(F.broadcast(hot), "pfx", "left_anti")
+    a, b = k.alias("a"), k.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.pfx") == F.col("b.pfx"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .filter(
+            F.abs(F.col("a.klen") - F.col("b.klen")) <= max_dist
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.levenshtein(F.col("a.key"), F.col("b.key")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # --- exact duplicated-span detection ---------------------------------------------
 DUPSPAN_K = 10
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from hdfs_mapreduce_spark.functions.hashing import MERSENNE_31, h56_sql
 from hdfs_mapreduce_spark.operators.guards import NGRAM_UNCAPPED_MAX_ROWS
 from hdfs_mapreduce_spark.operators.dedup import (
+    edit_distance_pairs,
     BAND_BITS,
     DUPSPAN_K,
     duplicate_spans,
@@ -220,6 +221,31 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.select(
         "doc_id", F.col("canonical").alias("canonical_id")
     ).orderBy("doc_id")
+
+
+EDIT_KEY_LEN = 40
+EDIT_PREFIX_LEN = 4
+EDIT_MAX_DIST = 2
+EDIT_MAX_BUCKET = 10_000
+
+
+def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-key near-dup pairs by bucketed Levenshtein
+    (operators/dedup.py edit_distance_pairs): same 4-char prefix and
+    key lengths within 2 → JVM-side levenshtein ≤ 2 on the 40-char key.
+    The title/URL fuzzy-match modality the shingle family can't
+    express; hot prefix buckets above EDIT_MAX_BUCKET are excluded (the
+    max_df discipline), mirrored exactly in the oracle."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return edit_distance_pairs(
+        docs,
+        "doc_id",
+        "text",
+        key_len=EDIT_KEY_LEN,
+        prefix_len=EDIT_PREFIX_LEN,
+        max_dist=EDIT_MAX_DIST,
+        max_bucket=EDIT_MAX_BUCKET,
+    )
 
 
 PAGERANK_ITERS = 3
@@ -583,6 +609,7 @@ QUERIES = {
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
     "graph_pagerank": graph_pagerank,
+    "dedup_edit_pairs": dedup_edit_pairs,
     "dedup_components_logrounds": dedup_components_logrounds,
     "dedup_keep_best": dedup_keep_best,
     "dataset_split_safe": dataset_split_safe,
@@ -1098,3 +1125,23 @@ def _pagerank_sql(
 
 
 ORACLE_SQL["graph_pagerank"] = _pagerank_sql()
+
+
+ORACLE_SQL["dedup_edit_pairs"] = f"""
+    WITH k AS (
+        SELECT doc_id AS doc, substr(text, 1, {EDIT_KEY_LEN}) AS key,
+               length(substr(text, 1, {EDIT_KEY_LEN})) AS klen,
+               substr(text, 1, {EDIT_PREFIX_LEN}) AS pfx
+        FROM documents
+    ),
+    hot AS (
+        SELECT pfx FROM k GROUP BY pfx HAVING COUNT(*) > {EDIT_MAX_BUCKET}
+    ),
+    kk AS (SELECT * FROM k WHERE pfx NOT IN (SELECT pfx FROM hot))
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(levenshtein(a.key, b.key) AS INT) AS edit_dist
+    FROM kk a JOIN kk b ON a.pfx = b.pfx AND a.doc < b.doc
+    WHERE abs(a.klen - b.klen) <= {EDIT_MAX_DIST}
+      AND levenshtein(a.key, b.key) <= {EDIT_MAX_DIST}
+    ORDER BY doc_a, doc_b
+"""

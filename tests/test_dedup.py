@@ -510,3 +510,37 @@ def test_pagerank_empty_graph(spark):
 
     edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank(edges, iters=2).count() == 0
+
+
+def test_edit_distance_pairs_semantics(spark):
+    """Bucketed Levenshtein: same-prefix keys within the distance match;
+    a prefix-escaping edit is by design not a candidate; hot buckets are
+    excluded under max_bucket."""
+    from hdfs_mapreduce_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta gamma!"),  # 1 edit (append) -> pair with 0
+        (2, "alpha beta gXmma"),  # 1 substitution  -> pairs with 0, 1
+        (3, "Xlpha beta gamma"),  # edit INSIDE the prefix: no candidate
+        (4, "totally different text"),
+        (5, "hot bucket"),
+        (6, "hot bucket 2"),
+        (7, "hot bucket 3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in edit_distance_pairs(df, "doc_id", "text", max_dist=2).collect()
+    }
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 1
+    assert got[(1, 2)] == 2
+    assert not any(3 in p for p in got)  # prefix escape: not a candidate
+    assert not any(4 in p for p in got)
+    # the "hot " bucket (docs 5,6,7) collapses under a cap of 2
+    capped = edit_distance_pairs(
+        df, "doc_id", "text", max_dist=2, max_bucket=2
+    ).collect()
+    ids = {r["doc_a"] for r in capped} | {r["doc_b"] for r in capped}
+    assert not ({5, 6, 7} & ids)

@@ -325,6 +325,84 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QHIST_BINS = 64
+QHIST_QS = [0.25, 0.5, 0.9, 0.99]
+
+
+def events_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-interpolated quantiles per event type — the
+    DETERMINISTIC scalable quantile path between q24's exact percentile
+    (needs the full sorted set per group) and q17's approx sketch
+    (rank-error-bounded but engine-specific): two aggregate passes
+    (min/max/count, then fixed-bin counts), cumulative over the B-row
+    bin domain, linear interpolation inside the selected bin. The
+    estimate lands within ONE BIN WIDTH of the rank-⌈qN⌉ order
+    statistic (the selected bin provably contains it; interpolated
+    definitions of "percentile" can additionally sit between sparse
+    tail values — tests pin the order-statistic bound), the state is
+    O(B) per group and MERGEABLE
+    (bin counts add) — the shape a streaming sink or a 1000-way partial
+    aggregation preserves exactly. Every arithmetic step is identical
+    scalar math on both engines (no float accumulations beyond integer
+    counts), so unlike the sketch this carries a full hash oracle.
+    Entirely relational: the min/max pass joins back as a broadcast
+    (one row per type), no driver collect."""
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    binned = (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "n_total",
+            "vmin",
+            "vmax",
+            F.least(
+                F.lit(QHIST_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    / (F.col("vmax") - F.col("vmin"))
+                    * QHIST_BINS
+                ).cast("int"),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "n_total", "vmin", "vmax", "bin")
+        .agg(F.count(F.lit(1)).alias("n_bin"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = binned.withColumn("cum", F.sum("n_bin").over(w))
+    qs = spark.createDataFrame([(q,) for q in QHIST_QS], "q double")
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .withColumn("target", F.col("q") * F.col("n_total"))
+        .filter(F.col("cum") >= F.col("target"))
+    )
+    pick = Window.partitionBy("event_type", "q").orderBy("bin")
+    width = (F.col("vmax") - F.col("vmin")) / QHIST_BINS
+    est = F.when(F.col("vmax") == F.col("vmin"), F.col("vmin")).otherwise(
+        F.col("vmin")
+        + width
+        * (
+            F.col("bin")
+            + (F.col("target") - (F.col("cum") - F.col("n_bin")))
+            / F.col("n_bin")
+        )
+    )
+    return (
+        hit.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "q",
+            (F.round(est, 6) + F.lit(0.0)).alias("est"),
+        )
+        .orderBy("event_type", "q")
+    )
+
+
 def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profile of the orders table: per-column null counts,
     distinct counts, and numeric min/max — the reference's `stats` verb
@@ -452,6 +530,7 @@ QUERIES = {
     "events_anomaly": events_anomaly,
     "events_skew_join": events_skew_join,
     "events_histogram": events_histogram,
+    "events_quantile_hist": events_quantile_hist,
     "profile_orders": profile_orders,
     "events_bloom_semi": events_bloom_semi,
     "events_hll_mergeable": events_hll_mergeable,
@@ -503,6 +582,45 @@ ORACLE_SQL = {
                       WHERE c.c_custkey = e.user_id
                         AND c.c_mktsegment = '{BLOOM_SEGMENT}')
         GROUP BY 1 ORDER BY event_type
+    """,
+    # same two-pass histogram interpolation, identical scalar math:
+    # bin = least(B-1, floor((v-min)/(max-min)*B)); first bin with
+    # cum >= q*n; est = min + w*(bin + (target - cum_prev)/n_bin)
+    "events_quantile_hist": f"""
+        WITH stats AS (
+            SELECT event_type, MIN(value) AS vmin, MAX(value) AS vmax,
+                   COUNT(*) AS n_total
+            FROM events GROUP BY event_type
+        ),
+        binned AS (
+            SELECT e.event_type, s.n_total, s.vmin, s.vmax,
+                   LEAST({QHIST_BINS - 1}, CAST(FLOOR(
+                       (e.value - s.vmin) / (s.vmax - s.vmin)
+                       * {QHIST_BINS}) AS INT)) AS bin,
+                   COUNT(*) AS n_bin
+            FROM events e JOIN stats s USING (event_type)
+            GROUP BY 1, 2, 3, 4, 5
+        ),
+        cum AS (
+            SELECT *, SUM(n_bin) OVER (
+                PARTITION BY event_type ORDER BY bin) AS cum
+            FROM binned
+        ),
+        qs AS (SELECT unnest([{', '.join(str(q) for q in QHIST_QS)}]) AS q),
+        hit AS (
+            SELECT c.*, qs.q, qs.q * c.n_total AS target,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.event_type, qs.q ORDER BY c.bin) AS rn
+            FROM cum c, qs
+            WHERE c.cum >= qs.q * c.n_total
+        )
+        SELECT event_type, q,
+               ROUND(CASE WHEN vmax = vmin THEN vmin
+                     ELSE vmin + (vmax - vmin) / {QHIST_BINS}
+                          * (bin + (target - (cum - n_bin)) / n_bin)
+                     END, 6) + 0.0 AS est
+        FROM hit WHERE rn = 1
+        ORDER BY event_type, q
     """,
     "events_histogram": f"""
         SELECT event_type,

@@ -123,3 +123,43 @@ def test_embedding_centroids_shape_and_mean(spark):
         for r in emb.filter(F.col("label") == rows[0]["label"]).collect()
     ]
     assert abs(label0[0]["centroid"] - sum(vecs) / len(vecs)) < 1e-9
+
+
+def test_quantile_hist_error_bounded_by_bin_width(spark):
+    """The histogram-interpolated quantile must sit within one bin width
+    of the rank-ceil(qN) order statistic for every (type, q) — the
+    estimator's bound (the selected bin provably contains that rank's
+    value) — and stay inside the observed [min, max]."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.plans.analytics_plans import (
+        QHIST_BINS,
+        QHIST_QS,
+        events_quantile_hist,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in events_quantile_hist(spark, sf).collect()
+    }
+    events = load_table(spark, sf, "events")
+    by_type = {
+        r["event_type"]: sorted(r["vals"])
+        for r in events.groupBy("event_type")
+        .agg(F.collect_list("value").alias("vals"))
+        .collect()
+    }
+    assert len(got) == len(by_type) * len(QHIST_QS) > 0
+    for (etype, q), est in got.items():
+        vals = by_type[etype]
+        lo, hi = vals[0], vals[-1]
+        bin_w = (hi - lo) / QHIST_BINS
+        rank_val = vals[max(0, math.ceil(q * len(vals)) - 1)]
+        assert abs(est - rank_val) <= bin_w + 1e-9, (
+            etype, q, est, rank_val, bin_w,
+        )
+        assert lo - 1e-9 <= est <= hi + 1e-9

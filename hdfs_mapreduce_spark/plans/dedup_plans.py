@@ -224,27 +224,29 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EDIT_KEY_LEN = 40
-EDIT_PREFIX_LEN = 4
+EDIT_WINDOW_LEN = 16
 EDIT_MAX_DIST = 2
-EDIT_MAX_BUCKET = 10_000
 
 
 def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy-key near-dup pairs by bucketed Levenshtein
-    (operators/dedup.py edit_distance_pairs): same 4-char prefix and
-    key lengths within 2 → JVM-side levenshtein ≤ 2 on the 40-char key.
-    The title/URL fuzzy-match modality the shingle family can't
-    express; hot prefix buckets above EDIT_MAX_BUCKET are excluded (the
-    max_df discipline), mirrored exactly in the oracle."""
+    """Fuzzy-key near-dup pairs by deletion-neighborhood blocking
+    (operators/dedup.py edit_distance_pairs): two docs are candidates
+    iff their 16-char key windows share a ≤1-deletion variant (holds
+    exactly when the windows are within one edit), then JVM-side
+    levenshtein ≤ 2 on the 40-char key verifies. The title/URL
+    fuzzy-match modality the shingle family can't express; bucket sizes
+    track duplicate groups (output-sized), not prefix vocabulary, so
+    the plan stays ~linear at 100× (the prefix-bucket first cut went
+    quadratic at sf1 — see the operator docstring). The oracle emits
+    the identical variant set and verify filter."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return edit_distance_pairs(
         docs,
         "doc_id",
         "text",
         key_len=EDIT_KEY_LEN,
-        prefix_len=EDIT_PREFIX_LEN,
+        window_len=EDIT_WINDOW_LEN,
         max_dist=EDIT_MAX_DIST,
-        max_bucket=EDIT_MAX_BUCKET,
     )
 
 
@@ -1130,18 +1132,26 @@ ORACLE_SQL["graph_pagerank"] = _pagerank_sql()
 ORACLE_SQL["dedup_edit_pairs"] = f"""
     WITH k AS (
         SELECT doc_id AS doc, substr(text, 1, {EDIT_KEY_LEN}) AS key,
-               length(substr(text, 1, {EDIT_KEY_LEN})) AS klen,
-               substr(text, 1, {EDIT_PREFIX_LEN}) AS pfx
+               list_distinct(list_prepend(
+                   substr(text, 1, {EDIT_WINDOW_LEN}),
+                   list_transform(
+                       generate_series(1, {EDIT_WINDOW_LEN}),
+                       i -> substr(text, 1, CAST(i - 1 AS INT))
+                            || substr(text, CAST(i + 1 AS INT),
+                                      CAST({EDIT_WINDOW_LEN} - i AS INT))
+                   ))) AS variants
         FROM documents
     ),
-    hot AS (
-        SELECT pfx FROM k GROUP BY pfx HAVING COUNT(*) > {EDIT_MAX_BUCKET}
-    ),
-    kk AS (SELECT * FROM k WHERE pfx NOT IN (SELECT pfx FROM hot))
-    SELECT a.doc AS doc_a, b.doc AS doc_b,
-           CAST(levenshtein(a.key, b.key) AS INT) AS edit_dist
-    FROM kk a JOIN kk b ON a.pfx = b.pfx AND a.doc < b.doc
-    WHERE abs(a.klen - b.klen) <= {EDIT_MAX_DIST}
-      AND levenshtein(a.key, b.key) <= {EDIT_MAX_DIST}
+    kv AS (SELECT doc, key, unnest(variants) AS variant FROM k),
+    cand AS (
+        SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+               a.key AS key_a, b.key AS key_b
+        FROM kv a JOIN kv b
+          ON a.variant = b.variant AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(key_a, key_b) AS INT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(key_a, key_b) <= {EDIT_MAX_DIST}
     ORDER BY doc_a, doc_b
 """

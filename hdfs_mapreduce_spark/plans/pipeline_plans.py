@@ -12,7 +12,7 @@ from hdfs_mapreduce_spark.operators.multimodal import (
     frame_sample,
     payload_stats,
 )
-from hdfs_mapreduce_spark.sources.catalog import load_table
+from hdfs_mapreduce_spark.sources.catalog import load_table, spread
 from hdfs_mapreduce_spark.streaming.events import (
     ATTRIB_WINDOW_MIN,
     SESSION_GAP_MIN,
@@ -288,7 +288,13 @@ def multimodal_external(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_payload_external,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread() matters doubly here: the decoder is ONE subprocess per
+    # partition with a synchronous round-trip per record, so throughput
+    # is partitions × (1/latency) — a single-file scan without the
+    # spread ran the whole corpus through ~2 pipes (5× growth for 3×
+    # data at sf3; ~linear with it). At scale the input has more splits
+    # than cores and spread is a no-op.
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
     exe = materialize_plugin(EXTERNAL_FAKE_DECODER_SRC, "fake_decoder")
     feats = decode_payload_external(
         attach_payload(docs, "doc_id", "text"), exe

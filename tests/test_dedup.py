@@ -513,20 +513,20 @@ def test_pagerank_empty_graph(spark):
 
 
 def test_edit_distance_pairs_semantics(spark):
-    """Bucketed Levenshtein: same-prefix keys within the distance match;
-    a prefix-escaping edit is by design not a candidate; hot buckets are
-    excluded under max_bucket."""
+    """Deletion-neighborhood blocking: keys whose 16-char windows are
+    within one edit are candidates (substitution, insertion/shift, and
+    suffix-only edits all covered); two edits INSIDE the window escape
+    the block by design (the recall knob), and the full-key Levenshtein
+    filter decides membership."""
     from hdfs_mapreduce_spark.operators.dedup import edit_distance_pairs
 
     rows = [
         (0, "alpha beta gamma"),
-        (1, "alpha beta gamma!"),  # 1 edit (append) -> pair with 0
-        (2, "alpha beta gXmma"),  # 1 substitution  -> pairs with 0, 1
-        (3, "Xlpha beta gamma"),  # edit INSIDE the prefix: no candidate
-        (4, "totally different text"),
-        (5, "hot bucket"),
-        (6, "hot bucket 2"),
-        (7, "hot bucket 3"),
+        (1, "alpha beta gamma!"),  # append beyond window -> dist 1
+        (2, "alpha beta gXmma"),  # 1 substitution in window -> dist 1
+        (3, "Xlpha beta gamma"),  # 1 substitution at window start -> dist 1
+        (4, "XYpha beta gamma"),  # 2 edits inside the window: escapes block
+        (5, "totally different text"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -535,12 +535,24 @@ def test_edit_distance_pairs_semantics(spark):
     }
     assert got[(0, 1)] == 1
     assert got[(0, 2)] == 1
+    assert got[(0, 3)] == 1
     assert got[(1, 2)] == 2
-    assert not any(3 in p for p in got)  # prefix escape: not a candidate
-    assert not any(4 in p for p in got)
-    # the "hot " bucket (docs 5,6,7) collapses under a cap of 2
-    capped = edit_distance_pairs(
-        df, "doc_id", "text", max_dist=2, max_bucket=2
-    ).collect()
-    ids = {r["doc_a"] for r in capped} | {r["doc_b"] for r in capped}
-    assert not ({5, 6, 7} & ids)
+    assert got[(1, 3)] == 2
+    # docs 2 and 3 differ at TWO window positions (1 and 12): their
+    # windows are 2 edits apart, so the pair escapes the block even
+    # though the full-key distance is 2 — the documented recall trade
+    assert (2, 3) not in got
+    # doc 4 is 2 window-edits from doc 0 (escapes the block) but only
+    # 1 from doc 3 (caught): the block is per-pair, not per-doc
+    assert (0, 4) not in got
+    assert got[(3, 4)] == 1
+    assert not any(5 in p for p in got)
+    # insertion that SHIFTS the window is still caught
+    df2 = spark.createDataFrame(
+        [(10, "abcdefghijklmnop qrst"), (11, "Xabcdefghijklmnop qrst")],
+        "doc_id long, text string",
+    )
+    got2 = edit_distance_pairs(df2, "doc_id", "text", max_dist=2).collect()
+    assert [(r["doc_a"], r["doc_b"], r["edit_dist"]) for r in got2] == [
+        (10, 11, 1)
+    ]

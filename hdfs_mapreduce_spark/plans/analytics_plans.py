@@ -606,7 +606,8 @@ ORACLE_SQL = {
                 PARTITION BY event_type ORDER BY bin) AS cum
             FROM binned
         ),
-        qs AS (SELECT unnest([{', '.join(str(q) for q in QHIST_QS)}]) AS q),
+        qs AS (SELECT CAST(unnest([{', '.join(str(q) for q in QHIST_QS)}])
+                      AS DOUBLE) AS q),
         hit AS (
             SELECT c.*, qs.q, qs.q * c.n_total AS target,
                    ROW_NUMBER() OVER (

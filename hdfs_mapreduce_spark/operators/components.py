@@ -356,3 +356,79 @@ def pagerank(
             ).alias("rank"),
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected simple graph given as
+    a canonical (a < b) pair relation: (node, n_tri) for every node that
+    closes at least one triangle.
+
+    Algorithm: degree-ordered orientation ("compact-forward" /
+    node-iterator with degree ordering). Every undirected edge {u, v} is
+    oriented from the endpoint that is SMALLER under the total order
+    (degree, id) toward the larger; a triangle {u, v, w} then exists as
+    exactly one oriented wedge u→v, u→w (v before w in the same order)
+    whose closing edge v→w is present — so each triangle is enumerated
+    once, with no post-hoc dedup.
+
+    Why the orientation matters at 100 TB: without it the wedge join
+    explodes around hubs (a degree-d node contributes d² wedges — a
+    celebrity node in a co-occurrence graph or a boilerplate hub in a
+    near-dup graph is d in the millions). Orienting by degree bounds
+    every node's out-degree by O(√|E|) on any graph (a node of degree
+    > √|E| has fewer than √|E| neighbors of even higher degree), which
+    bounds the wedge relation by O(|E|^1.5) — the best exact bound known
+    for a join-based plan, and the difference between "finishes" and
+    "dies on the first hub".
+
+    Plan shape: one symmetrize + degree aggregate (shuffle on node), one
+    self-join of the oriented edge list on its source (shuffle on src —
+    wedge build), one join of wedges onto oriented edges keyed on the
+    closing pair (v, w), then an explode-free triple unpivot + count
+    keyed on node. All integer arithmetic — no float portability
+    surface. Everything downstream of the input relation is
+    |E|-proportional, never corpus-proportional.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    # Oriented edge list with the target's (degree, id) rank carried so
+    # the wedge join can order its two spokes without re-joining degrees.
+    withdeg = (
+        sym.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("d", "da")
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("d").alias("db")),
+            "b",
+        )
+    )
+    oriented = withdeg.where(
+        F.struct(F.col("da"), F.col("a")) < F.struct(F.col("db"), F.col("b"))
+    ).select(
+        F.col("a").alias("s"),
+        F.col("b").alias("t"),
+        F.struct(F.col("db"), F.col("b")).alias("rk_t"),
+    )
+    w1 = oriented.select(
+        F.col("s"), F.col("t").alias("v"), F.col("rk_t").alias("rk_v")
+    )
+    w2 = oriented.select(
+        F.col("s"), F.col("t").alias("w"), F.col("rk_t").alias("rk_w")
+    )
+    wedges = w1.join(w2, "s").where(F.col("rk_v") < F.col("rk_w"))
+    closing = oriented.select(
+        F.col("s").alias("v"), F.col("t").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"]).select(
+        F.col("s").alias("u"), "v", "w"
+    )
+    members = (
+        tri.select(F.col("u").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return members.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))

@@ -876,3 +876,120 @@ def span_scrub(
         (F.size("tk") - F.size("scrub_pos")).cast("long").alias("n_kept"),
         F.md5(rebuilt).alias("scrubbed_hash"),
     ).orderBy("doc")
+
+
+# --- winnowing fingerprints -----------------------------------------------------
+# Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the MOSS
+# fingerprinting algorithm): slide a window of WINNOW_W consecutive
+# shingle hashes over each document and record the window minimum
+# (rightmost on ties). Guarantees: any shared run of WINNOW_W + K - 1
+# tokens yields at least one shared fingerprint, yet only ~2/(W+1) of
+# positions are selected — a contiguous-overlap detector with a
+# guaranteed detection floor, which MinHash (a global set sketch) cannot
+# give. Hashes fold to 32 bits so key = fh * 2^24 + (2^24-1-pos) packs
+# (hash asc, position desc) into one BIGINT min — a single window MIN
+# instead of an argmin subquery on both engines.
+WINNOW_W = 4
+WINNOW_FOLD = 1 << 32
+WINNOW_POS = 1 << 24  # position field; docs cap at 2^24 shingles
+FP_MAX_DF = 10  # boilerplate guard: fingerprints in > this many docs drop
+WINNOW_MIN_SHARED = 2
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = SHINGLE_K
+) -> DataFrame:
+    """(doc, fp) distinct winnowing fingerprints per document.
+
+    Plan: shingle strings build array-side (the shingle_relation shape),
+    posexplode keeps the 1-based position, the h56 runs post-explode in
+    whole-stage codegen, and selection is ONE window MIN over
+    (doc, pos) — the only shuffle, keyed on doc. At 100 TB this is a
+    map + one bounded window per document; the fingerprint relation is
+    ~2/(W+1) of the shingle relation."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("doc"), toks.alias("tk"), F.size(toks).alias("cnt")
+    )
+    shingles = (
+        F.when(
+            F.col("cnt") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.col("cnt") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, k)),
+            ),
+        )
+        .when(F.col("cnt") > 0, F.array(F.array_join(F.col("tk"), " ")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+    ex = base.select("doc", F.posexplode(shingles).alias("p0", "s")).select(
+        "doc",
+        (F.col("p0") + 1).alias("pos"),
+        (h56(F.col("s")) % F.lit(WINNOW_FOLD)).alias("fh"),
+    )
+    keyed = ex.select(
+        "doc",
+        "pos",
+        (
+            F.col("fh") * F.lit(WINNOW_POS)
+            + (F.lit(WINNOW_POS - 1) - F.col("pos"))
+        ).alias("key"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("doc")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    win = keyed.select(
+        "doc",
+        "pos",
+        F.min("key").over(w).alias("mn"),
+        F.count(F.lit(1)).over(w).alias("cw"),
+    )
+    # Full windows only; a doc with fewer than W shingles still yields its
+    # global minimum through the pos=1 (short-window) row.
+    sel = win.where(
+        (F.col("cw") == WINNOW_W)
+        | ((F.col("pos") == 1) & (F.col("cw") < WINNOW_W))
+    ).select("doc", "mn").distinct()
+    return sel.select(
+        "doc", F.expr(f"mn DIV {WINNOW_POS}").alias("fp")
+    ).distinct()
+
+
+def winnowing_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_df: int = FP_MAX_DF,
+) -> DataFrame:
+    """Contiguous-overlap candidate pairs: documents sharing at least
+    ``min_shared`` distinct winnowing fingerprints, after dropping
+    fingerprints present in more than ``max_df`` documents (a hot
+    fingerprint is boilerplate, and its pair expansion is quadratic in
+    document frequency — the same cap discipline as the hot-shingle cap
+    in ngram_jaccard_pairs). Output (doc_a, doc_b, n_shared).
+
+    Scale: the df-filter aggregate and the fingerprint self-join are both
+    keyed on fp with per-key expansion capped at max_df², so the pair
+    stage is linear in the fingerprint relation — never corpus-quadratic."""
+    fps = winnowing_fingerprints(df, id_col, text_col)
+    good = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("fp")
+    )
+    gf = fps.join(good, "fp")
+    left = gf.select("fp", F.col("doc").alias("doc_a"))
+    right = gf.select("fp", F.col("doc").alias("doc_b"))
+    return (
+        left.join(right, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hdfs_mapreduce_spark.functions.hashing import h56
+from hdfs_mapreduce_spark.functions.text import tokens
 
 # h56 yields 56-bit integers; dividing by 2^56 maps to [0, 1). The +1
 # keeps u strictly positive so ln(u) is finite.
@@ -76,4 +77,84 @@ def stratified_head_sample(
     return (
         df.select("*", F.row_number().over(w).alias("rnk"))
         .filter(F.col("rnk") <= n_per_stratum)
+    )
+
+
+# Hashed-feature bucket count for DSIR. 2^10 buckets is the paper's
+# regime scaled to the fixture vocabulary; at web scale raise to 2^16-2^20
+# — the model stays a broadcast-sized table either way (that is the whole
+# point of hashing the feature space).
+DSIR_BUCKETS = 1024
+
+
+def dsir_llr_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR), the hashed-n-gram
+    importance estimator of Xie et al., NeurIPS 2023 ["Data Selection for
+    Language Models via Importance Resampling"]: fit two bag-of-hashed-
+    features unigram models — p over the TARGET slice (``is_target``
+    rows), q over the full RAW pool — and score every raw document by its
+    length-normalized log-likelihood ratio
+
+        score(doc) = (1/n_tok) * Σ_tokens  ln p(bucket) − ln q(bucket)
+
+    with add-one smoothing over the ``n_buckets`` hashed vocabulary.
+    High scores = documents distributionally closest to the target; the
+    selection pass a pretraining pipeline runs to tilt a web crawl toward
+    a trusted corpus. This is the deterministic top-k variant (the paper
+    adds Gumbel noise for a proper sample; determinism is what makes the
+    relation oracle-checkable — add the repo's h56-seeded uniform for the
+    sampled form, as dataset_weighted_sample does).
+
+    Scale shape: token explode → two bucket-count aggregates whose output
+    is ``n_buckets`` rows (NOT vocabulary-sized — hashing bounds the
+    model regardless of corpus size), totals as 1-row aggregates, the
+    log-ratio table broadcast to a map-side join, then one per-doc
+    partial-agg sum. Two corpus-sized shuffles total (bucket counts ride
+    the same explode), nothing driver-side.
+
+    Returns (id, n_tokens, dsir_score) for every NON-target row with at
+    least one token; scores are raw doubles — callers pin rounding.
+    """
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        is_target.alias("tgt"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).select(
+        "doc",
+        "tgt",
+        (h56(F.concat(F.lit("dsir:"), F.col("token"))) % n_buckets).alias(
+            "bucket"
+        ),
+    )
+    raw_counts = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("tgt"), 1)).alias("ct"),
+    )
+    totals = raw_counts.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    ratio = raw_counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + n_buckets))
+            - F.log(
+                (F.col("cr") + 1).cast("double") / (F.col("tr") + n_buckets)
+            )
+        ).alias("llr"),
+    )
+    return (
+        tok.where(~F.col("tgt"))
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("llr") / F.count(F.lit(1))).alias("dsir_score"),
+        )
+        .withColumnRenamed("doc", id_col)
     )

@@ -520,6 +520,63 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+# Co-activity graph for the triangle query: two users are connected when
+# they share at least TRI_MIN_SHARED distinct (event_type, hour) activity
+# cells; cells with more than TRI_CELL_MAX active users are dropped first
+# (a hot cell is non-discriminative — everyone was there — and its pair
+# expansion is quadratic in cell size, the same reason the dedup family
+# caps hot shingles).
+TRI_MIN_SHARED = 4
+TRI_CELL_MAX = 64
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the user co-activity graph: per-node triangle
+    counts (operators/components.py triangle_counts — degree-ordered
+    orientation, each triangle enumerated exactly once) over edges
+    "users sharing ≥ TRI_MIN_SHARED distinct (event_type, hour) cells".
+    Triangle density is the standard cohesion signal over co-occurrence
+    graphs (community/bot detection, curation weighting); alongside
+    graph_pagerank (centrality) and dedup_components (partition) it
+    completes the graph-analytics trio over declared relations.
+
+    Scale: the cell join is keyed on (event_type, hour) with the hot-cell
+    cap bounding per-key expansion; the pair aggregate shuffles on the
+    (a, b) key with map-side partials; the triangle join is bounded
+    O(|E|^1.5) by the orientation (see the operator docstring). No
+    corpus-sized collect, no float surface — all integers."""
+    events = load_table(spark, sf_dir, "events")
+    act = events.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hb"),
+    ).distinct()
+    cells = (
+        act.groupBy("event_type", "hb")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .where(F.col("n_users") <= TRI_CELL_MAX)
+        .select("event_type", "hb")
+    )
+    capped = act.join(cells, ["event_type", "hb"])
+    left = capped.select(
+        "event_type", "hb", F.col("user_id").alias("a")
+    )
+    right = capped.select(
+        "event_type", "hb", F.col("user_id").alias("b")
+    )
+    pairs = (
+        left.join(right, ["event_type", "hb"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= TRI_MIN_SHARED)
+        .select("a", "b")
+    )
+    from hdfs_mapreduce_spark.operators.components import triangle_counts
+
+    return triangle_counts(pairs, "a", "b").orderBy("node")
+
+
 QUERIES = {
     "tpch_q3_shipping": tpch_q3_shipping,
     "scalar_funcs": scalar_funcs,
@@ -535,6 +592,7 @@ QUERIES = {
     "events_bloom_semi": events_bloom_semi,
     "events_hll_mergeable": events_hll_mergeable,
     "events_cm_sketch": events_cm_sketch,
+    "graph_triangles": graph_triangles,
 }
 
 from hdfs_mapreduce_spark.functions.hashing import h56_sql  # noqa: E402
@@ -730,5 +788,54 @@ ORACLE_SQL = {
         FROM events e JOIN stats s ON e.event_type = s.event_type
         WHERE ABS(e.value - s.mu) > {ANOMALY_Z} * s.sigma
         GROUP BY e.event_type ORDER BY e.event_type
+    """,
+    # Same co-activity edges, same degree-ordered orientation ((d, id)
+    # tuple compare on both engines), each triangle enumerated once as an
+    # oriented wedge + closing edge — integer-only, no float surface.
+    "graph_triangles": f"""
+        WITH act AS (
+            SELECT DISTINCT user_id, event_type,
+                   date_trunc('hour', ts) AS hb
+            FROM events
+        ),
+        cells AS (
+            SELECT event_type, hb FROM act
+            GROUP BY 1, 2 HAVING COUNT(*) <= {TRI_CELL_MAX}
+        ),
+        capped AS (
+            SELECT a.user_id, a.event_type, a.hb
+            FROM act a JOIN cells c USING (event_type, hb)
+        ),
+        pairs AS (
+            SELECT l.user_id AS a, r.user_id AS b
+            FROM capped l JOIN capped r
+              ON l.event_type = r.event_type AND l.hb = r.hb
+             AND l.user_id < r.user_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= {TRI_MIN_SHARED}
+        ),
+        sym AS (
+            SELECT a AS s, b AS t FROM pairs
+            UNION ALL SELECT b AS s, a AS t FROM pairs
+        ),
+        deg AS (SELECT s AS node, COUNT(*) AS d FROM sym GROUP BY 1),
+        oriented AS (
+            SELECT sym.s, sym.t, dt.d AS td
+            FROM sym
+            JOIN deg ds ON ds.node = sym.s
+            JOIN deg dt ON dt.node = sym.t
+            WHERE (ds.d, sym.s) < (dt.d, sym.t)
+        ),
+        tri AS (
+            SELECT o1.s AS u, o1.t AS v, o2.t AS w
+            FROM oriented o1
+            JOIN oriented o2 ON o1.s = o2.s
+            JOIN oriented c ON c.s = o1.t AND c.t = o2.t
+            WHERE (o1.td, o1.t) < (o2.td, o2.t)
+        )
+        SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT u AS node FROM tri
+            UNION ALL SELECT v AS node FROM tri
+            UNION ALL SELECT w AS node FROM tri
+        ) GROUP BY node ORDER BY node
     """,
 }

@@ -14,6 +14,12 @@ from hdfs_mapreduce_spark.functions.hashing import MERSENNE_31, h56_sql
 from hdfs_mapreduce_spark.operators.guards import NGRAM_UNCAPPED_MAX_ROWS
 from hdfs_mapreduce_spark.operators.dedup import (
     edit_distance_pairs,
+    winnowing_pairs,
+    FP_MAX_DF,
+    WINNOW_FOLD,
+    WINNOW_MIN_SHARED,
+    WINNOW_POS,
+    WINNOW_W,
     BAND_BITS,
     DUPSPAN_K,
     duplicate_spans,
@@ -444,6 +450,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint overlap pairs (operators/dedup.py
+    winnowing_pairs — the MOSS algorithm): documents sharing ≥
+    WINNOW_MIN_SHARED selected window-minimum shingle hashes, hot
+    fingerprints (df > FP_MAX_DF) dropped. The contiguous-overlap
+    detector with a guaranteed floor — any shared run of W+K-1 tokens
+    surfaces — complementing MinHash (global set similarity) and the
+    span family (exact 64-gram matches). Integer-only: no float
+    surface."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return winnowing_pairs(docs, "doc_id", "text").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 BOILERPLATE_TOP_K = 20
 
 
@@ -616,6 +637,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dataset_split_safe": dataset_split_safe,
     "dedup_incremental": dedup_incremental,
+    "text_winnowing": text_winnowing,
 }
 
 # Branchless bit votes, the same identity as the Spark side: the signed vote
@@ -1155,3 +1177,67 @@ ORACLE_SQL["dedup_edit_pairs"] = f"""
     WHERE levenshtein(key_a, key_b) <= {EDIT_MAX_DIST}
     ORDER BY doc_a, doc_b
 """
+
+
+def _winnow_sql() -> str:
+    """Exact twin of winnowing_pairs: same shingles, same 32-bit fold,
+    same (hash asc, pos desc) BIGINT packing, same window MIN + short-doc
+    pos=1 rule, same df cap and min-shared floor. Integer-only."""
+    shp = " || ' ' || ".join(f"tk[i+{j}]" for j in range(SHINGLE_K))
+    return f"""
+        WITH toksw AS (
+            SELECT doc_id AS doc,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t <> '') AS tk
+            FROM documents
+        ),
+        shw AS (
+            SELECT doc,
+                   CASE WHEN len(tk) >= {SHINGLE_K} THEN
+                       list_transform(
+                           generate_series(1, len(tk) - {SHINGLE_K - 1}),
+                           i -> {shp})
+                   WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                   ELSE CAST([] AS VARCHAR[]) END AS shl
+            FROM toksw
+        ),
+        exw AS (
+            SELECT doc, unnest(generate_series(1, len(shl))) AS pos,
+                   unnest(list_transform(
+                       shl, s -> ({h56_sql('s')}) % {WINNOW_FOLD})) AS fh
+            FROM shw
+        ),
+        keyed AS (
+            SELECT doc, pos,
+                   fh * {WINNOW_POS} + ({WINNOW_POS - 1} - pos) AS key
+            FROM exw
+        ),
+        win AS (
+            SELECT doc, pos,
+                   min(key) OVER (PARTITION BY doc ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                       AND {WINNOW_W - 1} FOLLOWING) AS mn,
+                   count(*) OVER (PARTITION BY doc ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                       AND {WINNOW_W - 1} FOLLOWING) AS cw
+            FROM keyed
+        ),
+        sel AS (
+            SELECT DISTINCT doc, mn FROM win
+            WHERE cw = {WINNOW_W} OR (pos = 1 AND cw < {WINNOW_W})
+        ),
+        fps AS (SELECT DISTINCT doc, mn // {WINNOW_POS} AS fp FROM sel),
+        good AS (
+            SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {FP_MAX_DF}
+        ),
+        gfw AS (SELECT f.doc, f.fp FROM fps f JOIN good USING (fp))
+        SELECT doc_a, doc_b, n_shared FROM (
+            SELECT l.doc AS doc_a, r.doc AS doc_b, COUNT(*) AS n_shared
+            FROM gfw l JOIN gfw r ON l.fp = r.fp AND l.doc < r.doc
+            GROUP BY 1, 2
+        ) WHERE n_shared >= {WINNOW_MIN_SHARED}
+        ORDER BY doc_a, doc_b
+    """
+
+
+ORACLE_SQL["text_winnowing"] = _winnow_sql()

@@ -812,6 +812,44 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same pattern string, with the single-quote doubled for a SQL literal.
 _BPE_SQL = BPE_REGEX.replace("'", "''")
 
+# DSIR declared instance: target = the English slice (the majority class,
+# so the fitted target model is well-populated at every SF), pool = every
+# non-English document, top DSIR_K by rounded score. The lang column in
+# the output makes the selection property visible: romance-language docs
+# (shared loanwords/cognates with the hashed English vocabulary) outrank
+# the non-Latin scripts.
+DSIR_TARGET_LANG = "en"
+DSIR_K = 100
+
+
+def dataset_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/sampling.py dsir_llr_scores): rank
+    the non-target pool by hashed-unigram importance (length-normalized
+    log-likelihood ratio target-vs-raw) and keep the top DSIR_K — the
+    importance-resampling pass that tilts a raw crawl toward a trusted
+    target corpus. Scores round to 6 decimals (the only cross-engine
+    surface is float SUM order, ~1e-15 relative) and the order pins on
+    (rounded score desc, doc_id)."""
+    from hdfs_mapreduce_spark.operators.sampling import dsir_llr_scores
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    scored = dsir_llr_scores(
+        docs, "doc_id", "text", F.col("lang") == DSIR_TARGET_LANG
+    )
+    return (
+        scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            (F.round("dsir_score", 6) + F.lit(0.0)).alias("dsir_score"),
+        )
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(DSIR_K)
+    )
+
+
 QUERIES = {
     "nb_lang_confusion": nb_lang_confusion,
     "bpe_pair_stats": bpe_pair_stats,
@@ -837,6 +875,7 @@ QUERIES = {
     "dataset_curriculum_approx": dataset_curriculum_approx,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
+    "dataset_dsir": dataset_dsir,
 }
 
 # 3-gram builder for the repetition oracle (tk[i] || ' ' || tk[i+1] || ...).
@@ -1221,3 +1260,49 @@ ORACLE_SQL = {
         SELECT doc_id, {_FP} AS fp FROM documents ORDER BY doc_id
     """,
 }
+
+
+def _dsir_sql() -> str:
+    """Exact twin of dsir_llr_scores + the dataset_dsir presentation: same
+    h56 bucket hash, same add-one smoothing over DSIR_BUCKETS, same
+    length-normalized LLR; only float SUM order differs (absorbed by the
+    6-decimal round on both sides)."""
+    from hdfs_mapreduce_spark.operators.sampling import DSIR_BUCKETS
+
+    bucket = h56_sql("'dsir:' || token") + f" % {DSIR_BUCKETS}"
+    return f"""
+        WITH tok AS (
+            SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS tgt,
+                   unnest(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '')) AS token
+            FROM documents
+        ),
+        b AS (SELECT doc_id, tgt, {bucket} AS bucket FROM tok),
+        counts AS (
+            SELECT bucket, COUNT(*) AS cr,
+                   COUNT(*) FILTER (WHERE tgt) AS ct
+            FROM b GROUP BY bucket
+        ),
+        totals AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM counts),
+        ratio AS (
+            SELECT bucket,
+                   ln(CAST(ct + 1 AS DOUBLE) / (tt + {DSIR_BUCKETS}))
+                 - ln(CAST(cr + 1 AS DOUBLE) / (tr + {DSIR_BUCKETS})) AS llr
+            FROM counts, totals
+        ),
+        scored AS (
+            SELECT b.doc_id, COUNT(*) AS n_tokens,
+                   SUM(r.llr) / COUNT(*) AS score
+            FROM b JOIN ratio r USING (bucket)
+            WHERE NOT b.tgt
+            GROUP BY b.doc_id
+        )
+        SELECT d.doc_id, d.lang, d.source, s.n_tokens,
+               ROUND(s.score, 6) + 0.0 AS dsir_score
+        FROM scored s JOIN documents d USING (doc_id)
+        ORDER BY dsir_score DESC, doc_id LIMIT {DSIR_K}
+    """
+
+
+ORACLE_SQL["dataset_dsir"] = _dsir_sql()

@@ -116,16 +116,21 @@ def test_ngram_jaccard_max_df_reduced_space_semantics(spark):
 def test_dedup_pair_queries_leave_no_cached_rdds(spark):
     """The pair pipelines rely on ReusedExchange, not persist — nothing may
     stay cached after the action (VERDICT r1 item 3: long-lived sessions
-    must not accumulate cache)."""
+    must not accumulate cache). Asserted as a before/after diff of the
+    persistent-RDD map, not emptiness: the session is shared across the
+    suite and an earlier test's ContextCleaner-driven cleanup can still be
+    in flight, which is that test's storage, not ours."""
     from hdfs_mapreduce_spark.plans.dedup_plans import (
         dedup_minhash_pairs,
         dedup_ngram_jaccard_capped,
     )
 
     sf = "/root/testdata/sf0.001"
+    before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
     dedup_minhash_pairs(spark, sf).collect()
     dedup_ngram_jaccard_capped(spark, sf).collect()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+    assert after - before == set()
 
 
 def test_connected_components_chain_and_singleton(spark):
@@ -556,3 +561,74 @@ def test_edit_distance_pairs_semantics(spark):
     assert [(r["doc_a"], r["doc_b"], r["edit_dist"]) for r in got2] == [
         (10, 11, 1)
     ]
+
+
+def test_winnowing_guarantee_shared_run_yields_shared_fp(spark):
+    """Winnowing's detection floor: two documents sharing a token run of
+    length W + K - 1 (= 6) must share at least one fingerprint, however
+    the rest of the text differs."""
+    from hdfs_mapreduce_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "one two three four five six"
+    rows = [
+        (1, f"left padding words {shared} and an ending tail"),
+        (2, f"{shared} totally different continuation here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, "doc_id", "text").collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]
+
+
+def test_winnowing_pairs_planted_dup_and_hot_fp_cap(spark):
+    """The planted near-dup pair surfaces; a fingerprint present in more
+    than max_df docs (boilerplate) is dropped, so boilerplate-only
+    overlap yields NO pair."""
+    from hdfs_mapreduce_spark.operators.dedup import winnowing_pairs
+
+    boiler = "subscribe to our newsletter for updates today please"
+    rows = [(1, "the quick brown fox jumps over the lazy dog " + boiler),
+            (2, "the quick brown fox jumps over the lazy cat " + boiler)]
+    # 12 docs sharing ONLY the boilerplate text
+    rows += [(100 + i, f"unique words {i} only here {i} " + boiler)
+             for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def pairs(max_df):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in winnowing_pairs(
+                df, "doc_id", "text", min_shared=1, max_df=max_df
+            ).collect()
+        }
+
+    capped, uncapped = pairs(10), pairs(100)
+    assert (1, 2) in capped
+    # The interior boilerplate fingerprints are selected in all 14 docs
+    # (windows fully inside the shared run pick the same minimum), so the
+    # df<=10 cap drops them: boilerplate-driven pairs shrink strictly.
+    # Boundary windows CAN still select a boilerplate shingle in a df<=10
+    # subset of docs — that residue is correct winnowing behavior.
+    boiler_only = lambda ps: {p for p in ps if p[0] >= 100 and p[1] >= 100}
+    assert boiler_only(capped) < boiler_only(uncapped)
+
+
+def test_winnowing_short_doc_still_fingerprints(spark):
+    """A doc with fewer than W shingles (short doc) still yields exactly
+    its global-minimum fingerprint."""
+    from hdfs_mapreduce_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "just four tokens here"), (2, "hi")],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(df, "doc_id", "text").collect()
+    docs = {}
+    for r in fps:
+        docs.setdefault(r["doc"], []).append(r["fp"])
+    # doc 1: 2 shingles -> one short window at pos=1 -> 1 fp
+    assert len(docs[1]) == 1
+    # doc 2: single token -> whole-text shingle -> 1 fp
+    assert len(docs[2]) == 1

@@ -95,3 +95,47 @@ def test_stratified_head_sample_uses_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_dsir_scores_prefer_target_like_docs(spark):
+    """A pool doc written in the target's vocabulary must outscore a pool
+    doc with disjoint vocabulary, and only pool (non-target) docs are
+    returned."""
+    from hdfs_mapreduce_spark.operators.sampling import dsir_llr_scores
+
+    rows = [
+        # target slice: a consistent vocabulary
+        (1, "alpha beta gamma alpha beta", True),
+        (2, "beta gamma alpha gamma", True),
+        (3, "gamma alpha beta beta", True),
+        # pool: one target-like, one alien
+        (10, "alpha beta gamma", False),
+        (11, "zog quux blarp", False),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, tgt boolean")
+    got = {
+        r["id"]: r["dsir_score"]
+        for r in dsir_llr_scores(df, "id", "text", F.col("tgt")).collect()
+    }
+    assert set(got) == {10, 11}
+    assert got[10] > got[11]
+
+
+def test_dsir_scores_length_normalized(spark):
+    """Repeating a document's tokens must not change its mean-LLR score
+    (the length normalization that keeps selection from favoring long
+    docs)."""
+    from hdfs_mapreduce_spark.operators.sampling import dsir_llr_scores
+
+    rows = [
+        (1, "alpha beta gamma", True),
+        (2, "alpha gamma beta", True),
+        (10, "alpha beta", False),
+        (11, "alpha beta alpha beta alpha beta", False),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, tgt boolean")
+    got = {
+        r["id"]: r["dsir_score"]
+        for r in dsir_llr_scores(df, "id", "text", F.col("tgt")).collect()
+    }
+    assert math.isclose(got[10], got[11], rel_tol=1e-12)

@@ -522,10 +522,16 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Co-activity graph for the triangle query: two users are connected when
 # they share at least TRI_MIN_SHARED distinct (event_type, hour) activity
-# cells; cells with more than TRI_CELL_MAX active users are dropped first
-# (a hot cell is non-discriminative — everyone was there — and its pair
-# expansion is quadratic in cell size, the same reason the dedup family
-# caps hot shingles).
+# cells. A cell's pair expansion is quadratic in its membership, so hot
+# cells are SAMPLED down to TRI_CELL_MAX members by deterministic hash
+# rank (the standard sub-sampling estimator for triangle census on dense
+# co-occurrence graphs). Sampling — not dropping: a first cut dropped
+# over-cap cells wholesale, and the 10x scale smoke showed every cell
+# blowing the cap, collapsing the graph to empty; hash-rank sampling
+# keeps per-cell cost bounded at C(cap,2) while the census stays
+# populated at any density. The per-user hash is cell-independent, so
+# the retained membership is a stable user subsample and shared-cell
+# counts accumulate coherently across cells.
 TRI_MIN_SHARED = 4
 TRI_CELL_MAX = 64
 
@@ -540,24 +546,31 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph_pagerank (centrality) and dedup_components (partition) it
     completes the graph-analytics trio over declared relations.
 
-    Scale: the cell join is keyed on (event_type, hour) with the hot-cell
-    cap bounding per-key expansion; the pair aggregate shuffles on the
-    (a, b) key with map-side partials; the triangle join is bounded
-    O(|E|^1.5) by the orientation (see the operator docstring). No
-    corpus-sized collect, no float surface — all integers."""
+    Scale: the cell join is keyed on (event_type, hour) with hash-rank
+    sampling bounding per-key expansion at C(TRI_CELL_MAX, 2); the pair
+    aggregate shuffles on the (a, b) key with map-side partials; the
+    triangle join is bounded O(|E|^1.5) by the orientation (see the
+    operator docstring). No corpus-sized collect, no float surface —
+    all integers."""
+    from hdfs_mapreduce_spark.functions.hashing import h56
+
     events = load_table(spark, sf_dir, "events")
     act = events.select(
         "user_id",
         "event_type",
         F.date_trunc("hour", F.col("ts")).alias("hb"),
     ).distinct()
-    cells = (
-        act.groupBy("event_type", "hb")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .where(F.col("n_users") <= TRI_CELL_MAX)
-        .select("event_type", "hb")
+    hcol = h56(F.concat(F.lit("tri:"), F.col("user_id").cast("string")))
+    cell_rank = (
+        Window.partitionBy("event_type", "hb")
+        .orderBy(F.col("hu").asc(), F.col("user_id").asc())
     )
-    capped = act.join(cells, ["event_type", "hb"])
+    capped = (
+        act.withColumn("hu", hcol)
+        .withColumn("rk", F.row_number().over(cell_rank))
+        .where(F.col("rk") <= TRI_CELL_MAX)
+        .select("user_id", "event_type", "hb")
+    )
     left = capped.select(
         "event_type", "hb", F.col("user_id").alias("a")
     )
@@ -572,9 +585,22 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("shared") >= TRI_MIN_SHARED)
         .select("a", "b")
     )
-    from hdfs_mapreduce_spark.operators.components import triangle_counts
+    # Materialize-then-probe (the components-family 100 TB pattern): the
+    # operator consumes the edge relation from eight plan positions (sym
+    # both ways, degrees, orientation, two wedge spokes, closing edges);
+    # inlined, each branch re-derives the whole cell-join pipeline — the
+    # plan measured 590 exchanges. The edge list is ~1000x smaller than
+    # the events table, so every consumer scans tiny parquet instead.
+    import os
 
-    return triangle_counts(pairs, "a", "b").orderBy("node")
+    from hdfs_mapreduce_spark.operators.components import triangle_counts
+    from hdfs_mapreduce_spark.operators.materialize import materialize
+
+    edges = materialize(
+        pairs,
+        name=f"triangle_edges_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    return triangle_counts(edges, "a", "b").orderBy("node")
 
 
 QUERIES = {
@@ -789,22 +815,25 @@ ORACLE_SQL = {
         WHERE ABS(e.value - s.mu) > {ANOMALY_Z} * s.sigma
         GROUP BY e.event_type ORDER BY e.event_type
     """,
-    # Same co-activity edges, same degree-ordered orientation ((d, id)
-    # tuple compare on both engines), each triangle enumerated once as an
-    # oriented wedge + closing edge — integer-only, no float surface.
+    # Same co-activity edges (identical h56 cell-sample rank), same
+    # degree-ordered orientation ((d, id) tuple compare on both engines),
+    # each triangle enumerated once as an oriented wedge + closing edge —
+    # integer-only, no float surface.
     "graph_triangles": f"""
         WITH act AS (
             SELECT DISTINCT user_id, event_type,
                    date_trunc('hour', ts) AS hb
             FROM events
         ),
-        cells AS (
-            SELECT event_type, hb FROM act
-            GROUP BY 1, 2 HAVING COUNT(*) <= {TRI_CELL_MAX}
-        ),
         capped AS (
-            SELECT a.user_id, a.event_type, a.hb
-            FROM act a JOIN cells c USING (event_type, hb)
+            SELECT user_id, event_type, hb FROM (
+                SELECT user_id, event_type, hb,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY event_type, hb
+                           ORDER BY {h56_sql("'tri:' || CAST(user_id AS VARCHAR)")},
+                                    user_id) AS rk
+                FROM act
+            ) WHERE rk <= {TRI_CELL_MAX}
         ),
         pairs AS (
             SELECT l.user_id AS a, r.user_id AS b

@@ -288,6 +288,63 @@ def stream_upsert_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+# logtable_cdf staging: three deterministic commits over the events
+# table, then the change feed between the first and last. Both faces
+# share these constants so the expected change set is pure SQL.
+CDF_C0, CDF_C1, CDF_C2 = 4000, 6000, 8000
+CDF_DEL_MOD = 37
+CDF_BUMP = 10.0
+
+
+def logtable_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the log-structured table
+    (streaming/logtable.py table_changes — the real formats' CDF):
+    commit v0 = events[id < C1], v1 = events[C0 ≤ id < C2] with value
+    bumped (+CDF_BUMP → updates on the overlap, inserts above C1),
+    v2 = tombstones for id % CDF_DEL_MOD == 0 below C2; the declared
+    relation is the net change set between as_of=0 and as_of=2 —
+    inserts that survived, updates not shadowed by a delete, deletes of
+    rows visible at v0 (insert-then-delete churn nets out, exactly the
+    CDF contract). Exercises upsert, tombstone, time travel, and the
+    snapshot-diff read end-to-end under the driver's hash.
+
+    Scale: each commit is O(batch) (write + one atomic rename); the diff
+    is two merge-on-read snapshots + ONE full-outer join on the key —
+    cost tracks live data, never log length."""
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        delete_batch,
+        table_changes,
+        upsert_batch,
+    )
+
+    root = os.path.join(_scratch(spark, "cdf", sf_dir), "table")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    eid = F.col("event_id")
+    upsert_batch(events.where(eid < CDF_C1), 0, root, "event_id")
+    upsert_batch(
+        events.where((eid >= CDF_C0) & (eid < CDF_C2)).withColumn(
+            "value", F.col("value") + CDF_BUMP
+        ),
+        1,
+        root,
+        "event_id",
+    )
+    delete_batch(
+        events.where((eid % CDF_DEL_MOD == 0) & (eid < CDF_C2)).select(
+            "event_id"
+        ),
+        2,
+        root,
+        "event_id",
+    )
+    ch = table_changes(spark, root, "event_id", 0, 2)
+    return ch.select(
+        "event_id", "change_type", "value_before", "value_after"
+    ).orderBy("event_id")
+
+
 MG_K = 64
 
 
@@ -391,6 +448,7 @@ def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "logtable_cdf": logtable_cdf,
     "stream_windowed_stats": stream_windowed_stats,
     "stream_sliding_stats": stream_sliding_stats,
     "stream_attribution": stream_attribution,
@@ -478,6 +536,29 @@ def _oracle_sql() -> dict[str, str]:
     )
 
     return {
+        # The expected net change set, derived in pure SQL from the same
+        # constants the Spark face commits with: inserts = the above-C1
+        # slice that survives the delete, updates = the bumped overlap
+        # minus deletes, deletes = v0-visible rows (original value as
+        # the before image — as_of=0 predates the bump).
+        "logtable_cdf": f"""
+            SELECT event_id, 'insert' AS change_type,
+                   CAST(NULL AS DOUBLE) AS value_before,
+                   value + {CDF_BUMP} AS value_after
+            FROM events
+            WHERE event_id >= {CDF_C1} AND event_id < {CDF_C2}
+              AND event_id % {CDF_DEL_MOD} <> 0
+            UNION ALL
+            SELECT event_id, 'update', value, value + {CDF_BUMP}
+            FROM events
+            WHERE event_id >= {CDF_C0} AND event_id < {CDF_C1}
+              AND event_id % {CDF_DEL_MOD} <> 0
+            UNION ALL
+            SELECT event_id, 'delete', value, CAST(NULL AS DOUBLE)
+            FROM events
+            WHERE event_id < {CDF_C1} AND event_id % {CDF_DEL_MOD} = 0
+            ORDER BY event_id
+        """,
         "stream_windowed_stats": """
             SELECT * FROM (
                 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,

@@ -278,3 +278,70 @@ def stream_upsert_events_logtable(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def table_changes(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame | None:
+    """Change data feed between two committed versions (the real
+    formats' CDF / ``table_changes``), computed as a snapshot diff: one
+    row per key whose VISIBLE state differs between ``as_of=v_from`` and
+    ``as_of=v_to``, labeled ``insert`` / ``update`` / ``delete``, every
+    non-key column emitted as ``<col>_before`` / ``<col>_after``. Keys
+    whose state is identical (including insert-then-delete churn that
+    nets out inside the window) do not appear — net-effect semantics,
+    like Delta's CDF with per-version granularity collapsed.
+
+    Scale: two merge-on-read snapshot plans and ONE full-outer join on
+    the table key — cost tracks live data, never log history length
+    (replaying per-version deltas would). Null-safe comparison (<=>)
+    detects updates, so NULL-valued columns diff correctly. Both
+    snapshots must share a schema; diff across a schema-evolution
+    boundary by reading the narrower side through the wider snapshot
+    (snapshot() null-fills old versions already).
+
+    Returns None when both endpoints are empty.
+    """
+    before = snapshot(spark, root, key_col, as_of=v_from)
+    after = snapshot(spark, root, key_col, as_of=v_to)
+    if before is None and after is None:
+        return None
+    ref = after if after is not None else before
+    cols = [c for c in ref.columns if c != key_col]
+
+    def _side(df, suffix):
+        if df is None:
+            empty = spark.createDataFrame([], ref.schema)
+            df = empty
+        return df.select(
+            F.col(key_col),
+            F.lit(True).alias(f"_in_{suffix}"),
+            *[F.col(c).alias(f"{c}_{suffix}") for c in cols],
+        )
+
+    j = _side(before, "before").join(
+        _side(after, "after"), key_col, "full_outer"
+    )
+    differs = F.lit(False)
+    for c in cols:
+        differs = differs | ~F.col(f"{c}_before").eqNullSafe(
+            F.col(f"{c}_after")
+        )
+    change = (
+        F.when(F.col("_in_before").isNull(), F.lit("insert"))
+        .when(F.col("_in_after").isNull(), F.lit("delete"))
+        .when(differs, F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            key_col,
+            "change_type",
+            *[f"{c}_{s}" for c in cols for s in ("before", "after")],
+        )
+    )

@@ -189,3 +189,59 @@ def test_schema_evolution_null_fills_old_versions(spark, tmp_path):
     upsert_batch(wide, 1, root, "k")
     rows = {r["k"]: (r["v"], r["extra"]) for r in snapshot(spark, root, "k").collect()}
     assert rows == {1: ("a", None), 2: ("b", 7)}
+
+
+def test_table_changes_insert_update_delete_and_netting(spark, tmp_path):
+    """CDF semantics: labeled insert/update/delete between two versions;
+    unchanged keys and insert-then-delete churn net out entirely."""
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        delete_batch,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a"), (2, "b"), (3, "c")]), 0, root, "k")
+    # v1: update 2, insert 4 (survives), insert 5 (churn — deleted below)
+    upsert_batch(_batch(spark, [(2, "B"), (4, "d"), (5, "e")]), 1, root, "k")
+    # v2: delete 3 (visible at v0) and 5 (never visible at v0)
+    delete_batch(_batch(spark, [(3, "x"), (5, "x")]), 2, root, "k")
+
+    ch = {
+        r["k"]: (r["change_type"], r["v_before"], r["v_after"])
+        for r in table_changes(spark, root, "k", 0, 2).collect()
+    }
+    assert ch == {
+        2: ("update", "b", "B"),
+        3: ("delete", "c", None),
+        4: ("insert", None, "d"),
+    }  # 1 unchanged, 5 netted out — neither appears
+
+
+def test_table_changes_null_safe_update_detection(spark, tmp_path):
+    """NULL → value and value → NULL are updates; NULL → NULL is not a
+    change (eqNullSafe comparison)."""
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        delete_batch,
+        table_changes,
+    )
+
+    root = str(tmp_path / "t")
+    upsert_batch(
+        _batch(spark, [(1, None), (2, "b"), (3, None)]), 0, root, "k"
+    )
+    upsert_batch(_batch(spark, [(1, "now"), (2, None)]), 1, root, "k")
+    ch = {
+        r["k"]: r["change_type"]
+        for r in table_changes(spark, root, "k", 0, 1).collect()
+    }
+    assert ch == {1: "update", 2: "update"}  # 3 stays NULL → no row
+
+
+def test_table_changes_from_empty_table_is_all_inserts(spark, tmp_path):
+    from hdfs_mapreduce_spark.streaming.logtable import table_changes
+
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    # as_of=-1 predates every commit → before side empty
+    ch = table_changes(spark, root, "k", -1, 0).collect()
+    assert [(r["k"], r["change_type"]) for r in ch] == [(1, "insert")]

@@ -14,6 +14,7 @@ from hdfs_mapreduce_spark.operators.relevance import (
     tfidf_top_terms,
     unigram_lm_scores,
 )
+from hdfs_mapreduce_spark.functions.hashing import h56_sql
 from hdfs_mapreduce_spark.sources.catalog import load_table, spread
 
 # Fixed ad-hoc query for the declared BM25 run.
@@ -175,11 +176,161 @@ def _vocab_sql() -> str:
     """
 
 
+def quality_logreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-batch logistic regression (operators/logreg.py):
+    hashed-BoW features, weak label lang='en', LOGREG_ROUNDS gradient
+    rounds from w=0. Relation = the final (idx, weight) vector with the
+    bias at idx=LOGREG_DIM; oracle = the identical rounds unrolled as
+    chained CTEs (pinned per-doc fold order, same update arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.logreg import (
+        LOGREG_DIM,
+        logreg_fit,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    w = logreg_fit(docs, F.col("lang") == "en")
+    return spark.createDataFrame(
+        [(i, w[i]) for i in range(LOGREG_DIM + 1)],
+        "idx long, weight double",
+    ).orderBy("idx")
+
+
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit as above, then score every document against the final weights:
+    the (label, pred, n, avg_prob) confusion relation a pipeline audits
+    before applying a classifier quality gate."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.logreg import logreg_confusion
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return logreg_confusion(docs, F.col("lang") == "en")
+
+
+def _logreg_ctes() -> str:
+    """The fit unrolled: feats (integer cells -> one exact division),
+    labels, then per round r: margins (bias-seeded ordered fold), resid
+    (sigmoid - y, bias-only for docs with no cells), grad (per-feature
+    sum), w{r+1} (w - lr*g/n, bias via SUM(resid))."""
+    from hdfs_mapreduce_spark.operators.logreg import (
+        LOGREG_DIM,
+        LOGREG_LR,
+        LOGREG_ROUNDS,
+    )
+
+    d, lr = LOGREG_DIM, LOGREG_LR
+    parts = [
+        f"""tok AS (
+            SELECT doc_id AS doc, len({_TOKS}) AS cnt,
+                   unnest({_TOKS}) AS token
+            FROM documents
+        ),
+        cells AS (
+            SELECT doc, cnt, {h56_sql('token')} % {d} AS idx,
+                   SUM(CASE WHEN {h56_sql("'sign:' || token")} % 2 = 0
+                            THEN 1 ELSE -1 END) AS val
+            FROM tok GROUP BY doc, cnt, idx
+        ),
+        feats AS (
+            SELECT doc, idx, CAST(val AS DOUBLE) / cnt AS x FROM cells
+        ),
+        labels AS (
+            SELECT doc_id AS doc,
+                   CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END AS y
+            FROM documents
+        ),
+        nn AS (SELECT COUNT(*) AS n FROM labels),
+        w0 AS (
+            SELECT unnest(generate_series(0, {d})) AS idx,
+                   CAST(0.0 AS DOUBLE) AS w
+        )"""
+    ]
+    for r in range(LOGREG_ROUNDS):
+        parts.append(
+            f"""m{r} AS (
+            SELECT f.doc,
+                   list_reduce(list_prepend(
+                       (SELECT w FROM w{r} WHERE idx = {d}),
+                       list(wr.w * f.x ORDER BY f.idx)),
+                       (a, v) -> a + v) AS margin
+            FROM feats f JOIN w{r} wr ON wr.idx = f.idx
+            GROUP BY f.doc
+        ),
+        r{r} AS (
+            SELECT l.doc,
+                   1.0 / (1.0 + exp(-COALESCE(m.margin,
+                       (SELECT w FROM w{r} WHERE idx = {d})))) - l.y
+                       AS resid
+            FROM labels l LEFT JOIN m{r} m ON m.doc = l.doc
+        ),
+        g{r} AS (
+            SELECT f.idx, SUM(r.resid * f.x) AS g
+            FROM r{r} r JOIN feats f ON f.doc = r.doc
+            GROUP BY f.idx
+        ),
+        w{r + 1} AS (
+            SELECT wr.idx,
+                   wr.w - {lr} * (CASE WHEN wr.idx = {d}
+                       THEN (SELECT SUM(resid) FROM r{r})
+                       ELSE COALESCE(g.g, CAST(0.0 AS DOUBLE)) END)
+                       / (SELECT n FROM nn) AS w
+            FROM w{r} wr LEFT JOIN g{r} g ON g.idx = wr.idx
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+def _logreg_fit_sql() -> str:
+    from hdfs_mapreduce_spark.operators.logreg import LOGREG_ROUNDS
+
+    return f"""
+        WITH {_logreg_ctes()}
+        SELECT idx, w AS weight FROM w{LOGREG_ROUNDS} ORDER BY idx
+    """
+
+
+def _logreg_score_sql() -> str:
+    from hdfs_mapreduce_spark.operators.logreg import (
+        LOGREG_DIM,
+        LOGREG_ROUNDS,
+    )
+
+    t, d = LOGREG_ROUNDS, LOGREG_DIM
+    return f"""
+        WITH {_logreg_ctes()},
+        mT AS (
+            SELECT f.doc,
+                   list_reduce(list_prepend(
+                       (SELECT w FROM w{t} WHERE idx = {d}),
+                       list(wr.w * f.x ORDER BY f.idx)),
+                       (a, v) -> a + v) AS margin
+            FROM feats f JOIN w{t} wr ON wr.idx = f.idx
+            GROUP BY f.doc
+        ),
+        scored AS (
+            SELECT CAST(l.y AS BIGINT) AS label,
+                   1.0 / (1.0 + exp(-COALESCE(m.margin,
+                       (SELECT w FROM w{t} WHERE idx = {d})))) AS p
+            FROM labels l LEFT JOIN mT m ON m.doc = l.doc
+        )
+        SELECT label,
+               CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT)
+                   AS pred,
+               COUNT(*) AS n, AVG(p) AS avg_prob
+        FROM scored GROUP BY label, pred ORDER BY label, pred
+    """
+
+
 QUERIES = {
     "text_bm25": text_bm25,
     "text_tfidf": text_tfidf,
     "text_lm_score": text_lm_score,
     "vocab_coverage": vocab_coverage,
+    "quality_logreg_fit": quality_logreg_fit,
+    "quality_logreg_score": quality_logreg_score,
 }
 
 ORACLE_SQL = {
@@ -187,4 +338,6 @@ ORACLE_SQL = {
     "text_tfidf": _tfidf_sql(),
     "text_lm_score": _lm_sql(),
     "vocab_coverage": _vocab_sql(),
+    "quality_logreg_fit": _logreg_fit_sql(),
+    "quality_logreg_score": _logreg_score_sql(),
 }

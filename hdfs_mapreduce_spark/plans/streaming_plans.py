@@ -348,6 +348,41 @@ def logtable_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
 MG_K = 64
 
 
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terminal state of the watermarked native session-window stream
+    (streaming/events.py:stream_session_window_stats): gap-merged
+    per-user sessions restricted to the closed region. A session is
+    provably final once its end (last event + gap) is strictly before
+    max_ts − watermark: no event that could extend or merge it can still
+    be admitted, and the watermark has passed it so append mode emitted
+    it. Strict ``<`` keeps the one boundary case (session end exactly at
+    the final watermark, whose emission depends on the engine's >= vs >
+    eviction test) out of BOTH sides. Oracle = gaps-and-islands over
+    events with the same strict-gap rule."""
+    from hdfs_mapreduce_spark.streaming.events import (
+        stream_session_window_stats,
+    )
+
+    root = _scratch(spark, "session", sf_dir)
+    sink = os.path.join(root, "sink")
+    _run(
+        stream_session_window_stats(spark, sf_dir),
+        sink,
+        os.path.join(root, "ckpt"),
+    )
+    out = spark.read.parquet(sink).select(
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+    closed = out.crossJoin(F.broadcast(_max_ts(spark, sf_dir))).filter(
+        F.col("session_end") < F.col("max_ts") - F.expr("INTERVAL 1 HOUR")
+    )
+    return closed.drop("max_ts").orderBy("user_id", "session_start")
+
+
 def stream_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra-Gries heavy-hitter state audited against exact counts: one
     row of (n, state_bounded, heavy_all_present, estimates_within_bound)
@@ -454,6 +489,7 @@ QUERIES = {
     "stream_attribution": stream_attribution,
     "stream_upsert_snapshot": stream_upsert_snapshot,
     "stream_upsert_log_snapshot": stream_upsert_log_snapshot,
+    "stream_session_stats": stream_session_stats,
     "stream_heavy_hitters_audit": stream_heavy_hitters_audit,
     "stream_dedup_admitted": stream_dedup_admitted,
 }
@@ -531,6 +567,7 @@ def _dedup_admitted_sql() -> str:
 def _oracle_sql() -> dict[str, str]:
     from hdfs_mapreduce_spark.streaming.events import (
         ATTRIB_WINDOW_MIN,
+        SESSION_GAP_MIN,
         SLIDE_DUR_MIN,
         SLIDE_STEP_MIN,
     )
@@ -589,6 +626,42 @@ def _oracle_sql() -> dict[str, str]:
             WHERE window_start + INTERVAL {SLIDE_DUR_MIN} MINUTES
                   <= (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
             ORDER BY window_start, event_type
+        """,
+        # Gaps-and-islands with the engine-verified strict-gap rule: an
+        # event exactly gap after its predecessor merges, > gap splits;
+        # session end = last event + gap. Closed region strict <, same
+        # as the Spark face.
+        "stream_session_stats": f"""
+            WITH marked AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts > lag(ts) OVER w
+                                    + INTERVAL {SESSION_GAP_MIN} MINUTES
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            islands AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS seq
+                FROM marked
+            ),
+            sess AS (
+                SELECT user_id,
+                       MIN(ts) AS session_start,
+                       MAX(ts) + INTERVAL {SESSION_GAP_MIN} MINUTES
+                           AS session_end,
+                       COUNT(*) AS n_events,
+                       SUM(value) AS sum_value
+                FROM islands GROUP BY user_id, seq
+            )
+            SELECT session_start, session_end, user_id, n_events, sum_value
+            FROM sess
+            WHERE session_end
+                  < (SELECT MAX(ts) FROM events) - INTERVAL 1 HOUR
+            ORDER BY user_id, session_start
         """,
         "stream_attribution": f"""
             SELECT p.user_id, c.event_id AS click_id,

@@ -713,6 +713,62 @@ def stream_click_attribution(
     return writer
 
 
+def _session_window_agg(events: DataFrame) -> DataFrame:
+    """Native gap-merged session windows per user: count + sum(value).
+
+    Spark's ``session_window`` merges an event into the open session iff
+    its timestamp is at most ``gap`` past the previous event (verified:
+    an event exactly gap after its predecessor MERGES; diff > gap starts
+    a new session) — the identical rule to the lag-based batch
+    ``sessionize``, so the gaps-and-islands SQL oracle uses strict
+    ``> gap``. The emitted window is [first_ts, last_ts + gap)."""
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the session-window aggregate (the backfill path)."""
+    events = load_table(spark, sf_dir, "events")
+    return _session_window_agg(events).orderBy("user_id", "session_start")
+
+
+def stream_session_window_stats(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+):
+    """Streaming form: parquet source → 1h watermark → session-window agg.
+
+    Unlike tumbling/sliding windows, session windows have data-dependent
+    extents: the state store keeps one open session per (user, session)
+    and MERGES sessions when a new event bridges two of them — Spark's
+    native stateful session operator, not the applyInPandasWithState
+    custom one (``stream_sessionize``, which emits per-event ids; this
+    emits per-session aggregates). Watermark closes a session once no
+    event within the gap can still arrive, bounding state at any scale.
+
+    Returns the DataStreamWriter (caller picks sink + trigger)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = _session_window_agg(stream.withWatermark("ts", "1 hour"))
+    writer = agg.writeStream.outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer
+
+
 def session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-session stats: event count and duration seconds."""
     events = load_table(spark, sf_dir, "events")

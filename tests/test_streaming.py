@@ -756,3 +756,54 @@ def test_state_dirs_accept_file_scheme_uris(spark, tmp_path):
     # replay of batch 1 must be a content no-op through the URI as well
     dedup_ingest_batch(halves[1], 1, dstate)
     assert read_accepted(spark, dstate).count() == n_accepted
+
+
+def test_stream_session_window_equals_batch(spark):
+    """Native session_window streaming agg ≡ its batch twin on the closed
+    region (sessions whose end is strictly before max_ts − watermark)."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.events import (
+        session_window_stats,
+        stream_session_window_stats,
+    )
+
+    batch = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in session_window_stats(spark, SF).collect()
+    }
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream_session_window_stats(spark, SF, checkpoint_dir=ckpt)
+            .format("memory")
+            .queryName("session_window_stream")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish in time"
+    stream = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["sum_value"],
+        )
+        for r in spark.sql("SELECT * FROM session_window_stream").collect()
+    }
+    from pyspark.sql import functions as F  # noqa: F811
+
+    max_ts = load_table(spark, SF, "events").agg(F.max("ts")).collect()[0][0]
+    closed = {
+        k: v for k, v in batch.items() if v[0] < max_ts - timedelta(hours=1)
+    }
+    # every closed session must have been emitted identically; the stream
+    # may additionally hold back nothing else on the closed region
+    assert {k: stream[k] for k in closed} == closed
+    assert all(k in stream for k in closed)
+    assert len(closed) > 50

@@ -13,6 +13,7 @@ STREAM_QUERIES = [
     "stream_windowed_stats",
     "stream_sliding_stats",
     "stream_attribution",
+    "stream_session_stats",
     "stream_upsert_snapshot",
     "stream_heavy_hitters_audit",
     "stream_dedup_admitted",

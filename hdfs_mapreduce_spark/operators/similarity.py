@@ -1737,3 +1737,115 @@ def hash_embed_vectors(
             F.col("cells"), lambda c: c["val"].cast("double")
         ).alias("vec"),
     )
+
+
+# --- MMR diverse selection --------------------------------------------------
+MMR_LAMBDA = 0.75  # exactly-representable double: identical literal in
+MMR_K = 8          # Python, Spark and SQL (as is 1-lambda = 0.25)
+MMR_QUERY_ID = 0
+
+
+def _max_cos_fast(selected: list[list[float]]):
+    """Arrow-batched max cosine against the <=k selected vectors. Each
+    cosine uses the exact sequential fold (bit-identical to ``_cos`` /
+    the SQL list_reduce twin); max over selected is rounding-free, so
+    the result equals SQL ``MAX()`` over the same cosines bit-for-bit."""
+    import numpy as np
+
+    smat = np.array(selected, dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def _mc(x: pd.Series) -> pd.Series:
+        if len(x) == 0:
+            return pd.Series([], dtype="float64")
+        m = np.stack(x.values).astype(np.float64)
+        n = m.shape[0]
+        nm = np.zeros(n)
+        for i in range(m.shape[1]):  # sequential fold = oracle's _NORM
+            nm = nm + m[:, i] * m[:, i]
+        best = np.full(n, -np.inf)
+        for s in smat:
+            dot = np.zeros(n)
+            ns = 0.0
+            for i in range(m.shape[1]):
+                dot = dot + m[:, i] * s[i]
+                ns = ns + s[i] * s[i]
+            best = np.maximum(best, dot / (np.sqrt(nm) * np.sqrt(ns)))
+        return pd.Series(best)
+
+    return _mc
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_id: int = MMR_QUERY_ID,
+    k: int = MMR_K,
+    lam: float = MMR_LAMBDA,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein '98) diverse
+    top-k: greedily pick argmax over remaining candidates of
+    ``lam * rel(d) - (1-lam) * max_{s in S} cos(d, s)`` — the
+    dedup-aware selection stage that keeps a sample RELEVANT (to the
+    query) without collapsing onto near-duplicates (the penalty term is
+    exactly the SemDeDup similarity signal, applied at selection time).
+
+    Scale contract: selection is inherently sequential in k, so the
+    shape is k driver-bounded rounds; each round is ONE map pass (rel
+    precomputed and persisted; the penalty kernel carries the <=k
+    selected vectors in its closure — no shuffle) into a TakeOrdered
+    top-1. Driver state = k ids + k vectors. At 100 TB each round is a
+    full scan, which is the honest cost of exact MMR — for larger k,
+    candidate-pool prefiltering (ann_topk_* to a few thousand rows)
+    bounds the scan; k itself stays a constant.
+
+    Determinism: rel and penalty use the exact sequential folds, score
+    arithmetic matches the unrolled SQL (0.75/0.25 are exact doubles),
+    ties break by id — the whole greedy trajectory is engine-exact."""
+    spark = embeddings.sparkSession
+    qrow = (
+        embeddings.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    )
+    out_schema = "rank long, vec_id long, rel double, mmr_score double"
+    if not qrow:
+        return spark.createDataFrame([], out_schema)
+    qlit = F.array(*[F.lit(float(v)) for v in qrow[0][0]])
+    base = (
+        embeddings.filter(F.col(id_col) != query_id)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("emb"),
+            cosine_fast(F.col(vec_col), qlit).alias("rel"),
+        )
+        .persist()
+    )
+    try:
+        rows: list[tuple] = []
+        sel_ids: list = []
+        sel_vecs: list[list[float]] = []
+        for r in range(1, k + 1):
+            if sel_vecs:
+                pen = _max_cos_fast(sel_vecs)(F.col("emb"))
+                score = (
+                    F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * pen
+                )
+                cand = base.filter(~F.col("vid").isin(sel_ids))
+            else:
+                score = F.lit(lam) * F.col("rel")
+                cand = base
+            top = (
+                cand.select("vid", "rel", "emb", score.alias("score"))
+                .orderBy(F.col("score").desc(), F.col("vid"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            t = top[0]
+            rows.append((r, t["vid"], t["rel"], t["score"]))
+            sel_ids.append(t["vid"])
+            sel_vecs.append([float(v) for v in t["emb"]])
+        return spark.createDataFrame(rows, out_schema)
+    finally:
+        base.unpersist()

@@ -570,8 +570,21 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def dataset_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diverse selection (operators/similarity.py:mmr_select):
+    greedy lam*rel − (1−lam)*max-sim-to-selected top-k against query
+    vec 0 — the dedup-aware sampling stage. Oracle = the identical
+    greedy trajectory unrolled as k chained CTEs (exact folds, exact
+    0.75/0.25 literals, id tie-break)."""
+    from hdfs_mapreduce_spark.operators.similarity import mmr_select
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mmr_select(emb)
+
+
 QUERIES = {
     "ann_bruteforce": ann_bruteforce,
+    "dataset_mmr": dataset_mmr,
     "ann_filtered": ann_filtered,
     "embedding_centroids": embedding_centroids,
     "embedding_covariance": embedding_covariance,
@@ -909,7 +922,66 @@ def _text_hash_ann_sql() -> str:
     """
 
 
+def _mmr_sql() -> str:
+    """The greedy MMR trajectory unrolled: pick1 = argmax lam*rel, then
+    per round r: score remaining candidates with the max-cosine penalty
+    against sel{r-1}, pick the (score desc, id) top-1, extend the
+    selected set. Every cosine is the exact-fold ``_cos``; MAX is
+    rounding-free; 0.75/0.25 are exact doubles — the whole trajectory
+    matches the Spark face bit-for-bit."""
+    from hdfs_mapreduce_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_QUERY_ID,
+    )
+
+    lam, om, k, qid = MMR_LAMBDA, 1.0 - MMR_LAMBDA, MMR_K, MMR_QUERY_ID
+    ctes = [
+        f"""q AS (
+            SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}
+        ),
+        base AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding,
+                   {_cos('e.embedding', 'q.qv')} AS rel
+            FROM embeddings e, q WHERE e.vec_id <> {qid}
+        ),
+        pick1 AS (
+            SELECT CAST(1 AS BIGINT) AS rank, vec_id, embedding, rel,
+                   {lam} * rel AS mmr_score
+            FROM base ORDER BY {lam} * rel DESC, vec_id LIMIT 1
+        ),
+        sel1 AS MATERIALIZED (SELECT * FROM pick1)"""
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""sc{r} AS (
+            SELECT b.vec_id, b.embedding, b.rel,
+                   {lam} * b.rel - {om}
+                       * MAX({_cos('b.embedding', 's.embedding')})
+                       AS mmr_score
+            FROM base b, sel{r - 1} s
+            WHERE b.vec_id NOT IN (SELECT vec_id FROM sel{r - 1})
+            GROUP BY b.vec_id, b.embedding, b.rel
+        ),
+        pick{r} AS (
+            SELECT CAST({r} AS BIGINT) AS rank, vec_id, embedding, rel,
+                   mmr_score
+            FROM sc{r} ORDER BY mmr_score DESC, vec_id LIMIT 1
+        ),
+        sel{r} AS MATERIALIZED (
+            SELECT * FROM sel{r - 1} UNION ALL SELECT * FROM pick{r}
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n        ".join(ctes)
+        + f"""
+        SELECT rank, vec_id, rel, mmr_score FROM sel{k} ORDER BY rank"""
+    )
+
+
 ORACLE_SQL = {
+    "dataset_mmr": _mmr_sql(),
     # audit oracle: corpus_rows is recounted from the table; booleans pin
     # the invariant outcome (the stream_heavy_hitters_audit pattern)
     "ann_pca_audit": f"""

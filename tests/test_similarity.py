@@ -503,3 +503,71 @@ def test_semantic_dedup_splits_oversized_clusters(spark):
         if r["dup_of"] is not None:
             assert r["dup_of"] < r["vid"]
             assert cluster_of[r["dup_of"]] == r["cluster"]
+
+
+def test_mmr_select_trajectory_invariants(spark):
+    """Greedy MMR: k distinct picks ranked 1..k; pick 1 is the pure-
+    relevance argmax; every later pick's stored score equals
+    lam*rel - (1-lam)*max-cos against the PRIOR picks (recomputed
+    driver-side with the same exact fold)."""
+    import math
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_QUERY_ID,
+        mmr_select,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    from tests.conftest import SF_CORRECTNESS
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    out = mmr_select(emb).collect()
+    assert [r["rank"] for r in out] == list(range(1, MMR_K + 1))
+    ids = [r["vec_id"] for r in out]
+    assert len(set(ids)) == MMR_K
+    assert MMR_QUERY_ID not in ids
+
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for i in range(len(a)):  # sequential fold, like the kernels
+            dot += a[i] * b[i]
+            na += a[i] * a[i]
+            nb += b[i] * b[i]
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    q = vecs[MMR_QUERY_ID]
+    # pick 1 = argmax rel (tie-break id)
+    best = max(
+        ((cos(v, q), -i) for i, v in vecs.items() if i != MMR_QUERY_ID),
+    )
+    assert -best[1] == ids[0]
+    for r in out:
+        rel = cos(vecs[r["vec_id"]], q)
+        assert rel == r["rel"]
+        prior = ids[: r["rank"] - 1]
+        if prior:
+            pen = max(cos(vecs[r["vec_id"]], vecs[p]) for p in prior)
+            expect = MMR_LAMBDA * rel - (1.0 - MMR_LAMBDA) * pen
+        else:
+            expect = MMR_LAMBDA * rel
+        assert abs(expect - r["mmr_score"]) < 1e-12
+
+
+def test_mmr_select_missing_query_is_empty(spark):
+    from hdfs_mapreduce_spark.operators.similarity import mmr_select
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    from tests.conftest import SF_CORRECTNESS
+
+    emb = load_table(spark, SF_CORRECTNESS, "embeddings")
+    assert mmr_select(emb, query_id=-999).count() == 0

@@ -1,0 +1,188 @@
+"""Declarative data-quality expectations, evaluated engine-side.
+
+The validation gate every production pipeline runs before promoting a
+batch (Great-Expectations/Deequ-style), re-expressed Spark-first: each
+table's row-level checks compile into ONE conditional-aggregate pass
+(``SUM(CASE WHEN violated)`` per check inside a single ``agg`` — no
+per-check rescans), unpivoted to (tbl, check, n_rows, violations, pass)
+rows with ``stack``. Referential-integrity checks are left-anti joins
+aggregated to a count — written without a broadcast hint so AQE picks
+broadcast locally and shuffle join at 100 TB parent sizes.
+
+Scale posture: cost = one scan per table + one join per RI rule,
+independent of the number of row-level checks; the result relation is
+O(#checks) rows. Uniqueness uses exact COUNT(col) - COUNT(DISTINCT col)
+(a two-phase partial-agg shuffle — the exact form scales; swap in
+approx_count_distinct when a tolerance is acceptable).
+
+The relation is a deterministic audit of the data — violations are
+whatever they are — so it carries a full hash oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EVENT_TYPE_DOMAIN = ("click", "error", "purchase", "signup", "view")
+
+
+def _violations(cond: Column) -> Column:
+    """Count of rows violating the expectation (cond = is-violated)."""
+    return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+
+def _unpivot(one_row: DataFrame, tbl: str, checks: list[str]) -> DataFrame:
+    """One aggregate row with a column per check -> (tbl, check, n_rows,
+    violations, pass) rows via stack — still a single pass."""
+    pairs = ", ".join(f"'{c}', `{c}`" for c in checks)
+    return one_row.selectExpr(
+        f"'{tbl}' AS tbl",
+        "n_rows",
+        f"stack({len(checks)}, {pairs}) AS (check, violations)",
+    ).select(
+        "tbl",
+        "check",
+        "n_rows",
+        "violations",
+        (F.col("violations") == 0).alias("pass"),
+    )
+
+
+def _row_checks(
+    df: DataFrame, tbl: str, checks: dict[str, Column]
+) -> DataFrame:
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[_violations(cond).alias(name) for name, cond in checks.items()],
+    )
+    return _unpivot(agg, tbl, list(checks))
+
+
+def _unique_violations(df: DataFrame, col: str) -> Column:
+    """Non-null rows beyond the first per value: COUNT(col) -
+    COUNT(DISTINCT col) — exact, two-phase partial agg."""
+    return (F.count(col) - F.count_distinct(F.col(col))).cast("long")
+
+
+def _uniqueness_check(df: DataFrame, tbl: str, col: str) -> DataFrame:
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        _unique_violations(df, col).alias(f"{col}_unique"),
+    )
+    return _unpivot(agg, tbl, [f"{col}_unique"])
+
+
+def _ri_check(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    tbl: str,
+    check: str,
+) -> DataFrame:
+    """Orphaned-foreign-key count: child rows whose fk matches no parent
+    pk (left-anti). No broadcast hint — AQE picks the join strategy by
+    parent size."""
+    n = child.agg(F.count(F.lit(1)).alias("n_rows"))
+    viol = (
+        child.select(F.col(fk))
+        .join(
+            parent.select(F.col(pk)).distinct(),
+            F.col(fk) == F.col(pk),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+    )
+    return n.crossJoin(viol).select(
+        F.lit(tbl).alias("tbl"),
+        F.lit(check).alias("check"),
+        "n_rows",
+        "violations",
+        (F.col("violations") == 0).alias("pass"),
+    )
+
+
+def dq_report(
+    events: DataFrame,
+    documents: DataFrame,
+    embeddings: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+) -> DataFrame:
+    """The full expectations suite over the warehouse: per-table
+    conditional-aggregate passes + two referential-integrity anti-joins,
+    unioned to one (tbl, check, n_rows, violations, pass) relation."""
+    parts = [
+        _row_checks(
+            events,
+            "events",
+            {
+                "event_id_not_null": F.col("event_id").isNull(),
+                "ts_not_null": F.col("ts").isNull(),
+                "value_positive": F.col("value").isNull()
+                | (F.col("value") <= 0),
+                "event_type_in_domain": F.col("event_type").isNull()
+                | ~F.col("event_type").isin(*EVENT_TYPE_DOMAIN),
+            },
+        ),
+        _uniqueness_check(events, "events", "event_id"),
+        _row_checks(
+            documents,
+            "documents",
+            {
+                "n_chars_consistent": F.col("n_chars")
+                != F.length(F.col("text")),
+            },
+        ),
+        _uniqueness_check(documents, "documents", "doc_id"),
+        _row_checks(
+            embeddings,
+            "embeddings",
+            {
+                "embedding_dim_64": F.size(F.col("embedding")) != 64,
+            },
+        ),
+        _uniqueness_check(embeddings, "embeddings", "vec_id"),
+        _row_checks(
+            orders,
+            "orders",
+            {
+                "o_totalprice_positive": F.col("o_totalprice").isNull()
+                | (F.col("o_totalprice") <= 0),
+            },
+        ),
+        _ri_check(
+            orders,
+            customer,
+            "o_custkey",
+            "c_custkey",
+            "orders",
+            "o_custkey_ri_customer",
+        ),
+        _row_checks(
+            lineitem,
+            "lineitem",
+            {
+                "l_quantity_in_1_50": F.col("l_quantity").isNull()
+                | (F.col("l_quantity") < 1)
+                | (F.col("l_quantity") > 50),
+                "l_discount_in_0_01": F.col("l_discount").isNull()
+                | (F.col("l_discount") < 0)
+                | (F.col("l_discount") > 0.1),
+            },
+        ),
+        _ri_check(
+            lineitem,
+            orders,
+            "l_orderkey",
+            "o_orderkey",
+            "lineitem",
+            "l_orderkey_ri_orders",
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("tbl", "check")

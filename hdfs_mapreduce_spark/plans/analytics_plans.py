@@ -603,8 +603,27 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges, "a", "b").orderBy("node")
 
 
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations suite (operators/dq.py): per-table
+    row-level checks as ONE conditional-aggregate pass each, exact
+    uniqueness, and referential-integrity anti-joins, unioned into the
+    (tbl, check, n_rows, violations, pass) audit relation every
+    pipeline gates a batch promotion on."""
+    from hdfs_mapreduce_spark.operators.dq import dq_report
+
+    return dq_report(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 QUERIES = {
     "tpch_q3_shipping": tpch_q3_shipping,
+    "dq_checks": dq_checks,
     "scalar_funcs": scalar_funcs,
     "tpch_q5_region": tpch_q5_region,
     "tpch_q10_returns": tpch_q10_returns,
@@ -638,7 +657,89 @@ _CM_CELLS = " UNION ALL ".join(
     for d in range(CM_DEPTH)
 )
 
+def _dq_sql() -> str:
+    """Mirror of operators/dq.py dq_report: one aggregate CTE per table
+    (identical violated-row predicates), a check row per aggregate
+    column, NOT EXISTS twins of the anti-join RI rules (NULL fk counts
+    as orphaned in both), unioned and ordered."""
+    from hdfs_mapreduce_spark.operators.dq import EVENT_TYPE_DOMAIN
+
+    dom = ", ".join(f"'{t}'" for t in EVENT_TYPE_DOMAIN)
+    tables: dict[str, dict[str, str]] = {
+        "events": {
+            "event_id_not_null": "event_id IS NULL",
+            "ts_not_null": "ts IS NULL",
+            "value_positive": "value IS NULL OR value <= 0",
+            "event_type_in_domain": (
+                f"event_type IS NULL OR event_type NOT IN ({dom})"
+            ),
+        },
+        "documents": {"n_chars_consistent": "n_chars <> length(text)"},
+        "embeddings": {"embedding_dim_64": "len(embedding) <> 64"},
+        "orders": {
+            "o_totalprice_positive": (
+                "o_totalprice IS NULL OR o_totalprice <= 0"
+            ),
+        },
+        "lineitem": {
+            "l_quantity_in_1_50": (
+                "l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50"
+            ),
+            "l_discount_in_0_01": (
+                "l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1"
+            ),
+        },
+    }
+    uniq = {
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    ctes, selects = [], []
+    for tbl, checks in tables.items():
+        names = list(checks)
+        cols = ["COUNT(*) AS n_rows"] + [
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {name}"
+            for name, cond in checks.items()
+        ]
+        if tbl in uniq:
+            c = uniq[tbl]
+            cols.append(
+                f"CAST(COUNT({c}) - COUNT(DISTINCT {c}) AS BIGINT)"
+                f" AS {c}_unique"
+            )
+            names.append(f"{c}_unique")
+        ctes.append(f"agg_{tbl} AS (SELECT {', '.join(cols)} FROM {tbl})")
+        selects.extend(
+            f"""SELECT '{tbl}' AS tbl, '{name}' AS "check", n_rows,
+                {name} AS violations, {name} = 0 AS "pass"
+                FROM agg_{tbl}"""
+            for name in names
+        )
+    for tbl, name, fk, ptbl, pk in (
+        ("orders", "o_custkey_ri_customer", "o_custkey", "customer",
+         "c_custkey"),
+        ("lineitem", "l_orderkey_ri_orders", "l_orderkey", "orders",
+         "o_orderkey"),
+    ):
+        selects.append(
+            f"""SELECT '{tbl}' AS tbl, '{name}' AS "check",
+                (SELECT COUNT(*) FROM {tbl}) AS n_rows, v AS violations,
+                v = 0 AS "pass"
+                FROM (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM {tbl} c
+                      WHERE NOT EXISTS (SELECT 1 FROM {ptbl} p
+                                        WHERE p.{pk} = c.{fk}))"""
+        )
+    return (
+        "WITH " + ",\n        ".join(ctes) + "\n        "
+        + "\n        UNION ALL ".join(selects)
+        + '\n        ORDER BY tbl, "check"'
+    )
+
+
 ORACLE_SQL = {
+    "dq_checks": _dq_sql(),
     "events_cm_sketch": f"""
         SELECT row, bucket, COUNT(*) AS cnt
         FROM ({_CM_CELLS})

@@ -1,0 +1,96 @@
+"""Data-quality expectations (operators/dq.py): the suite must detect
+injected violations of every rule, and pass clean data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdfs_mapreduce_spark.operators.dq import dq_report
+from hdfs_mapreduce_spark.plans import ORACLE_SQL, RAW_QUERIES
+from tests.conftest import SF_CORRECTNESS
+from tests.oracle import assert_matches_oracle
+
+
+def test_dq_checks_matches_oracle(spark, ddb):
+    df = RAW_QUERIES["dq_checks"](spark, SF_CORRECTNESS)
+    assert_matches_oracle(df, ddb, ORACLE_SQL["dq_checks"], "dq_checks")
+
+
+def _tables(spark, dirty: bool):
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "click", 5.0, "{}"),
+            (2, "2024-01-01 00:01:00", 1, "view", 1.0, "{}"),
+            # dirty: duplicate id, bad type, non-positive value, null ts
+            *(
+                [
+                    (2, "2024-01-01 00:02:00", 2, "hover", -1.0, "{}"),
+                    (3, None, 2, "click", 0.0, "{}"),
+                ]
+                if dirty
+                else []
+            ),
+        ],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    documents = spark.createDataFrame(
+        [(1, "ab cd", "en", "s", 5)]
+        + ([(1, "xyz", "en", "s", 99)] if dirty else []),
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    embeddings = spark.createDataFrame(
+        [(1, [0.0] * 64)] + ([(1, [0.0] * 3)] if dirty else []),
+        "vec_id long, embedding array<float>",
+    )
+    customer = spark.createDataFrame(
+        [(10, "a", 0, 1.0, "B")],
+        "c_custkey long, c_name string, c_nationkey long,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    orders = spark.createDataFrame(
+        [(100, 10, "O", 5.0)]
+        + ([(101, 99, "O", -2.0)] if dirty else []),  # orphan + bad price
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double",
+    )
+    lineitem = spark.createDataFrame(
+        [(100, 5.0, 0.05)]
+        + ([(999, 77.0, 0.5)] if dirty else []),  # orphan + both ranges
+        "l_orderkey long, l_quantity double, l_discount double",
+    )
+    return events, documents, embeddings, orders, lineitem, customer
+
+
+def test_dq_report_flags_every_injected_violation(spark):
+    out = {
+        (r["tbl"], r["check"]): (r["violations"], r["pass"])
+        for r in dq_report(*_tables(spark, dirty=True)).collect()
+    }
+    expected_violations = {
+        ("events", "event_id_unique"): 1,
+        ("events", "event_type_in_domain"): 1,
+        ("events", "value_positive"): 2,  # -1.0 and 0.0
+        ("events", "ts_not_null"): 1,
+        ("events", "event_id_not_null"): 0,
+        ("documents", "doc_id_unique"): 1,
+        ("documents", "n_chars_consistent"): 1,
+        ("embeddings", "vec_id_unique"): 1,
+        ("embeddings", "embedding_dim_64"): 1,
+        ("orders", "o_custkey_ri_customer"): 1,
+        ("orders", "o_totalprice_positive"): 1,
+        ("lineitem", "l_orderkey_ri_orders"): 1,
+        ("lineitem", "l_quantity_in_1_50"): 1,
+        ("lineitem", "l_discount_in_0_01"): 1,
+    }
+    for key, v in expected_violations.items():
+        assert out[key][0] == v, (key, out[key])
+        assert out[key][1] is (v == 0)
+
+
+def test_dq_report_passes_clean_data(spark):
+    rows = dq_report(*_tables(spark, dirty=False)).collect()
+    assert len(rows) == 14
+    assert all(r["pass"] for r in rows)
+    assert all(r["violations"] == 0 for r in rows)

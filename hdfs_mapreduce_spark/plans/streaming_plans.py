@@ -296,28 +296,18 @@ CDF_DEL_MOD = 37
 CDF_BUMP = 10.0
 
 
-def logtable_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Change data feed over the log-structured table
-    (streaming/logtable.py table_changes — the real formats' CDF):
-    commit v0 = events[id < C1], v1 = events[C0 ≤ id < C2] with value
-    bumped (+CDF_BUMP → updates on the overlap, inserts above C1),
-    v2 = tombstones for id % CDF_DEL_MOD == 0 below C2; the declared
-    relation is the net change set between as_of=0 and as_of=2 —
-    inserts that survived, updates not shadowed by a delete, deletes of
-    rows visible at v0 (insert-then-delete churn nets out, exactly the
-    CDF contract). Exercises upsert, tombstone, time travel, and the
-    snapshot-diff read end-to-end under the driver's hash.
-
-    Scale: each commit is O(batch) (write + one atomic rename); the diff
-    is two merge-on-read snapshots + ONE full-outer join on the key —
-    cost tracks live data, never log length."""
+def _stage_cdf_table(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """The shared three-commit logtable fixture: v0 = events[id < C1],
+    v1 = events[C0 <= id < C2] with value bumped (+CDF_BUMP -> updates
+    on the overlap, inserts above C1), v2 = tombstones for
+    id % CDF_DEL_MOD == 0 below C2. Each commit is O(batch): write one
+    immutable version + one atomic rename."""
     from hdfs_mapreduce_spark.streaming.logtable import (
         delete_batch,
-        table_changes,
         upsert_batch,
     )
 
-    root = os.path.join(_scratch(spark, "cdf", sf_dir), "table")
+    root = os.path.join(_scratch(spark, name, sf_dir), "table")
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
@@ -339,10 +329,98 @@ def logtable_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         "event_id",
     )
+    return root
+
+
+def logtable_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over the log-structured table
+    (streaming/logtable.py table_changes — the real formats' CDF):
+    the three-commit fixture (_stage_cdf_table), then the net change set
+    between as_of=0 and as_of=2 — inserts that survived, updates not
+    shadowed by a delete, deletes of rows visible at v0 (insert-then-
+    delete churn nets out, exactly the CDF contract). Exercises upsert,
+    tombstone, time travel, and the snapshot-diff read end-to-end under
+    the driver's hash.
+
+    Scale: each commit is O(batch) (write + one atomic rename); the diff
+    is two merge-on-read snapshots + ONE full-outer join on the key —
+    cost tracks live data, never log length."""
+    from hdfs_mapreduce_spark.streaming.logtable import table_changes
+
+    root = _stage_cdf_table(spark, sf_dir, "cdf")
     ch = table_changes(spark, root, "event_id", 0, 2)
     return ch.select(
         "event_id", "change_type", "value_before", "value_after"
     ).orderBy("event_id")
+
+
+def _apply_cdf_delta(agg: DataFrame, ch: DataFrame) -> DataFrame:
+    """One IVM step: fold a change-feed relation into a maintained
+    (event_type, n_events, sum_value) aggregate. Updates contribute to
+    BOTH sides (retract before-image from its group, add after-image to
+    its group), so group-migrating updates are handled; the merge is a
+    full-outer join on the group key — cost tracks |delta| + |groups|,
+    never the base table."""
+    neg = ch.where(F.col("change_type").isin("update", "delete")).select(
+        F.col("event_type_before").alias("event_type"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-F.col("value_before")).alias("dv"),
+    )
+    pos = ch.where(F.col("change_type").isin("update", "insert")).select(
+        F.col("event_type_after").alias("event_type"),
+        F.lit(1).cast("long").alias("dn"),
+        F.col("value_after").alias("dv"),
+    )
+    delta = (
+        neg.unionAll(pos)
+        .groupBy("event_type")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    return (
+        agg.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce(F.col("n_events"), F.lit(0))
+                + F.coalesce(F.col("dn"), F.lit(0))
+            ).alias("n_events"),
+            (
+                F.coalesce(F.col("sum_value"), F.lit(0.0))
+                + F.coalesce(F.col("dv"), F.lit(0.0))
+            ).alias("sum_value"),
+        )
+    )
+
+
+def logtable_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the change feed:
+    seed a per-event_type (count, sum) aggregate from the v0 snapshot,
+    then fold the v0→v1 and v1→v2 CDFs into it — never rescanning the
+    base table. Groups whose count reaches 0 drop out, matching a
+    direct recompute (pytest proves incremental ≡ snapshot(as_of=2)
+    recompute exactly on counts). This is the downstream-view economics
+    the real table formats sell: maintenance cost tracks |delta|, not
+    |table|. Oracle = the final visible state computed closed-form from
+    the shared commit constants."""
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        snapshot,
+        table_changes,
+    )
+
+    root = _stage_cdf_table(spark, sf_dir, "ivm")
+    agg = (
+        snapshot(spark, root, "event_id", as_of=0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    for v in (1, 2):
+        ch = table_changes(spark, root, "event_id", v - 1, v)
+        if ch is not None:
+            agg = _apply_cdf_delta(agg, ch)
+    return agg.where(F.col("n_events") > 0).orderBy("event_type")
 
 
 MG_K = 64
@@ -484,6 +562,7 @@ def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "logtable_cdf": logtable_cdf,
+    "logtable_ivm": logtable_ivm,
     "stream_windowed_stats": stream_windowed_stats,
     "stream_sliding_stats": stream_sliding_stats,
     "stream_attribution": stream_attribution,
@@ -595,6 +674,18 @@ def _oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id < {CDF_C1} AND event_id % {CDF_DEL_MOD} = 0
             ORDER BY event_id
+        """,
+        # Final visible state in closed form from the shared commit
+        # constants: live keys = id < C2 surviving the delete; value
+        # bumped iff the v1 batch wrote it (C0 <= id < C2).
+        "logtable_ivm": f"""
+            SELECT event_type, COUNT(*) AS n_events,
+                   SUM(CASE WHEN event_id >= {CDF_C0}
+                            THEN value + {CDF_BUMP} ELSE value END)
+                       AS sum_value
+            FROM events
+            WHERE event_id < {CDF_C2} AND event_id % {CDF_DEL_MOD} <> 0
+            GROUP BY event_type ORDER BY event_type
         """,
         "stream_windowed_stats": """
             SELECT * FROM (

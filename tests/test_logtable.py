@@ -245,3 +245,91 @@ def test_table_changes_from_empty_table_is_all_inserts(spark, tmp_path):
     # as_of=-1 predates every commit → before side empty
     ch = table_changes(spark, root, "k", -1, 0).collect()
     assert [(r["k"], r["change_type"]) for r in ch] == [(1, "insert")]
+
+
+def test_ivm_equals_direct_recompute(spark):
+    """The incrementally-maintained aggregate must equal a groupBy over
+    the final snapshot: exact on counts, 1e-9-close on float sums (the
+    incremental path associates additions differently)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.plans.streaming_plans import (
+        _stage_cdf_table,
+        logtable_ivm,
+    )
+    from hdfs_mapreduce_spark.streaming.logtable import snapshot
+    from tests.conftest import SF_CORRECTNESS
+
+    inc = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in logtable_ivm(spark, SF_CORRECTNESS).collect()
+    }
+    root = _stage_cdf_table(spark, SF_CORRECTNESS, "ivm_direct")
+    direct = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in snapshot(spark, root, "event_id", as_of=2)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .collect()
+    }
+    assert set(inc) == set(direct)
+    for k in direct:
+        assert inc[k][0] == direct[k][0]
+        assert abs(inc[k][1] - direct[k][1]) < 1e-9 * max(
+            1.0, abs(direct[k][1])
+        )
+
+
+def test_ivm_delta_handles_group_migration_and_group_death(spark, tmp_path):
+    """An update that moves a key BETWEEN groups must retract from the
+    old group and add to the new one; a group whose last key is deleted
+    must drop out of the maintained view."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.plans.streaming_plans import _apply_cdf_delta
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        delete_batch,
+        snapshot,
+        table_changes,
+        upsert_batch,
+    )
+
+    root = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    upsert_batch(v0, 0, root, "event_id")
+    # key 2 migrates a -> c; key 3 (the only b) dies
+    upsert_batch(
+        spark.createDataFrame(
+            [(2, "c", 21.0)],
+            "event_id long, event_type string, value double",
+        ),
+        1,
+        root,
+        "event_id",
+    )
+    delete_batch(
+        spark.createDataFrame([(3,)], "event_id long"), 2, root, "event_id"
+    )
+    agg = (
+        snapshot(spark, root, "event_id", as_of=0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    for v in (1, 2):
+        agg = _apply_cdf_delta(
+            agg, table_changes(spark, root, "event_id", v - 1, v)
+        )
+    out = {
+        r["event_type"]: (r["n_events"], r["sum_value"])
+        for r in agg.where(F.col("n_events") > 0).collect()
+    }
+    assert out == {"a": (1, 10.0), "c": (1, 21.0)}

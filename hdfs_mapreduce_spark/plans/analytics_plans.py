@@ -621,9 +621,89 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temporal split: 4/5 of the observed time range trains, a 60-minute
+# embargo band after the cutoff is DISCARDED, the rest evaluates.
+TS_EMBARGO_US = 60 * 60 * 1_000_000
+
+
+def dataset_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe temporal split with an embargo gap (the forecasting/
+    backtest discipline): train = first 4/5 of the time range, test =
+    after cutoff + 60 min, the embargo band between them discarded so
+    windowed/lagged features built on train rows can never observe test
+    rows. The cutoff is integer epoch-microsecond arithmetic
+    ((mx−mn)*4 DIV 5) — exact in any engine, unlike a float quantile.
+    Complements dataset_split (hash split: exchangeable rows) and
+    dataset_split_safe (group split: correlated duplicates); time series
+    need THIS one. One agg for the bounds (broadcast back), one map
+    labeling pass, one 3-group aggregate."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = events.agg(
+        F.min(us).alias("mn"), F.max(us).alias("mx")
+    )
+    lab = events.crossJoin(F.broadcast(bounds)).withColumn(
+        "cut", F.expr("mn + (mx - mn) * 4 DIV 5")
+    )
+    split = (
+        F.when(us <= F.col("cut"), "train")
+        .when(us >= F.col("cut") + F.lit(TS_EMBARGO_US), "test")
+        .otherwise("embargo")
+    )
+    return (
+        lab.select(split.alias("split"), "ts")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .orderBy("split")
+    )
+
+
+SKEW_TOP = 10
+
+
+def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for events.user_id — the probe run
+    before sizing a big join (salting / AQE skew-split decisions): the
+    top heavy keys with their share of all rows and their ratio to the
+    mean key load. One map-side-combined groupBy + a TakeOrdered top-k +
+    a 1-row stats broadcast; integer counts, each double produced by a
+    single division so both engines round identically."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    # The unpartitioned window ranks the ALREADY-LIMITED k-row relation
+    # (TakeOrdered output), not the counts — its single-partition move
+    # is k rows at any scale.
+    w = Window.orderBy(F.col("cnt").desc(), "user_id")
+    top = (
+        counts.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(SKEW_TOP)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rank",
+        "user_id",
+        "cnt",
+        (F.col("cnt") / F.col("total")).alias("share"),
+        ((F.col("cnt") * F.col("n_keys")) / F.col("total")).alias(
+            "x_mean"
+        ),
+        "n_keys",
+    ).orderBy("rank")
+
+
 QUERIES = {
     "tpch_q3_shipping": tpch_q3_shipping,
     "dq_checks": dq_checks,
+    "dataset_time_split": dataset_time_split,
+    "profile_skew": profile_skew,
     "scalar_funcs": scalar_funcs,
     "tpch_q5_region": tpch_q5_region,
     "tpch_q10_returns": tpch_q10_returns,
@@ -740,6 +820,45 @@ def _dq_sql() -> str:
 
 ORACLE_SQL = {
     "dq_checks": _dq_sql(),
+    "dataset_time_split": f"""
+        WITH b AS (
+            SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx
+            FROM events
+        ),
+        lab AS (
+            SELECT ts,
+                   CASE WHEN epoch_us(ts) <= mn + (mx - mn) * 4 // 5
+                            THEN 'train'
+                        WHEN epoch_us(ts) >= mn + (mx - mn) * 4 // 5
+                                             + {TS_EMBARGO_US}
+                            THEN 'test'
+                        ELSE 'embargo' END AS split
+            FROM events, b
+        )
+        SELECT split, COUNT(*) AS n_rows,
+               MIN(ts) AS min_ts, MAX(ts) AS max_ts
+        FROM lab GROUP BY split ORDER BY split
+    """,
+    "profile_skew": f"""
+        WITH counts AS (
+            SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+        ),
+        stats AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                   COUNT(*) AS n_keys
+            FROM counts
+        ),
+        top AS (
+            SELECT user_id, cnt,
+                   ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rank
+            FROM counts ORDER BY cnt DESC, user_id LIMIT {SKEW_TOP}
+        )
+        SELECT rank, user_id, cnt,
+               CAST(cnt AS DOUBLE) / total AS share,
+               CAST(cnt * n_keys AS DOUBLE) / total AS x_mean,
+               n_keys
+        FROM top, stats ORDER BY rank
+    """,
     "events_cm_sketch": f"""
         SELECT row, bucket, COUNT(*) AS cnt
         FROM ({_CM_CELLS})

@@ -189,3 +189,25 @@ def cm_estimate(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
     )
+
+
+def cm_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-cardinality estimate from two count-min sketches (Cormode &
+    Muthukrishnan '05 §4.2): per depth row, the bucket-wise inner
+    product Σ_b cntA[b]·cntB[b] equals Σ_k fA(k)·fB(k) plus collision
+    cross-terms — collisions only ADD, so every row OVERESTIMATES the
+    true equi-join size and min-over-rows is the tightest estimate.
+    All-integer arithmetic: deterministic in any engine, exact oracle.
+
+    Scale: the sketches are depth×width cells regardless of input size
+    (mergeable across partitions/streams), and the estimate is a
+    cell-keyed join of two tiny relations — THIS is how a planner sizes
+    a 100 TB join without touching the tables. Missing buckets mean
+    zero counts, so the inner join computes the same sum a dense grid
+    would."""
+    return (
+        a.alias("a")
+        .join(b.alias("b"), ["row", "bucket"])
+        .groupBy("row")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).alias("est"))
+    )

@@ -699,11 +699,53 @@ def profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+def events_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join sizing (operators/sketches.py cm_inner_product):
+    estimate |events ⋈ orders ON user_id = o_custkey| from two CM
+    sketches — per depth row the bucket inner product, which provably
+    overestimates — next to the exact size (computed scalably as
+    Σ cA(k)·cB(k) over per-key counts, never materializing the join).
+    The relation pins the overestimate invariant per row plus the exact
+    ratio; everything is integer arithmetic or a single division."""
+    from hdfs_mapreduce_spark.operators.sketches import (
+        cm_inner_product,
+        cm_sketch,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    ska = cm_sketch(
+        events.select(F.col("user_id").cast("string").alias("k")), "k"
+    )
+    skb = cm_sketch(
+        orders.select(F.col("o_custkey").cast("string").alias("k")), "k"
+    )
+    est = cm_inner_product(ska, skb)
+    ca = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("ca"))
+    cb = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cb"))
+    exact = (
+        ca.join(cb, ca.user_id == cb.o_custkey)
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("exact"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "row",
+            "est",
+            "exact",
+            (F.col("est") >= F.col("exact")).alias("overestimates"),
+            (F.col("est") / F.col("exact")).alias("est_over_exact"),
+        )
+        .orderBy("row")
+    )
+
+
 QUERIES = {
     "tpch_q3_shipping": tpch_q3_shipping,
     "dq_checks": dq_checks,
     "dataset_time_split": dataset_time_split,
     "profile_skew": profile_skew,
+    "events_join_cardinality": events_join_cardinality,
     "scalar_funcs": scalar_funcs,
     "tpch_q5_region": tpch_q5_region,
     "tpch_q10_returns": tpch_q10_returns,
@@ -728,14 +770,19 @@ from hdfs_mapreduce_spark.operators.sketches import (  # noqa: E402
 
 # Exact twin of the count-min counter grid: same h56 bucket hash per depth
 # row, same GROUP BY counts.
-_CM_CELLS = " UNION ALL ".join(
-    "SELECT {d} AS row, ({h}) % {w} AS bucket FROM events".format(
-        d=d,
-        h=h56_sql("'cm" + str(d) + ":' || CAST(user_id AS VARCHAR)"),
-        w=CM_WIDTH,
+def _cm_cells_sql(table: str, key: str) -> str:
+    return " UNION ALL ".join(
+        "SELECT {d} AS row, ({h}) % {w} AS bucket FROM {t}".format(
+            d=d,
+            h=h56_sql(f"'cm{d}:' || CAST({key} AS VARCHAR)"),
+            w=CM_WIDTH,
+            t=table,
+        )
+        for d in range(CM_DEPTH)
     )
-    for d in range(CM_DEPTH)
-)
+
+
+_CM_CELLS = _cm_cells_sql("events", "user_id")
 
 def _dq_sql() -> str:
     """Mirror of operators/dq.py dq_report: one aggregate CTE per table
@@ -820,6 +867,30 @@ def _dq_sql() -> str:
 
 ORACLE_SQL = {
     "dq_checks": _dq_sql(),
+    "events_join_cardinality": f"""
+        WITH ca AS (
+            SELECT row, bucket, COUNT(*) AS cnt
+            FROM ({_cm_cells_sql("events", "user_id")}) GROUP BY 1, 2
+        ),
+        cb AS (
+            SELECT row, bucket, COUNT(*) AS cnt
+            FROM ({_cm_cells_sql("orders", "o_custkey")}) GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT ca.row, CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS est
+            FROM ca JOIN cb USING (row, bucket) GROUP BY ca.row
+        ),
+        ex AS (
+            SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact
+            FROM (SELECT user_id AS k, COUNT(*) AS c
+                  FROM events GROUP BY 1) a
+            JOIN (SELECT o_custkey AS k, COUNT(*) AS c
+                  FROM orders GROUP BY 1) b ON a.k = b.k
+        )
+        SELECT row, est, exact, est >= exact AS overestimates,
+               CAST(est AS DOUBLE) / exact AS est_over_exact
+        FROM est, ex ORDER BY row
+    """,
     "dataset_time_split": f"""
         WITH b AS (
             SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx

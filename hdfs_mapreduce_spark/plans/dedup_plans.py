@@ -613,8 +613,47 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit: the verified minhash near-dup
+    pairs, each labeled with BOTH members' hash-split assignment
+    (dataset_split's rule, computed map-side from the ids — no join) and
+    counted per normalized (lo, hi) split combination. Rows with
+    leaks=true are near-duplicates straddling train/val/test — the
+    measured reason dataset_split_safe (component-level splitting)
+    exists. Cost = the pair relation + one tiny groupBy."""
+    from hdfs_mapreduce_spark.functions.hashing import h56
+    from hdfs_mapreduce_spark.plans.text_plans import (
+        SPLIT_MOD,
+        SPLIT_TRAIN,
+    )
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    pairs = minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
+
+    def split_of(c):
+        b = h56(F.concat(F.lit("split:"), c)) % SPLIT_MOD
+        return (
+            F.when(b < SPLIT_TRAIN, "train")
+            .when(b == SPLIT_TRAIN, "val")
+            .otherwise("test")
+        )
+
+    sa, sb = split_of(F.col("doc_a")), split_of(F.col("doc_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_lo"),
+            F.greatest(sa, sb).alias("split_hi"),
+        )
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaks", F.col("split_lo") != F.col("split_hi"))
+        .orderBy("split_lo", "split_hi")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dataset_split_leakage": dataset_split_leakage,
     "corpus_overlap_matrix": corpus_overlap_matrix,
     "dedup_spans": dedup_spans,
     "dedup_span_scrub": dedup_span_scrub,
@@ -1149,6 +1188,45 @@ def _pagerank_sql(
 
 
 ORACLE_SQL["graph_pagerank"] = _pagerank_sql()
+
+
+def _split_leakage_sql() -> str:
+    """Composes the verified pair oracle with dataset_split's exact hash
+    rule (same 'split:' prefix, same buckets)."""
+    from hdfs_mapreduce_spark.plans.text_plans import (
+        SPLIT_MOD,
+        SPLIT_TRAIN,
+    )
+
+    def case(b: str) -> str:
+        return (
+            f"CASE WHEN {b} < {SPLIT_TRAIN} THEN 'train' "
+            f"WHEN {b} = {SPLIT_TRAIN} THEN 'val' ELSE 'test' END"
+        )
+
+    return f"""
+        WITH pairs AS ({ORACLE_SQL["dedup_minhash_pairs"]}),
+        lab AS (
+            SELECT least(sa, sb) AS split_lo,
+                   greatest(sa, sb) AS split_hi
+            FROM (
+                SELECT {case("ba")} AS sa, {case("bb")} AS sb
+                FROM (
+                    SELECT {h56_sql("'split:' || doc_a")} % {SPLIT_MOD}
+                               AS ba,
+                           {h56_sql("'split:' || doc_b")} % {SPLIT_MOD}
+                               AS bb
+                    FROM pairs
+                )
+            )
+        )
+        SELECT split_lo, split_hi, COUNT(*) AS n_pairs,
+               split_lo <> split_hi AS leaks
+        FROM lab GROUP BY 1, 2 ORDER BY split_lo, split_hi
+    """
+
+
+ORACLE_SQL["dataset_split_leakage"] = _split_leakage_sql()
 
 
 ORACLE_SQL["dedup_edit_pairs"] = f"""

@@ -85,6 +85,14 @@ REVERIFY = {
     "dedup_semantic": 6,
     "stream_upsert_snapshot": 6,
     "stream_dedup_admitted": 6,
+    # r6 (second half): oracle text gained MATERIALIZED CTE hints (the
+    # unrolled logreg oracle re-inlined exponentially; tok/scored CTEs
+    # in the tfidf/lm/vocab oracles were touched by the same pass) —
+    # same relations, but the driver should re-certify the exact SQL
+    # it now runs.
+    "text_tfidf": 6,
+    "text_lm_score": 6,
+    "vocab_coverage": 6,
 }
 
 

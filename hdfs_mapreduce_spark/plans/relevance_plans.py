@@ -120,7 +120,7 @@ def _bm25_sql() -> str:
 
 def _tfidf_sql() -> str:
     return f"""
-        WITH tok AS (
+        WITH tok AS MATERIALIZED (
             SELECT doc_id, unnest({_TOKS}) AS token FROM documents
         ),
         tf AS (
@@ -130,7 +130,7 @@ def _tfidf_sql() -> str:
             SELECT token, COUNT(*) AS df FROM tf GROUP BY 1
         ),
         n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        scored AS (
+        scored AS MATERIALIZED (
             SELECT tf.doc_id, tf.token, tf.tf,
                    tf.tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
             FROM tf JOIN dfr USING (token), n
@@ -146,7 +146,7 @@ def _tfidf_sql() -> str:
 
 def _lm_sql() -> str:
     return f"""
-        WITH tok AS (
+        WITH tok AS MATERIALIZED (
             SELECT doc_id, unnest({_TOKS}) AS token FROM documents
         ),
         vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY 1),
@@ -164,7 +164,7 @@ def _lm_sql() -> str:
 
 def _vocab_sql() -> str:
     return f"""
-        WITH tok AS (
+        WITH tok AS MATERIALIZED (
             SELECT unnest({_TOKS}) AS token FROM documents
         ),
         vocab AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1)
@@ -222,35 +222,35 @@ def _logreg_ctes() -> str:
 
     d, lr = LOGREG_DIM, LOGREG_LR
     parts = [
-        f"""tok AS (
+        f"""tok AS MATERIALIZED (
             SELECT doc_id AS doc, len({_TOKS}) AS cnt,
                    unnest({_TOKS}) AS token
             FROM documents
         ),
-        cells AS (
+        cells AS MATERIALIZED (
             SELECT doc, cnt, {h56_sql('token')} % {d} AS idx,
                    SUM(CASE WHEN {h56_sql("'sign:' || token")} % 2 = 0
                             THEN 1 ELSE -1 END) AS val
             FROM tok GROUP BY doc, cnt, idx
         ),
-        feats AS (
+        feats AS MATERIALIZED (
             SELECT doc, idx, CAST(val AS DOUBLE) / cnt AS x FROM cells
         ),
-        labels AS (
+        labels AS MATERIALIZED (
             SELECT doc_id AS doc,
                    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
                         ELSE CAST(0.0 AS DOUBLE) END AS y
             FROM documents
         ),
-        nn AS (SELECT COUNT(*) AS n FROM labels),
-        w0 AS (
+        nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM labels),
+        w0 AS MATERIALIZED (
             SELECT unnest(generate_series(0, {d})) AS idx,
                    CAST(0.0 AS DOUBLE) AS w
         )"""
     ]
     for r in range(LOGREG_ROUNDS):
         parts.append(
-            f"""m{r} AS (
+            f"""m{r} AS MATERIALIZED (
             SELECT f.doc,
                    list_reduce(list_prepend(
                        (SELECT w FROM w{r} WHERE idx = {d}),
@@ -259,19 +259,19 @@ def _logreg_ctes() -> str:
             FROM feats f JOIN w{r} wr ON wr.idx = f.idx
             GROUP BY f.doc
         ),
-        r{r} AS (
+        r{r} AS MATERIALIZED (
             SELECT l.doc,
                    1.0 / (1.0 + exp(-COALESCE(m.margin,
                        (SELECT w FROM w{r} WHERE idx = {d})))) - l.y
                        AS resid
             FROM labels l LEFT JOIN m{r} m ON m.doc = l.doc
         ),
-        g{r} AS (
+        g{r} AS MATERIALIZED (
             SELECT f.idx, SUM(r.resid * f.x) AS g
             FROM r{r} r JOIN feats f ON f.doc = r.doc
             GROUP BY f.idx
         ),
-        w{r + 1} AS (
+        w{r + 1} AS MATERIALIZED (
             SELECT wr.idx,
                    wr.w - {lr} * (CASE WHEN wr.idx = {d}
                        THEN (SELECT SUM(resid) FROM r{r})
@@ -301,7 +301,7 @@ def _logreg_score_sql() -> str:
     t, d = LOGREG_ROUNDS, LOGREG_DIM
     return f"""
         WITH {_logreg_ctes()},
-        mT AS (
+        mT AS MATERIALIZED (
             SELECT f.doc,
                    list_reduce(list_prepend(
                        (SELECT w FROM w{t} WHERE idx = {d}),
@@ -310,7 +310,7 @@ def _logreg_score_sql() -> str:
             FROM feats f JOIN w{t} wr ON wr.idx = f.idx
             GROUP BY f.doc
         ),
-        scored AS (
+        scored AS MATERIALIZED (
             SELECT CAST(l.y AS BIGINT) AS label,
                    1.0 / (1.0 + exp(-COALESCE(m.margin,
                        (SELECT w FROM w{t} WHERE idx = {d})))) AS p

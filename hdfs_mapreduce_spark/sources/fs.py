@@ -65,3 +65,16 @@ def list_child_names(spark: SparkSession, path_str: str) -> list[str]:
     if not fs.exists(path):
         return []
     return [st.getPath().getName() for st in fs.listStatus(path)]
+
+
+def read_text(spark: SparkSession, path_str: str) -> str:
+    """Whole small file as UTF-8 text (commit records — a few hundred
+    bytes; never row data). IOUtils ships with Hadoop."""
+    fs, p = fs_and_path(spark, path_str)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()

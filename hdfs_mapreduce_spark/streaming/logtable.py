@@ -11,23 +11,30 @@ parquet + the Hadoop FS API (sources/fs.py), with the same layout ideas
 the real formats use:
 
     root/
-      _log/v{N}_b{B}.{kind}   tiny JSON commit records; version,
-                              batch id and kind live in the FILENAME, so
-                              reading the whole log is one directory
-                              listing (compactions: ``v{N}.compact``)
-      data/v{N}/        immutable row files for commit N (an upsert
+      _log/v{N}.commit  tiny JSON commit record: batch id, kind, and the
+                        unique data dir of commit N. The filename IS the
+                        version slot — concurrent writers collide on the
+                        atomic rename and exactly one wins. Reading the
+                        log is one listing + one ~100-byte read per
+                        commit.
+      data/v{N}_a{tok}/ immutable row files for commit N (an upsert
                         batch, delete tombstones, or the full compacted
-                        snapshot)
+                        snapshot); the per-attempt token means racing
+                        writers can never touch each other's files.
 
-* **Commit protocol**: write ``data/v{N}`` first, then publish the log
-  record via write-tmp + atomic rename (two metadata RPCs — no Spark
-  job; a first cut wrote each record as a one-row parquet dir and paid a
-  ~4s job submission per commit). A crash in between leaves an orphan
-  data dir no committed log entry references — invisible to readers,
-  overwritten by the replay; a crash mid-publish leaves only the
-  dot-prefixed tmp file, which the log parser ignores. (Rename is atomic
-  on HDFS/local; an S3 deployment swaps this one call for a conditional
-  put / catalog commit — the one thing object stores genuinely change.)
+* **Commit protocol** (``_commit``): write the unique data dir first,
+  then publish the log record via write-tmp + atomic rename (three
+  metadata RPCs — no Spark job; a first cut wrote each record as a
+  one-row parquet dir and paid a ~4s job submission per commit). A
+  crash in between leaves an orphan data dir no committed log entry
+  references — invisible to readers, garbage a vacuum could sweep; a
+  crash mid-publish leaves only the dot-prefixed tmp file, which the
+  log parser ignores. Rename-to-existing FAILS on HDFS/local, so a
+  writer that loses the version-slot race deletes its attempt and
+  retries on the next slot (a racing REPLAY of the same batch id
+  resolves to the normal replay no-op). An S3 deployment swaps the
+  rename for a conditional put / catalog commit — still the single
+  collision point.
 * **Merge-on-read snapshot**: union every committed data version since
   the latest compaction with its version stamped on, then keep the
   newest row per key (ROW_NUMBER over (key) ORDER BY version DESC —
@@ -58,30 +65,72 @@ from hdfs_mapreduce_spark.sources import fs as hfs
 
 _KINDS = ("upsert", "delete", "compact")
 
+# Attempts before giving up when racing other writers for a version slot.
+_COMMIT_RETRIES = 5
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Raised when a writer repeatedly loses the version-slot race."""
+
 
 def _log_versions(
     spark: SparkSession, root: str
-) -> list[tuple[int, int | None, str]]:
+) -> list[tuple[int, int | None, str, str]]:
     """Committed log entries ascending by version:
-    ``(version, batch_id or None, kind)``. The whole transaction log is
-    FILENAMES — ``v{N}_b{B}.{kind}`` for stream commits, ``v{N}.{kind}``
-    for compactions — so reading it is ONE directory listing, no Spark
-    job and no file contents (a first cut stored each record as a
-    one-row parquet dir written by Spark: correct, but every commit paid
-    a full job submission ~4s at sf0.1 — two orders of magnitude more
-    than the rename the real formats' log append costs). Malformed or
-    dot-prefixed names (in-flight tmp files) are invisible."""
+    ``(version, batch_id or None, kind, data_dir_name)``.
+
+    Current grammar: one ``v{N}.commit`` file per version — the FILENAME
+    is the version slot (so two concurrent writers of version N collide
+    on the atomic rename and exactly one wins), the JSON body carries
+    batch id, kind, and the unique data directory that commit's rows
+    live in. Reading the log is one directory listing plus one tiny
+    content read per commit (a few hundred bytes — bounded metadata,
+    same order as the listing itself; the real formats checkpoint the
+    log when version counts grow, out of scope here). Legacy entries
+    (``v{N}[_b{B}].{kind}`` — round-6 first half, all metadata in the
+    name, data at ``data/v{N}``) still parse, content-free. Malformed
+    or dot-prefixed names (in-flight tmp files) are invisible."""
+    import json
+
     out = []
-    for name in hfs.list_child_names(spark, hfs.join(root, "_log")):
+    log_dir = hfs.join(root, "_log")
+    for name in hfs.list_child_names(spark, log_dir):
         if name.startswith(".") or "." not in name:
             continue
         core, kind = name.rsplit(".", 1)
-        if kind not in _KINDS or not core.startswith("v"):
+        if not core.startswith("v"):
             continue
-        vpart, _, btag = core[1:].partition("_b")
-        if not vpart.isdigit() or (btag and not btag.isdigit()):
-            continue
-        out.append((int(vpart), int(btag) if btag else None, kind))
+        if kind == "commit":
+            if not core[1:].isdigit():
+                continue
+            try:
+                rec = json.loads(
+                    hfs.read_text(spark, hfs.join(log_dir, name))
+                )
+            except (OSError, ValueError):
+                continue  # unreadable record: treat as never committed
+            if rec.get("kind") not in _KINDS:
+                continue
+            out.append(
+                (
+                    int(core[1:]),
+                    rec.get("batch_id"),
+                    rec["kind"],
+                    rec.get("data") or f"v{int(core[1:])}",
+                )
+            )
+        elif kind in _KINDS:  # legacy filename-only entries
+            vpart, _, btag = core[1:].partition("_b")
+            if not vpart.isdigit() or (btag and not btag.isdigit()):
+                continue
+            out.append(
+                (
+                    int(vpart),
+                    int(btag) if btag else None,
+                    kind,
+                    f"v{int(vpart)}",
+                )
+            )
     return sorted(out)
 
 
@@ -94,50 +143,68 @@ def upsert_batch(
     """Commit one upsert batch: O(batch) work, no state read or rewrite.
     Returns False on a skipped at-least-once replay (the newest committed
     entry already carries this batch id), True when a commit landed."""
-    spark = batch_df.sparkSession
-    versions = _log_versions(spark, root)
-    if versions and versions[-1][1] == batch_id:
-        return False
-    next_v = versions[-1][0] + 1 if versions else 0
     batch = batch_df.dropDuplicates([key_col])
-    batch.write.mode("overwrite").parquet(
-        hfs.join(root, "data", f"v{next_v}")
+    return (
+        _commit(batch.sparkSession, root, batch, batch_id, "upsert")
+        is not None
     )
-    _publish(spark, root, next_v, batch_id, "upsert")
-    return True
 
 
-def _publish(
+def _commit(
     spark: SparkSession,
     root: str,
-    version: int,
+    rows: DataFrame,
     batch_id: int | None,
     kind: str,
-) -> None:
-    """Publish commit ``version`` atomically: write a tiny JSON record to
-    a dot-prefixed tmp file (invisible to the log parser), then rename to
-    the final ``v{N}[_b{B}].{kind}`` name — rename is atomic on
-    HDFS/local, so readers see a commit entirely or not at all (an S3
-    deployment swaps this one call for a conditional put). Stream
-    batches carry their batch id in the name (replay detection);
-    compaction is not a stream batch and publishes without one, so it
-    can never collide with a replayed stream batch id. Cost: two
-    metadata RPCs — no Spark job."""
+) -> int | None:
+    """The concurrent-writer-safe commit loop. Per attempt: pick the next
+    version slot from the log, write the rows to a UNIQUE data directory
+    (``data/v{N}_a{token}`` — two writers racing for slot N can never
+    touch each other's files), then publish ``_log/v{N}.commit`` via
+    write-tmp + atomic rename. Rename fails when the destination exists
+    (HDFS/local semantics), so exactly one writer wins each slot; the
+    loser deletes its orphan data dir, re-reads the log — if the winner
+    committed the SAME batch id, this was a racing replay and the loser
+    no-ops like any replay — and otherwise retries against the next
+    slot. (An S3 deployment swaps the rename for a conditional put —
+    still the single collision point.) Cost per attempt: the batch
+    write + three metadata RPCs; no Spark job for the log itself."""
     import json
+    import uuid
 
-    log_dir = hfs.join(root, "_log")
-    hfs.mkdirs(spark, log_dir)
-    name = (
-        f"v{version}.{kind}"
-        if batch_id is None
-        else f"v{version}_b{batch_id}.{kind}"
+    for _ in range(_COMMIT_RETRIES):
+        versions = _log_versions(spark, root)
+        if batch_id is not None and versions and versions[-1][1] == batch_id:
+            return None
+        next_v = versions[-1][0] + 1 if versions else 0
+        data_name = f"v{next_v}_a{uuid.uuid4().hex[:8]}"
+        rows.write.mode("overwrite").parquet(
+            hfs.join(root, "data", data_name)
+        )
+        log_dir = hfs.join(root, "_log")
+        hfs.mkdirs(spark, log_dir)
+        name = f"v{next_v}.commit"
+        fs, tmp = hfs.fs_and_path(
+            spark, hfs.join(log_dir, f".{name}.{data_name}.tmp")
+        )
+        out = fs.create(tmp, True)
+        record = {
+            "version": next_v,
+            "batch_id": batch_id,
+            "kind": kind,
+            "data": data_name,
+        }
+        out.write(bytearray(json.dumps(record).encode("utf-8")))
+        out.close()
+        if fs.rename(tmp, hfs.jpath(spark, hfs.join(log_dir, name))):
+            return next_v
+        # lost the slot race: clean up this attempt, then re-evaluate
+        fs.delete(tmp, False)
+        dfs, dpath = hfs.fs_and_path(spark, hfs.join(root, "data", data_name))
+        dfs.delete(dpath, True)
+    raise ConcurrentCommitError(
+        f"lost the commit race {_COMMIT_RETRIES} times at {root}"
     )
-    fs, tmp = hfs.fs_and_path(spark, hfs.join(log_dir, f".{name}.tmp"))
-    out = fs.create(tmp, True)
-    record = {"version": version, "batch_id": batch_id, "kind": kind}
-    out.write(bytearray(json.dumps(record).encode("utf-8")))
-    out.close()
-    fs.rename(tmp, hfs.jpath(spark, hfs.join(log_dir, name)))
 
 
 def delete_batch(
@@ -155,18 +222,12 @@ def delete_batch(
     stream batch makes ONE commit (upsert or delete), so its id appears
     once."""
     spark = keys_df.sparkSession
-    versions = _log_versions(spark, root)
-    if versions and versions[-1][1] == batch_id:
-        return False
-    next_v = versions[-1][0] + 1 if versions else 0
     tomb = (
         keys_df.select(key_col)
         .dropDuplicates([key_col])
         .withColumn("_deleted", F.lit(True))
     )
-    tomb.write.mode("overwrite").parquet(hfs.join(root, "data", f"v{next_v}"))
-    _publish(spark, root, next_v, batch_id, "delete")
-    return True
+    return _commit(spark, root, tomb, batch_id, "delete") is not None
 
 
 def snapshot(
@@ -189,14 +250,14 @@ def snapshot(
         entries = [e for e in entries if e[0] <= as_of]
     if not entries:
         return None
-    compactions = [v for v, _, kind in entries if kind == "compact"]
+    compactions = [v for v, _, kind, _ in entries if kind == "compact"]
     floor = max(compactions) if compactions else 0
-    live = [v for v, _, _ in entries if v >= floor]
+    live = [(v, data) for v, _, _, data in entries if v >= floor]
     parts = [
-        spark.read.parquet(hfs.join(root, "data", f"v{v}")).withColumn(
+        spark.read.parquet(hfs.join(root, "data", data)).withColumn(
             "_v", F.lit(v)
         )
-        for v in live
+        for v, data in live
     ]
     allrows = parts[0]
     for p in parts[1:]:
@@ -225,14 +286,14 @@ def vacuum(spark: SparkSession, root: str) -> list[int]:
     committed log entry are NOT touched — they may be an in-flight
     commit. Returns the removed versions."""
     entries = _log_versions(spark, root)
-    compactions = [v for v, _, kind in entries if kind == "compact"]
+    compactions = [v for v, _, kind, _ in entries if kind == "compact"]
     if not compactions:
         return []
     floor = max(compactions)
     removed = []
-    for v, _, _ in entries:
+    for v, _, _, data in entries:
         if v < floor:
-            fs, path = hfs.fs_and_path(spark, hfs.join(root, "data", f"v{v}"))
+            fs, path = hfs.fs_and_path(spark, hfs.join(root, "data", data))
             if fs.exists(path):
                 fs.delete(path, True)
                 removed.append(v)
@@ -249,11 +310,7 @@ def compact(spark: SparkSession, root: str, key_col: str) -> int | None:
     snap = snapshot(spark, root, key_col)
     if snap is None:
         return None
-    versions = _log_versions(spark, root)
-    next_v = versions[-1][0] + 1
-    snap.write.mode("overwrite").parquet(hfs.join(root, "data", f"v{next_v}"))
-    _publish(spark, root, next_v, None, "compact")
-    return next_v
+    return _commit(spark, root, snap, None, "compact")
 
 
 def stream_upsert_events_logtable(

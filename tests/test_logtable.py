@@ -36,7 +36,7 @@ def test_replayed_batch_is_skipped_not_double_applied(spark, tmp_path):
     assert upsert_batch(_batch(spark, [(1, "a2")]), 1, root, "k")
     # at-least-once replay of the newest batch: no new commit
     assert not upsert_batch(_batch(spark, [(1, "a2")]), 1, root, "k")
-    assert [v for v, _, _ in _log_versions(spark, root)] == [0, 1]
+    assert [e[0] for e in _log_versions(spark, root)] == [0, 1]
     assert {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()} == {
         1: "a2"
     }
@@ -333,3 +333,67 @@ def test_ivm_delta_handles_group_migration_and_group_death(spark, tmp_path):
         for r in agg.where(F.col("n_events") > 0).collect()
     }
     assert out == {"a": (1, 10.0), "c": (1, 21.0)}
+
+
+def test_commit_loser_retries_and_replay_race_noops(spark, tmp_path):
+    """Concurrent-writer safety: a writer that loses the version-slot
+    rename must leave no trace of its attempt and land on the next slot;
+    a racing REPLAY (same batch id) resolves to the replay no-op."""
+    import os
+
+    from hdfs_mapreduce_spark.streaming.logtable import _log_versions
+
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    # simulate a competing writer winning slot 1 between this writer's
+    # log read and its publish: pre-claim _log/v1.commit with batch 77
+    os.makedirs(os.path.join(root, "_log"), exist_ok=True)
+    import json
+
+    with open(os.path.join(root, "_log", "v1.commit"), "w") as f:
+        json.dump(
+            {"version": 1, "batch_id": 77, "kind": "upsert", "data": "vX"},
+            f,
+        )
+    # competing data for the pre-claimed slot (so snapshots can read it)
+    _batch(spark, [(7, "w")]).write.parquet(
+        os.path.join(root, "data", "vX")
+    )
+    # different batch id -> must land on slot 2, not clobber slot 1
+    assert upsert_batch(_batch(spark, [(2, "b")]), 5, root, "k")
+    entries = _log_versions(spark, root)
+    assert [e[0] for e in entries] == [0, 1, 2]
+    assert entries[1][1] == 77 and entries[2][1] == 5
+    snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert snap == {1: "a", 7: "w", 2: "b"}
+    # same batch id as the pre-claimed slot -> replay no-op, no new slot
+    assert not upsert_batch(_batch(spark, [(9, "dup")]), 5, root, "k")
+    assert [e[0] for e in _log_versions(spark, root)] == [0, 1, 2]
+    # no orphan attempt dirs left behind beyond the three committed ones
+    committed = {e[3] for e in _log_versions(spark, root)}
+    on_disk = set(os.listdir(os.path.join(root, "data")))
+    assert on_disk == committed
+
+
+def test_vacuum_deletes_the_recorded_attempt_dirs(spark, tmp_path):
+    """Vacuum must remove the exact unique data dirs the log records,
+    not guessed v{N} names."""
+    import os
+
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        _log_versions,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    upsert_batch(_batch(spark, [(2, "b")]), 1, root, "k")
+    pre = {e[0]: e[3] for e in _log_versions(spark, root)}
+    compact(spark, root, "k")
+    assert vacuum(spark, root) == [0, 1]
+    data = set(os.listdir(os.path.join(root, "data")))
+    assert pre[0] not in data and pre[1] not in data
+    assert {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()} == {
+        1: "a",
+        2: "b",
+    }

@@ -83,25 +83,54 @@ def _log_versions(
     is the version slot (so two concurrent writers of version N collide
     on the atomic rename and exactly one wins), the JSON body carries
     batch id, kind, and the unique data directory that commit's rows
-    live in. Reading the log is one directory listing plus one tiny
-    content read per commit (a few hundred bytes — bounded metadata,
-    same order as the listing itself; the real formats checkpoint the
-    log when version counts grow, out of scope here). Legacy entries
+    live in. A log CHECKPOINT (``c{N}.checkpoint``, written by
+    ``checkpoint_log`` — the real formats' _last_checkpoint) summarizes
+    every entry ≤ N in one file, so a long-lived table's log read is one
+    listing + ONE checkpoint read + one read per commit SINCE the
+    checkpoint — bounded regardless of table age. Legacy entries
     (``v{N}[_b{B}].{kind}`` — round-6 first half, all metadata in the
     name, data at ``data/v{N}``) still parse, content-free. Malformed
     or dot-prefixed names (in-flight tmp files) are invisible."""
     import json
 
-    out = []
     log_dir = hfs.join(root, "_log")
-    for name in hfs.list_child_names(spark, log_dir):
+    names = hfs.list_child_names(spark, log_dir)
+    ckpts = sorted(
+        int(n[1:].split(".")[0])
+        for n in names
+        if n.startswith("c")
+        and n.endswith(".checkpoint")
+        and n[1:].split(".")[0].isdigit()
+    )
+    out = []
+    floor = -1
+    if ckpts:
+        floor = ckpts[-1]
+        try:
+            for rec in json.loads(
+                hfs.read_text(
+                    spark, hfs.join(log_dir, f"c{floor}.checkpoint")
+                )
+            ):
+                out.append(
+                    (
+                        rec["version"],
+                        rec.get("batch_id"),
+                        rec["kind"],
+                        rec["data"],
+                    )
+                )
+        except (OSError, ValueError, KeyError):
+            floor = -1  # unreadable checkpoint: fall back to raw commits
+            out = []
+    for name in names:
         if name.startswith(".") or "." not in name:
             continue
         core, kind = name.rsplit(".", 1)
         if not core.startswith("v"):
             continue
         if kind == "commit":
-            if not core[1:].isdigit():
+            if not core[1:].isdigit() or int(core[1:]) <= floor:
                 continue
             try:
                 rec = json.loads(
@@ -123,6 +152,8 @@ def _log_versions(
             vpart, _, btag = core[1:].partition("_b")
             if not vpart.isdigit() or (btag and not btag.isdigit()):
                 continue
+            if int(vpart) <= floor:
+                continue
             out.append(
                 (
                     int(vpart),
@@ -132,6 +163,42 @@ def _log_versions(
                 )
             )
     return sorted(out)
+
+
+def checkpoint_log(spark: SparkSession, root: str) -> int | None:
+    """Summarize every committed log entry into ONE
+    ``_log/c{N}.checkpoint`` file (N = the newest version it covers) —
+    the real formats' _last_checkpoint: afterwards a log read costs one
+    listing + one checkpoint read + one read per commit newer than N,
+    bounded no matter how many commits the table has accumulated.
+    Published with the same write-tmp + atomic-rename discipline; a
+    concurrent checkpoint of the same N produces identical content, so
+    losing that rename is success. Commit files stay (they are the
+    source of truth the checkpoint is derived from; a vacuum-style sweep
+    of commits ≤ an older checkpoint would be safe but is kept manual).
+    Returns N, or None for an empty log."""
+    import json
+
+    entries = _log_versions(spark, root)
+    if not entries:
+        return None
+    n = entries[-1][0]
+    log_dir = hfs.join(root, "_log")
+    name = f"c{n}.checkpoint"
+    payload = json.dumps(
+        [
+            {"version": v, "batch_id": b, "kind": k, "data": d}
+            for v, b, k, d in entries
+        ]
+    )
+    fs, tmp = hfs.fs_and_path(spark, hfs.join(log_dir, f".{name}.tmp"))
+    out = fs.create(tmp, True)
+    out.write(bytearray(payload.encode("utf-8")))
+    out.close()
+    dst = hfs.jpath(spark, hfs.join(log_dir, name))
+    if not fs.rename(tmp, dst):
+        fs.delete(tmp, False)  # same-N checkpoint already exists: done
+    return n
 
 
 def upsert_batch(

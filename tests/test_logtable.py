@@ -397,3 +397,47 @@ def test_vacuum_deletes_the_recorded_attempt_dirs(spark, tmp_path):
         1: "a",
         2: "b",
     }
+
+
+def test_log_checkpoint_preserves_entries_and_bounds_reads(spark, tmp_path):
+    """checkpoint_log must summarize the whole log into one file: the
+    parsed entries are identical before and after, commits made AFTER
+    the checkpoint still appear, a second checkpoint is idempotent, and
+    time travel below the checkpoint keeps working."""
+    import os
+
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        _log_versions,
+        checkpoint_log,
+    )
+
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    upsert_batch(_batch(spark, [(1, "b"), (2, "x")]), 1, root, "k")
+    before = _log_versions(spark, root)
+    assert checkpoint_log(spark, root) == 1
+    assert _log_versions(spark, root) == before
+    assert os.path.exists(os.path.join(root, "_log", "c1.checkpoint"))
+    # commits after the checkpoint still surface
+    upsert_batch(_batch(spark, [(2, "y")]), 2, root, "k")
+    entries = _log_versions(spark, root)
+    assert [e[0] for e in entries] == [0, 1, 2]
+    assert {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()} == {
+        1: "b",
+        2: "y",
+    }
+    # time travel below the checkpoint is intact (entries come from it)
+    assert {
+        r["k"]: r["v"]
+        for r in snapshot(spark, root, "k", as_of=0).collect()
+    } == {1: "a"}
+    # idempotent re-checkpoint at the new head
+    assert checkpoint_log(spark, root) == 2
+    assert checkpoint_log(spark, root) == 2
+    assert [e[0] for e in _log_versions(spark, root)] == [0, 1, 2]
+
+
+def test_log_checkpoint_on_empty_table(spark, tmp_path):
+    from hdfs_mapreduce_spark.streaming.logtable import checkpoint_log
+
+    assert checkpoint_log(spark, str(tmp_path / "t")) is None

@@ -119,6 +119,61 @@ def _prob(margin: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-margin))
 
 
+def _base_relation(
+    docs: DataFrame, label: Column, id_col: str, text_col: str, dim: int
+) -> DataFrame:
+    """(doc, y, cells) — the fit/score working set: labels joined with
+    the idx-sorted sparse cells (NULL cells = zero-token doc)."""
+    labels = docs.select(
+        F.col(id_col).alias("doc"), label.cast("double").alias("y")
+    )
+    cells = _sorted_cells(feature_cells(docs, id_col, text_col, dim))
+    return labels.join(cells, "doc", "left")
+
+
+def _gd(base: DataFrame, dim: int, rounds: int, lr: float) -> list[float]:
+    """Full-batch GD from w=0 over a (persisted) base relation. Returns
+    dim+1 weights, bias last.
+
+    Per round ONE distributed job: the residual (sigmoid(margin) - y) is
+    computed map-side from the broadcast-literal weights, a sentinel
+    bias cell (idx=dim, x=1.0) is appended array-side so the bias
+    gradient rides the same explode, and the (dim+1)-key groupBy sums
+    with map-side partials. The dim+1-row collect is the only driver
+    traffic."""
+    n = base.count()
+    if n == 0:
+        return [0.0] * (dim + 1)
+    w = [0.0] * (dim + 1)
+    bias_cell = F.array(
+        F.struct(
+            F.lit(dim).cast("int").alias("idx"),
+            F.lit(1.0).alias("x"),
+        )
+    )
+    for _ in range(rounds):
+        resid = _prob(_margin(w, dim)) - F.col("y")
+        grads = (
+            base.select(
+                resid.alias("resid"),
+                F.concat(
+                    F.coalesce(
+                        F.col("cells"),
+                        F.array().cast("array<struct<idx:int,x:double>>"),
+                    ),
+                    bias_cell,
+                ).alias("cells_b"),
+            )
+            .select("resid", F.explode("cells_b").alias("c"))
+            .groupBy(F.col("c.idx").alias("idx"))
+            .agg(F.sum(F.col("resid") * F.col("c.x")).alias("g"))
+            .collect()
+        )
+        g = {r["idx"]: r["g"] for r in grads}
+        w = [w[i] - lr * g.get(i, 0.0) / n for i in range(dim + 1)]
+    return w
+
+
 def logreg_fit(
     docs: DataFrame,
     label: Column,
@@ -128,54 +183,12 @@ def logreg_fit(
     rounds: int = LOGREG_ROUNDS,
     lr: float = LOGREG_LR,
 ) -> list[float]:
-    """Full-batch GD from w=0. ``label`` is a 0.0/1.0 double Column over
-    ``docs``'s columns. Returns dim+1 weights, bias last.
-
-    Per round ONE distributed job: the residual (sigmoid(margin) - y) is
-    computed map-side from the broadcast-literal weights, a sentinel
-    bias cell (idx=dim, x=1.0) is appended array-side so the bias
-    gradient rides the same explode, and the (dim+1)-key groupBy sums
-    with map-side partials. The dim+1-row collect is the only driver
-    traffic."""
-    labels = docs.select(
-        F.col(id_col).alias("doc"), label.cast("double").alias("y")
-    )
-    cells = _sorted_cells(feature_cells(docs, id_col, text_col, dim))
-    base = labels.join(cells, "doc", "left").persist()
+    """Full-batch GD from w=0 (see ``_gd``). ``label`` is a 0.0/1.0
+    double Column over ``docs``'s columns. Returns dim+1 weights, bias
+    last."""
+    base = _base_relation(docs, label, id_col, text_col, dim).persist()
     try:
-        n = base.count()
-        if n == 0:
-            return [0.0] * (dim + 1)
-        w = [0.0] * (dim + 1)
-        bias_cell = F.array(
-            F.struct(
-                F.lit(dim).cast("int").alias("idx"),
-                F.lit(1.0).alias("x"),
-            )
-        )
-        for _ in range(rounds):
-            resid = _prob(_margin(w, dim)) - F.col("y")
-            grads = (
-                base.select(
-                    resid.alias("resid"),
-                    F.concat(
-                        F.coalesce(
-                            F.col("cells"),
-                            F.array().cast(
-                                "array<struct<idx:int,x:double>>"
-                            ),
-                        ),
-                        bias_cell,
-                    ).alias("cells_b"),
-                )
-                .select("resid", F.explode("cells_b").alias("c"))
-                .groupBy(F.col("c.idx").alias("idx"))
-                .agg(F.sum(F.col("resid") * F.col("c.x")).alias("g"))
-                .collect()
-            )
-            g = {r["idx"]: r["g"] for r in grads}
-            w = [w[i] - lr * g.get(i, 0.0) / n for i in range(dim + 1)]
-        return w
+        return _gd(base, dim, rounds, lr)
     finally:
         base.unpersist()
 
@@ -191,25 +204,31 @@ def logreg_confusion(
 ) -> DataFrame:
     """Fit, then score every document against the final weights: the
     (label, pred, n, avg_prob) confusion relation — the filter-quality
-    readout a pipeline audits before applying a classifier gate. One
-    extra map pass over the cached cells + a 4-row aggregate."""
-    w = logreg_fit(docs, label, id_col, text_col, dim, rounds, lr)
-    labels = docs.select(
-        F.col(id_col).alias("doc"), label.cast("double").alias("y")
-    )
-    cells = _sorted_cells(feature_cells(docs, id_col, text_col, dim))
-    p = _prob(_margin(w, dim))
-    return (
-        labels.join(cells, "doc", "left")
-        .select(
-            F.col("y").cast("bigint").alias("label"),
-            (p >= F.lit(0.5)).cast("bigint").alias("pred"),
-            p.alias("p"),
+    readout a pipeline audits before applying a classifier gate. The
+    scoring pass runs inside the SAME persist scope as the fit, so the
+    tokenize/hash/shuffle feature pipeline is built exactly once; the
+    returned relation is collected to a 4-row LocalRelation before the
+    cache is released (the group count is bounded by construction)."""
+    base = _base_relation(docs, label, id_col, text_col, dim).persist()
+    try:
+        w = _gd(base, dim, rounds, lr)
+        p = _prob(_margin(w, dim))
+        rows = (
+            base.select(
+                F.col("y").cast("bigint").alias("label"),
+                (p >= F.lit(0.5)).cast("bigint").alias("pred"),
+                p.alias("p"),
+            )
+            .groupBy("label", "pred")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("p").alias("avg_prob"),
+            )
+            .orderBy("label", "pred")
+            .collect()
         )
-        .groupBy("label", "pred")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("p").alias("avg_prob"),
+        return docs.sparkSession.createDataFrame(
+            rows, "label long, pred long, n long, avg_prob double"
         )
-        .orderBy("label", "pred")
-    )
+    finally:
+        base.unpersist()

@@ -78,3 +78,24 @@ def read_text(spark: SparkSession, path_str: str) -> str:
         )
     finally:
         stream.close()
+
+
+def write_text_atomic(spark: SparkSession, path_str: str, text: str) -> bool:
+    """Publish a small text file atomically: write to a dot-prefixed
+    UNIQUE tmp sibling, then rename. Returns False when the destination
+    already exists (rename-to-existing fails on HDFS/local — the single
+    collision point concurrent publishers race on); the tmp is always
+    cleaned up. Never use for row data — commit records and checkpoints
+    only."""
+    import uuid
+
+    base, name = path_str.rstrip("/").rsplit("/", 1)
+    tmp_str = f"{base}/.{name}.{uuid.uuid4().hex[:8]}.tmp"
+    fs, tmp = fs_and_path(spark, tmp_str)
+    out = fs.create(tmp, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+    if fs.rename(tmp, jpath(spark, path_str)):
+        return True
+    fs.delete(tmp, False)
+    return False

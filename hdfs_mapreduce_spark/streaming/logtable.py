@@ -68,6 +68,19 @@ _KINDS = ("upsert", "delete", "compact")
 # Attempts before giving up when racing other writers for a version slot.
 _COMMIT_RETRIES = 5
 
+# Auto-checkpoint cadence: every K-th version slot also writes a log
+# checkpoint, so the per-commit log read stays O(K) forever without any
+# manual maintenance call.
+_CHECKPOINT_EVERY = 32
+
+
+class CorruptCommitError(RuntimeError):
+    """A committed ``v{N}.commit`` record exists but cannot be parsed.
+    This must fail LOUDLY: skipping it would silently drop committed
+    rows from every snapshot and wedge writers into phantom slot races.
+    (Checkpoints degrade gracefully instead — raw commits are their
+    source of truth.)"""
+
 
 class ConcurrentCommitError(RuntimeError):
     """Raised when a writer repeatedly loses the version-slot race."""
@@ -75,9 +88,9 @@ class ConcurrentCommitError(RuntimeError):
 
 def _log_versions(
     spark: SparkSession, root: str
-) -> list[tuple[int, int | None, str, str]]:
+) -> list[tuple[int, int | None, str, str, str | None]]:
     """Committed log entries ascending by version:
-    ``(version, batch_id or None, kind, data_dir_name)``.
+    ``(version, batch_id or None, kind, data_dir_name, writer or None)``.
 
     Current grammar: one ``v{N}.commit`` file per version — the FILENAME
     is the version slot (so two concurrent writers of version N collide
@@ -118,6 +131,7 @@ def _log_versions(
                         rec.get("batch_id"),
                         rec["kind"],
                         rec["data"],
+                        rec.get("writer"),
                     )
                 )
         except (OSError, ValueError, KeyError):
@@ -136,16 +150,23 @@ def _log_versions(
                 rec = json.loads(
                     hfs.read_text(spark, hfs.join(log_dir, name))
                 )
-            except (OSError, ValueError):
-                continue  # unreadable record: treat as never committed
-            if rec.get("kind") not in _KINDS:
-                continue
+                if rec.get("kind") not in _KINDS:
+                    raise ValueError(f"bad kind {rec.get('kind')!r}")
+            except (OSError, ValueError) as exc:
+                # A COMMITTED record that cannot be parsed is corruption,
+                # not absence: skipping it would silently drop committed
+                # rows from snapshots and wedge writers into a phantom
+                # slot race at this version.
+                raise CorruptCommitError(
+                    f"{hfs.join(log_dir, name)}: {exc}"
+                ) from exc
             out.append(
                 (
                     int(core[1:]),
                     rec.get("batch_id"),
                     rec["kind"],
                     rec.get("data") or f"v{int(core[1:])}",
+                    rec.get("writer"),
                 )
             )
         elif kind in _KINDS:  # legacy filename-only entries
@@ -160,9 +181,10 @@ def _log_versions(
                     int(btag) if btag else None,
                     kind,
                     f"v{int(vpart)}",
+                    None,
                 )
             )
-    return sorted(out)
+    return sorted(out, key=lambda e: e[0])
 
 
 def checkpoint_log(spark: SparkSession, root: str) -> int | None:
@@ -183,21 +205,25 @@ def checkpoint_log(spark: SparkSession, root: str) -> int | None:
     if not entries:
         return None
     n = entries[-1][0]
-    log_dir = hfs.join(root, "_log")
-    name = f"c{n}.checkpoint"
     payload = json.dumps(
         [
-            {"version": v, "batch_id": b, "kind": k, "data": d}
-            for v, b, k, d in entries
+            {
+                "version": v,
+                "batch_id": b,
+                "kind": k,
+                "data": d,
+                "writer": w,
+            }
+            for v, b, k, d, w in entries
         ]
     )
-    fs, tmp = hfs.fs_and_path(spark, hfs.join(log_dir, f".{name}.tmp"))
-    out = fs.create(tmp, True)
-    out.write(bytearray(payload.encode("utf-8")))
-    out.close()
-    dst = hfs.jpath(spark, hfs.join(log_dir, name))
-    if not fs.rename(tmp, dst):
-        fs.delete(tmp, False)  # same-N checkpoint already exists: done
+    # Losing the rename means a same-N checkpoint (identical content by
+    # construction) already exists: success either way. The tmp name is
+    # unique per attempt (write_text_atomic), so concurrent
+    # checkpointers can never truncate each other mid-write.
+    hfs.write_text_atomic(
+        spark, hfs.join(root, "_log", f"c{n}.checkpoint"), payload
+    )
     return n
 
 
@@ -206,15 +232,42 @@ def upsert_batch(
     batch_id: int,
     root: str,
     key_col: str,
+    writer: str | None = None,
 ) -> bool:
     """Commit one upsert batch: O(batch) work, no state read or rewrite.
-    Returns False on a skipped at-least-once replay (the newest committed
-    entry already carries this batch id), True when a commit landed."""
+    Returns False on a skipped at-least-once replay (THIS writer's
+    newest committed entry already carries this batch id), True when a
+    commit landed. Streams sharing one table must pass distinct
+    ``writer`` ids — their epoch-based batch counters all start at 0
+    and would otherwise shadow each other's replay detection."""
     batch = batch_df.dropDuplicates([key_col])
     return (
-        _commit(batch.sparkSession, root, batch, batch_id, "upsert")
+        _commit(batch.sparkSession, root, batch, batch_id, "upsert", writer)
         is not None
     )
+
+
+def _is_replay(
+    entries: list, batch_id: int | None, writer: str | None
+) -> bool:
+    """At-least-once replay test, scoped to THIS writer's commits: Spark
+    only ever re-runs a foreachBatch writer's NEWEST uncommitted batch,
+    so a batch id matching the writer's newest committed entry is a
+    replay. Scoping by writer is what makes multiple streams sharing a
+    table safe — their independent epoch counters (both start at 0)
+    must never shadow each other (an unscoped newest-entry test silently
+    DROPPED a second writer's batch whenever the ids collided)."""
+    if batch_id is None:
+        return False
+    for e in reversed(entries):
+        if e[4] == writer:
+            return e[1] == batch_id
+    return False
+
+
+def _delete_data_dir(spark: SparkSession, root: str, data_name: str) -> None:
+    fs, path = hfs.fs_and_path(spark, hfs.join(root, "data", data_name))
+    fs.delete(path, True)
 
 
 def _commit(
@@ -223,52 +276,55 @@ def _commit(
     rows: DataFrame,
     batch_id: int | None,
     kind: str,
+    writer: str | None = None,
 ) -> int | None:
-    """The concurrent-writer-safe commit loop. Per attempt: pick the next
-    version slot from the log, write the rows to a UNIQUE data directory
-    (``data/v{N}_a{token}`` — two writers racing for slot N can never
-    touch each other's files), then publish ``_log/v{N}.commit`` via
-    write-tmp + atomic rename. Rename fails when the destination exists
-    (HDFS/local semantics), so exactly one writer wins each slot; the
-    loser deletes its orphan data dir, re-reads the log — if the winner
-    committed the SAME batch id, this was a racing replay and the loser
-    no-ops like any replay — and otherwise retries against the next
-    slot. (An S3 deployment swaps the rename for a conditional put —
-    still the single collision point.) Cost per attempt: the batch
-    write + three metadata RPCs; no Spark job for the log itself."""
+    """The concurrent-writer-safe commit. The rows are written ONCE to a
+    version-free UNIQUE data directory (``data/a{token}`` — racing
+    writers can never touch each other's files, and losing a slot race
+    never re-runs the expensive write); the retry loop then spins only
+    on the cheap log publish: pick the next version slot, publish
+    ``_log/v{N}.commit`` via unique-tmp + atomic rename. Rename fails
+    when the destination exists (HDFS/local semantics), so exactly one
+    writer wins each slot; a loser re-reads the log — a racing replay
+    of this writer's batch id resolves to the replay no-op (the orphan
+    attempt dir is deleted) — and otherwise retries the next slot. (An
+    S3 deployment swaps the rename for a conditional put — still the
+    single collision point.) Every ``_CHECKPOINT_EVERY``-th slot also
+    writes a log checkpoint, keeping the per-commit log read O(K)
+    forever with no manual maintenance."""
     import json
     import uuid
 
-    for _ in range(_COMMIT_RETRIES):
-        versions = _log_versions(spark, root)
-        if batch_id is not None and versions and versions[-1][1] == batch_id:
-            return None
-        next_v = versions[-1][0] + 1 if versions else 0
-        data_name = f"v{next_v}_a{uuid.uuid4().hex[:8]}"
-        rows.write.mode("overwrite").parquet(
-            hfs.join(root, "data", data_name)
-        )
-        log_dir = hfs.join(root, "_log")
-        hfs.mkdirs(spark, log_dir)
-        name = f"v{next_v}.commit"
-        fs, tmp = hfs.fs_and_path(
-            spark, hfs.join(log_dir, f".{name}.{data_name}.tmp")
-        )
-        out = fs.create(tmp, True)
+    entries = _log_versions(spark, root)
+    if _is_replay(entries, batch_id, writer):
+        return None
+    data_name = f"a{uuid.uuid4().hex[:12]}"
+    rows.write.mode("overwrite").parquet(hfs.join(root, "data", data_name))
+    log_dir = hfs.join(root, "_log")
+    hfs.mkdirs(spark, log_dir)
+    for attempt in range(_COMMIT_RETRIES):
+        if attempt:
+            entries = _log_versions(spark, root)
+            if _is_replay(entries, batch_id, writer):
+                _delete_data_dir(spark, root, data_name)
+                return None
+        next_v = entries[-1][0] + 1 if entries else 0
         record = {
             "version": next_v,
             "batch_id": batch_id,
             "kind": kind,
             "data": data_name,
+            "writer": writer,
         }
-        out.write(bytearray(json.dumps(record).encode("utf-8")))
-        out.close()
-        if fs.rename(tmp, hfs.jpath(spark, hfs.join(log_dir, name))):
+        if hfs.write_text_atomic(
+            spark,
+            hfs.join(log_dir, f"v{next_v}.commit"),
+            json.dumps(record),
+        ):
+            if next_v % _CHECKPOINT_EVERY == _CHECKPOINT_EVERY - 1:
+                checkpoint_log(spark, root)
             return next_v
-        # lost the slot race: clean up this attempt, then re-evaluate
-        fs.delete(tmp, False)
-        dfs, dpath = hfs.fs_and_path(spark, hfs.join(root, "data", data_name))
-        dfs.delete(dpath, True)
+    _delete_data_dir(spark, root, data_name)
     raise ConcurrentCommitError(
         f"lost the commit race {_COMMIT_RETRIES} times at {root}"
     )
@@ -279,6 +335,7 @@ def delete_batch(
     batch_id: int,
     root: str,
     key_col: str,
+    writer: str | None = None,
 ) -> bool:
     """Commit one delete batch: a tombstone version holding only the key
     column plus ``_deleted = true``. O(batch) like upserts — no state
@@ -294,7 +351,7 @@ def delete_batch(
         .dropDuplicates([key_col])
         .withColumn("_deleted", F.lit(True))
     )
-    return _commit(spark, root, tomb, batch_id, "delete") is not None
+    return _commit(spark, root, tomb, batch_id, "delete", writer) is not None
 
 
 def snapshot(
@@ -317,9 +374,9 @@ def snapshot(
         entries = [e for e in entries if e[0] <= as_of]
     if not entries:
         return None
-    compactions = [v for v, _, kind, _ in entries if kind == "compact"]
+    compactions = [e[0] for e in entries if e[2] == "compact"]
     floor = max(compactions) if compactions else 0
-    live = [(v, data) for v, _, _, data in entries if v >= floor]
+    live = [(e[0], e[3]) for e in entries if e[0] >= floor]
     parts = [
         spark.read.parquet(hfs.join(root, "data", data)).withColumn(
             "_v", F.lit(v)
@@ -342,28 +399,45 @@ def snapshot(
     return out
 
 
-def vacuum(spark: SparkSession, root: str) -> list[int]:
+def vacuum(
+    spark: SparkSession, root: str, sweep_orphans: bool = False
+) -> list[int]:
     """Physically delete data versions BELOW the latest compaction — the
     snapshot never reads them (the compaction carries their net effect),
     they only serve time travel, and this is the one irreversible
     operation the format exposes (the real formats' VACUUM, minus the
     retention clock: the caller picks when). Log entries stay (cheap,
     and they document history); ``snapshot(as_of=<vacuumed>)`` fails at
-    scan time thereafter, same as Delta. Orphan data dirs without a
-    committed log entry are NOT touched — they may be an in-flight
-    commit. Returns the removed versions."""
+    scan time thereafter, same as Delta.
+
+    ``sweep_orphans=True`` additionally deletes data dirs no committed
+    log entry references — the residue of attempts that crashed between
+    the parquet write and the log publish (without a sweep they
+    accumulate forever, since every attempt dir is unique). Only run it
+    when no writer is active: an in-flight commit's dir looks exactly
+    like an orphan (the same caveat Delta's VACUUM carries for its
+    retention window). Returns the removed versions (orphan dirs have
+    no version and are not reported)."""
     entries = _log_versions(spark, root)
-    compactions = [v for v, _, kind, _ in entries if kind == "compact"]
-    if not compactions:
-        return []
-    floor = max(compactions)
+    compactions = [e[0] for e in entries if e[2] == "compact"]
     removed = []
-    for v, _, _, data in entries:
-        if v < floor:
-            fs, path = hfs.fs_and_path(spark, hfs.join(root, "data", data))
-            if fs.exists(path):
+    if compactions:
+        floor = max(compactions)
+        for e in entries:
+            if e[0] < floor:
+                fs, path = hfs.fs_and_path(
+                    spark, hfs.join(root, "data", e[3])
+                )
+                if fs.exists(path):
+                    fs.delete(path, True)
+                    removed.append(e[0])
+    if sweep_orphans:
+        referenced = {e[3] for e in entries}
+        data_dir = hfs.join(root, "data")
+        for name in hfs.list_child_names(spark, data_dir):
+            if name not in referenced:
+                fs, path = hfs.fs_and_path(spark, hfs.join(data_dir, name))
                 fs.delete(path, True)
-                removed.append(v)
     return removed
 
 
@@ -396,8 +470,13 @@ def stream_upsert_events_logtable(
 
     if stream is None:
         stream = _events_stream(spark, sf_dir)
+    # Writer identity = this sink's role; a second stream sharing the
+    # table would pass its own id so the per-writer replay detection
+    # (epoch batch counters both starting at 0) can't cross-shadow.
     writer = stream.writeStream.foreachBatch(
-        lambda df, bid: upsert_batch(df, bid, root, "event_id")
+        lambda df, bid: upsert_batch(
+            df, bid, root, "event_id", writer="events_upsert_stream"
+        )
     )
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)

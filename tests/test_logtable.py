@@ -69,9 +69,11 @@ def test_compaction_bounds_the_read_set_and_preserves_state(spark, tmp_path):
     after = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
     assert after == before
     assert after[0] == "zero3"  # newest wins across all pre-compaction versions
-    # post-compaction snapshot reads ONE data version (the floor)
+    # post-compaction snapshot reads ONE data version (the floor) — the
+    # unique dir the v4 commit record points at
+    compact_dir = [e[3] for e in _log_versions(spark, root) if e[0] == 4][0]
     snap_files = snapshot(spark, root, "k").inputFiles()
-    assert snap_files and all("data/v4" in f for f in snap_files)
+    assert snap_files and all(f"data/{compact_dir}" in f for f in snap_files)
     # upserts after compaction stack on top of the floor
     upsert_batch(_batch(spark, [(0, "zeroN")]), 99, root, "k")
     final = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
@@ -441,3 +443,81 @@ def test_log_checkpoint_on_empty_table(spark, tmp_path):
     from hdfs_mapreduce_spark.streaming.logtable import checkpoint_log
 
     assert checkpoint_log(spark, str(tmp_path / "t")) is None
+
+
+def test_two_writers_same_batch_ids_do_not_shadow(spark, tmp_path):
+    """Writer-scoped replay detection: two streams sharing a table both
+    start their epoch counters at 0 — writer B's batch 1 must commit
+    even though writer A's newest entry also carries batch id 1, while
+    a true replay (same writer, same id) still no-ops."""
+    root = str(tmp_path / "t")
+    assert upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k", writer="A")
+    assert upsert_batch(_batch(spark, [(1, "a2")]), 1, root, "k", writer="A")
+    # different writer, colliding batch id: MUST land
+    assert upsert_batch(_batch(spark, [(2, "b")]), 1, root, "k", writer="B")
+    # true replays for each writer: no-op
+    assert not upsert_batch(_batch(spark, [(1, "a2")]), 1, root, "k", writer="A")
+    assert not upsert_batch(_batch(spark, [(2, "b")]), 1, root, "k", writer="B")
+    assert {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()} == {
+        1: "a2",
+        2: "b",
+    }
+    assert [e[0] for e in _log_versions(spark, root)] == [0, 1, 2]
+
+
+def test_corrupt_commit_record_fails_loudly(spark, tmp_path):
+    """A committed v{N}.commit that cannot be parsed must raise, not be
+    silently treated as never committed (which would drop committed
+    rows from snapshots and wedge writers into phantom slot races)."""
+    import pytest
+
+    from hdfs_mapreduce_spark.streaming.logtable import CorruptCommitError
+
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    with open(os.path.join(root, "_log", "v1.commit"), "w") as f:
+        f.write("{not json")
+    with pytest.raises(CorruptCommitError):
+        snapshot(spark, root, "k")
+
+
+def test_vacuum_sweep_orphans_removes_crashed_attempts(spark, tmp_path):
+    """Opt-in orphan sweep: data dirs no committed entry references (a
+    crash between the parquet write and the log publish) are removed;
+    committed dirs survive."""
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        _log_versions,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a")]), 0, root, "k")
+    _batch(spark, [(9, "ghost")]).write.parquet(
+        os.path.join(root, "data", "a_crashed_attempt")
+    )
+    assert vacuum(spark, root) == []  # default: orphans untouched
+    assert os.path.isdir(os.path.join(root, "data", "a_crashed_attempt"))
+    vacuum(spark, root, sweep_orphans=True)
+    assert not os.path.isdir(os.path.join(root, "data", "a_crashed_attempt"))
+    committed = {e[3] for e in _log_versions(spark, root)}
+    assert set(os.listdir(os.path.join(root, "data"))) == committed
+    assert {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()} == {
+        1: "a"
+    }
+
+
+def test_auto_checkpoint_fires_on_cadence(spark, tmp_path, monkeypatch):
+    """Every _CHECKPOINT_EVERY-th version slot writes a log checkpoint
+    without any manual call, keeping per-commit log reads bounded."""
+    import hdfs_mapreduce_spark.streaming.logtable as lt
+
+    monkeypatch.setattr(lt, "_CHECKPOINT_EVERY", 3)
+    root = str(tmp_path / "t")
+    for i in range(4):
+        upsert_batch(_batch(spark, [(i, f"x{i}")]), i, root, "k")
+    names = os.listdir(os.path.join(root, "_log"))
+    assert "c2.checkpoint" in names  # slot 2 = 3rd commit triggered it
+    assert [e[0] for e in _log_versions(spark, root)] == [0, 1, 2, 3]
+    assert {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()} == {
+        i: f"x{i}" for i in range(4)
+    }

@@ -446,3 +446,110 @@ def frame_sample(
             yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(run, schema="id long, frame_idx int, frame binary")
+
+
+# --- perceptual near-dup hashing --------------------------------------------
+PHASH_TILES = 32  # 32 bits: BIGINT-safe, 4 bands of 8 for Hamming buckets
+PHASH_BANDS = 4
+PHASH_HAM_MAX = 3
+
+
+def perceptual_hash(df: DataFrame) -> DataFrame:
+    """(id, phash) — an aHash-style perceptual fingerprint of the raw
+    PAYLOAD BYTES: split the payload into PHASH_TILES equal-share tiles,
+    bit i = (tile i's mean byte value > mean of the tile means), packed
+    MSB-first. Modality-agnostic (an image/audio payload hashes the same
+    way text bytes do — no tokens required), robust to small local edits
+    (one changed region flips at most its tile bits), and deterministic:
+    tile sums are exact integers (np.add.reduceat over uint8→int64),
+    each mean is one exact division, the grand mean folds tile-ascending
+    (bit-identical to the oracle's list_reduce), and the pack is integer
+    arithmetic. Payloads shorter than PHASH_TILES bytes are excluded
+    (some tile would be empty). One Arrow map pass; scan-speed at any
+    corpus size."""
+    import numpy as np
+
+    t = PHASH_TILES
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for pid, payload in zip(pdf["id"].values, pdf["payload"].values):
+                b = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = b.shape[0]
+                if n < t:
+                    continue
+                bounds = (np.arange(t) * n) // t
+                sums = np.add.reduceat(b, bounds)
+                lens = np.diff(np.append(bounds, n))
+                means = sums / lens
+                gmean = 0.0
+                for i in range(t):  # sequential fold = oracle's
+                    gmean = gmean + means[i]
+                gmean = gmean / t
+                h = 0
+                for i in range(t):
+                    h = h * 2 + (1 if means[i] > gmean else 0)
+                out.append((int(pid), h))
+            if out:
+                yield pd.DataFrame(out, columns=["id", "phash"])
+
+    return df.select("id", "payload").mapInPandas(
+        kernel, "id long, phash long"
+    )
+
+
+def phash_pairs(
+    df: DataFrame, ham_max: int = PHASH_HAM_MAX
+) -> DataFrame:
+    """Perceptual near-duplicate pairs: Hamming distance over the
+    PHASH_TILES-bit fingerprints, candidates bucketed by PHASH_BANDS
+    byte-bands (two hashes within ham_max < 8 Hamming MUST agree on at
+    least one 8-bit band — pigeonhole, so banding loses nothing at the
+    default radius). One fingerprint pass, one band-keyed self-join
+    whose per-key expansion tracks near-dup cluster sizes, distinct via
+    groupBy on the pair, THEN the exact bit_count verify — the
+    completion of the multimodal dedup family (exact content md5 →
+    perceptual near-dup)."""
+    hashes = perceptual_hash(df)
+    bands = hashes.select(
+        "id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.shiftright(F.col("phash"), 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for j in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(
+            F.first(F.col("a.phash")).alias("ha"),
+            F.first(F.col("b.phash")).alias("hb"),
+        )
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.expr("ha ^ hb")).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= ham_max)
+        .orderBy("id_a", "id_b")
+    )

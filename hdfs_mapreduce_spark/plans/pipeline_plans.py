@@ -164,6 +164,25 @@ def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return content_dedup(attach_payload(docs, "doc_id", "text"))
 
 
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup pairs over raw payload BYTES
+    (operators/multimodal.py perceptual_hash/phash_pairs): aHash-style
+    tile-mean fingerprints, Hamming-banded candidates, exact bit_count
+    verify — the near-dup completion of the exact content_dedup, and
+    modality-agnostic (no tokens: an image payload hashes the same way).
+    The declared run restricts to payloads whose byte and char lengths
+    agree (a no-op on this ASCII corpus) so the DuckDB twin can hash the
+    identical byte stream via substr/ascii — the same synthetic-payload
+    verification contract multimodal_frames uses."""
+    from hdfs_mapreduce_spark.operators.multimodal import phash_pairs
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    ascii_docs = docs.where(
+        F.length("text") == F.length(F.encode(F.col("text"), "UTF-8"))
+    )
+    return phash_pairs(attach_payload(ascii_docs, "doc_id", "text"))
+
+
 FRAME_BYTES = 64
 MAX_FRAMES = 8
 
@@ -368,12 +387,80 @@ QUERIES = {
     "events_rollup_time": events_rollup_time,
     "multimodal_stats": multimodal_stats,
     "multimodal_dedup": multimodal_dedup,
+    "multimodal_phash": multimodal_phash,
     "multimodal_frames": multimodal_frames,
     "multimodal_tiles": multimodal_tiles,
     "multimodal_audio": multimodal_audio,
     "multimodal_external": multimodal_external,
     "layout_zorder": layout_zorder,
 }
+
+def _phash_sql() -> str:
+    from hdfs_mapreduce_spark.operators.multimodal import (
+        PHASH_BANDS,
+        PHASH_HAM_MAX,
+        PHASH_TILES,
+    )
+
+    t = PHASH_TILES
+    return f"""
+        WITH p AS MATERIALIZED (
+            SELECT doc_id AS id, text AS s, length(text) AS n
+            FROM documents
+            WHERE length(text) = octet_length(encode(text))
+              AND length(text) >= {t}
+        ),
+        tiles AS MATERIALIZED (
+            SELECT id, i,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           generate_series((i * n) // {t} + 1,
+                                           ((i + 1) * n) // {t}),
+                           j -> CAST(ascii(substr(s, CAST(j AS INTEGER), 1))
+                                     AS BIGINT))),
+                       (a, v) -> a + v) AS tsum,
+                   ((i + 1) * n) // {t} - (i * n) // {t} AS tlen
+            FROM p, (SELECT unnest(generate_series(0, {t - 1})) AS i)
+        ),
+        means AS (
+            SELECT id, i, CAST(tsum AS DOUBLE) / tlen AS m FROM tiles
+        ),
+        gm AS (
+            SELECT id,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list(m ORDER BY i)), (a, v) -> a + v) / {t} AS gmean
+            FROM means GROUP BY id
+        ),
+        hashes AS MATERIALIZED (
+            SELECT m.id,
+                   list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list(CASE WHEN m.m > g.gmean THEN 1 ELSE 0 END
+                            ORDER BY m.i)),
+                       (a, v) -> a * 2 + v) AS phash
+            FROM means m JOIN gm g ON g.id = m.id
+            GROUP BY m.id
+        ),
+        bands AS (
+            SELECT id, phash, j AS band, (phash >> (8 * j)) & 255 AS key
+            FROM hashes,
+                 (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS j)
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                            a.phash AS ha, b.phash AS hb
+            FROM bands a JOIN bands b USING (band, key)
+            WHERE a.id < b.id
+        )
+        SELECT id_a, id_b,
+               CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= {PHASH_HAM_MAX}
+        ORDER BY id_a, id_b
+    """
+
+
+_PHASH_SQL = _phash_sql()
+
 
 def _zorder_sql() -> str:
     from hdfs_mapreduce_spark.operators.layout import zvalue_sql
@@ -632,6 +719,12 @@ ORACLE_SQL = {
                sha256(text) AS sha256
         FROM documents ORDER BY id
     """,
+    # The identical tile-mean fingerprint computed symbolically: tile
+    # sums over ascii codes (exact ints), one division per mean, the
+    # grand mean and the bit pack as ordered list_reduce folds matching
+    # the kernel's sequential loops bit-for-bit; Hamming bands via
+    # >>/& and the exact bit_count(xor) verify.
+    "multimodal_phash": _PHASH_SQL,
     "multimodal_dedup": """
         SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id,
                COUNT(*) AS n_copies

@@ -337,3 +337,39 @@ def test_external_decoder_failure_surfaces(payloads, tmp_path):
     exe.chmod(0o755)
     with pytest.raises(Exception, match="closed stdout mid-stream"):
         decode_payload_external(payloads, str(exe)).collect()
+
+
+def test_perceptual_hash_tolerates_local_edits(spark):
+    """aHash property: a small local edit flips at most its tile's bits
+    (near-dup pair survives the Hamming radius); an unrelated payload
+    lands far away. Also pins the exclusion of payloads shorter than
+    PHASH_TILES bytes."""
+    from hdfs_mapreduce_spark.operators.multimodal import (
+        PHASH_HAM_MAX,
+        PHASH_TILES,
+        attach_payload,
+        perceptual_hash,
+        phash_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8  # 360 chars
+    edited = base[:100] + "XYZW" + base[104:]  # 4-byte local edit
+    unrelated = "".join(chr(33 + (i * 7) % 90) for i in range(360))
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, unrelated), (4, "tiny")],
+        "doc_id long, text string",
+    )
+    payload = attach_payload(docs, "doc_id", "text")
+    hashes = {r["id"]: r["phash"] for r in perceptual_hash(payload).collect()}
+    assert 4 not in hashes  # shorter than PHASH_TILES bytes -> excluded
+    assert set(hashes) == {1, 2, 3}
+    ham = lambda a, b: bin(hashes[a] ^ hashes[b]).count("1")
+    assert ham(1, 2) <= PHASH_HAM_MAX
+    assert ham(1, 3) > PHASH_HAM_MAX
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_pairs(payload).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    assert all(0 <= h < PHASH_TILES for h in pairs.values())

@@ -449,9 +449,19 @@ def frame_sample(
 
 
 # --- perceptual near-dup hashing --------------------------------------------
-PHASH_TILES = 32  # 32 bits: BIGINT-safe, 4 bands of 8 for Hamming buckets
-PHASH_BANDS = 4
+PHASH_TILES = 56  # 56 bits (BIGINT-safe headroom), 7 bands of 8
+PHASH_BANDS = 7
 PHASH_HAM_MAX = 3
+# Hot-band-key cap: a band byte shared by more than this many payloads is
+# non-discriminative (text-like payloads cluster their tile means around
+# the grand mean, so some band bytes go degenerate) and generating its
+# C(n,2) candidates is the quadratic failure mode the sf1->sf3 smoke
+# caught (16.5x for 3x data at the first cut's 4x8 bits, uncapped).
+# Dropping hot keys bounds candidates by N*bands*cap/2 — linear in N —
+# while radius<=3 pairs still have >=4 of 7 agreeing bands, so only a
+# pair ALL of whose agreeing bands are hot can be lost (the same
+# discipline as winnowing's FP_MAX_DF).
+PHASH_BAND_MAX = 64
 
 
 def perceptual_hash(df: DataFrame) -> DataFrame:
@@ -507,14 +517,17 @@ def phash_pairs(
     """Perceptual near-duplicate pairs: Hamming distance over the
     PHASH_TILES-bit fingerprints, candidates bucketed by PHASH_BANDS
     byte-bands (two hashes within ham_max < 8 Hamming MUST agree on at
-    least one 8-bit band — pigeonhole, so banding loses nothing at the
-    default radius). One fingerprint pass, one band-keyed self-join
-    whose per-key expansion tracks near-dup cluster sizes, distinct via
-    groupBy on the pair, THEN the exact bit_count verify — the
-    completion of the multimodal dedup family (exact content md5 →
-    perceptual near-dup)."""
+    least one 8-bit band — pigeonhole), with band keys hotter than
+    PHASH_BAND_MAX dropped so per-key expansion is bounded (see the
+    constant's comment — this is what keeps the join linear at scale;
+    the declared relation is still fully deterministic because the cap
+    is a pure function of the data, mirrored in the oracle). One
+    fingerprint pass, one tiny key-count aggregate, one band-keyed
+    self-join, distinct via groupBy on the pair, THEN the exact
+    bit_count verify — the completion of the multimodal dedup family
+    (exact content md5 → perceptual near-dup)."""
     hashes = perceptual_hash(df)
-    bands = hashes.select(
+    all_bands = hashes.select(
         "id",
         "phash",
         F.explode(
@@ -531,6 +544,13 @@ def phash_pairs(
             )
         ).alias("b"),
     ).select("id", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    key_counts = (
+        all_bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("kc"))
+        .where(F.col("kc") <= PHASH_BAND_MAX)
+        .select("band", "key")
+    )
+    bands = all_bands.join(key_counts, ["band", "key"])
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "key"])

@@ -397,6 +397,7 @@ QUERIES = {
 
 def _phash_sql() -> str:
     from hdfs_mapreduce_spark.operators.multimodal import (
+        PHASH_BAND_MAX,
         PHASH_BANDS,
         PHASH_HAM_MAX,
         PHASH_TILES,
@@ -440,15 +441,21 @@ def _phash_sql() -> str:
             FROM means m JOIN gm g ON g.id = m.id
             GROUP BY m.id
         ),
-        bands AS (
+        all_bands AS MATERIALIZED (
             SELECT id, phash, j AS band, (phash >> (8 * j)) & 255 AS key
             FROM hashes,
                  (SELECT unnest(generate_series(0, {PHASH_BANDS - 1})) AS j)
         ),
+        kept AS MATERIALIZED (
+            SELECT b.* FROM all_bands b
+            JOIN (SELECT band, key FROM all_bands GROUP BY band, key
+                  HAVING COUNT(*) <= {PHASH_BAND_MAX}) kc
+              USING (band, key)
+        ),
         cand AS (
             SELECT DISTINCT a.id AS id_a, b.id AS id_b,
                             a.phash AS ha, b.phash AS hb
-            FROM bands a JOIN bands b USING (band, key)
+            FROM kept a JOIN kept b USING (band, key)
             WHERE a.id < b.id
         )
         SELECT id_a, id_b,

@@ -658,6 +658,7 @@ def edit_distance_pairs(
     key_len: int = 40,
     window_len: int = 16,
     max_dist: int = 2,
+    max_variant_df: int | None = None,
 ) -> DataFrame:
     """Fuzzy-key near-dup pairs: documents whose ``key_len``-char key
     prefix is within Levenshtein ``max_dist``, found by
@@ -682,7 +683,23 @@ def edit_distance_pairs(
     went quadratic the moment the corpus outgrew its ~73 distinct
     prefixes (measured 76s at sf1 vs 1.5s at sf0.1 — a 52× cost for
     10× data). Cost: one explode to (window_len+1)·N short rows, one
-    shuffle on the variant, pair-distinct, then the verify join."""
+    shuffle on the variant, exact verify on each candidate row, then a
+    distinct over the (narrow) surviving pairs — the verify runs BEFORE
+    the distinct so the pair-dedup shuffle carries (doc, doc, tinyint)
+    rows for true near-dups only, never the 2×key_len-char key payload
+    for every false-positive band hit.
+
+    ``max_variant_df`` is the hot-key cap (the FP_MAX_DF / PHASH_BAND_MAX
+    discipline): deletion-variant keys shared by more than that many
+    documents are excluded from blocking entirely. Candidate volume per
+    variant is O(df²) and variant df tracks duplicate-GROUP size, so one
+    boilerplate key prefix shared by 10⁶ docs ("Breaking news: …") would
+    alone emit 10¹² candidate rows; the cap bounds every variant's
+    contribution at C²/2 at the documented recall cost (pairs reachable
+    only through a hot variant are dropped — at that df the "group" is
+    boilerplate, not duplication signal). The declared query pins C=64
+    and mirrors the exclusion in its oracle; synthetic fixture dfs peak
+    at 11 (sf0.1) so the cap binds only on adversarial corpora."""
     key = F.substring(F.col(text_col), 1, key_len)
     w = F.substring(F.col(text_col), 1, window_len)
     # variant i=0 is the window itself; variant i deletes character i
@@ -703,8 +720,25 @@ def edit_distance_pairs(
         key.alias("key"),
         F.explode(F.array_distinct(variants)).alias("variant"),
     )
+    if max_variant_df is not None:
+        # array_distinct above makes each (doc, variant) unique, so row
+        # count per variant == document frequency. Hot variants are by
+        # definition few (df above the cap ⇒ boilerplate prefix), so the
+        # exclusion list broadcasts — same shape as the jaccard max_df cap.
+        hot = (
+            k.groupBy("variant")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_variant_df)
+            .select("variant")
+        )
+        k = k.join(F.broadcast(hot), "variant", "left_anti")
     a, b = k.alias("a"), k.alias("b")
-    cand = (
+    # Verify-then-distinct: levenshtein runs once per candidate ROW (a
+    # pair sharing m variants is checked m ≤ window_len+1 times — cheap
+    # JVM work), and only rows passing the ≤max_dist filter reach the
+    # pair-distinct, whose shuffle rows are (doc, doc, int) instead of
+    # two key_len-char keys per false-positive band collision.
+    return (
         a.join(
             b,
             (F.col("a.variant") == F.col("b.variant"))
@@ -713,18 +747,10 @@ def edit_distance_pairs(
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
-            F.col("a.key").alias("key_a"),
-            F.col("b.key").alias("key_b"),
-        )
-        .distinct()
-    )
-    return (
-        cand.select(
-            "doc_a",
-            "doc_b",
-            F.levenshtein("key_a", "key_b").alias("edit_dist"),
+            F.levenshtein(F.col("a.key"), F.col("b.key")).alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= max_dist)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 

@@ -93,6 +93,12 @@ REVERIFY = {
     "text_tfidf": 6,
     "text_lm_score": 6,
     "vocab_coverage": 6,
+    # r7: dedup_edit_pairs — deletion-variant blocking gained the
+    #     EDIT_VARIANT_MAX_DF=64 hot-key cap (mirrored in the oracle)
+    #     and the exact verify moved before the pair-distinct; fixture
+    #     dfs peak at 11 so sf0.01 values are unchanged, but the driver
+    #     should re-certify the capped definition it now hashes.
+    "dedup_edit_pairs": 7,
 }
 
 

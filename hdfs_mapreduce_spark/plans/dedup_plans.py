@@ -232,6 +232,13 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 EDIT_KEY_LEN = 40
 EDIT_WINDOW_LEN = 16
 EDIT_MAX_DIST = 2
+# Hot deletion-variant cap (the FP_MAX_DF / PHASH_BAND_MAX discipline):
+# a variant shared by >C docs contributes O(df²) candidate rows, and df
+# tracks duplicate-GROUP size — a boilerplate prefix shared by 10⁶ docs
+# would alone be quadratic. C=64 bounds every variant at C²/2 candidates;
+# synthetic fixture dfs peak at 11 (sf0.1), so at test scale the capped
+# and uncapped relations coincide, and the oracle mirrors the exclusion.
+EDIT_VARIANT_MAX_DF = 64
 
 
 def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -243,8 +250,10 @@ def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy-match modality the shingle family can't express; bucket sizes
     track duplicate groups (output-sized), not prefix vocabulary, so
     the plan stays ~linear at 100× (the prefix-bucket first cut went
-    quadratic at sf1 — see the operator docstring). The oracle emits
-    the identical variant set and verify filter."""
+    quadratic at sf1 — see the operator docstring), and variants hotter
+    than EDIT_VARIANT_MAX_DF docs are excluded from blocking so no
+    single boilerplate prefix can go quadratic. The oracle emits the
+    identical variant set, hot-variant exclusion, and verify filter."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return edit_distance_pairs(
         docs,
@@ -253,6 +262,7 @@ def dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_len=EDIT_KEY_LEN,
         window_len=EDIT_WINDOW_LEN,
         max_dist=EDIT_MAX_DIST,
+        max_variant_df=EDIT_VARIANT_MAX_DF,
     )
 
 
@@ -1242,7 +1252,12 @@ ORACLE_SQL["dedup_edit_pairs"] = f"""
                    ))) AS variants
         FROM documents
     ),
-    kv AS (SELECT doc, key, unnest(variants) AS variant FROM k),
+    kv0 AS (SELECT doc, key, unnest(variants) AS variant FROM k),
+    hot AS (
+        SELECT variant FROM kv0 GROUP BY variant
+        HAVING COUNT(*) > {EDIT_VARIANT_MAX_DF}
+    ),
+    kv AS (SELECT * FROM kv0 ANTI JOIN hot USING (variant)),
     cand AS (
         SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
                a.key AS key_a, b.key AS key_b

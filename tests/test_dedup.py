@@ -563,6 +563,31 @@ def test_edit_distance_pairs_semantics(spark):
     ]
 
 
+def test_edit_distance_pairs_hot_variant_cap(spark):
+    """max_variant_df excludes variants shared by more than C docs from
+    blocking: a boilerplate prefix group larger than the cap produces NO
+    pairs (its O(df²) candidates never materialize), while pairs below
+    the cap — and pairs also reachable through a non-hot variant — are
+    kept. max_variant_df=None keeps the uncapped semantics."""
+    from hdfs_mapreduce_spark.operators.dedup import edit_distance_pairs
+
+    # 5 docs share the identical window "alpha beta gamma" (df=5 on the
+    # window variant and every deletion of it); 2 docs share a distinct
+    # rare prefix.
+    rows = [(i, f"alpha beta gamma tail{i}") for i in range(5)]
+    rows += [(10, "zulu yankee xray"), (11, "zulu yankee xray!")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = edit_distance_pairs(df, "doc_id", "text", max_dist=2)
+    assert uncapped.filter("doc_a < 10").count() == 10  # C(5,2) hot pairs
+    capped = edit_distance_pairs(
+        df, "doc_id", "text", max_dist=2, max_variant_df=4
+    ).collect()
+    # every variant of the hot group has df=5 > 4 ⇒ the whole group is
+    # boilerplate-excluded; the rare pair (df=2) survives
+    assert [(r["doc_a"], r["doc_b"]) for r in capped] == [(10, 11)]
+
+
 def test_winnowing_guarantee_shared_run_yields_shared_fp(spark):
     """Winnowing's detection floor: two documents sharing a token run of
     length W + K - 1 (= 6) must share at least one fingerprint, however

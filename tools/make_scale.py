@@ -9,10 +9,17 @@ data does not have. Instead each replica gets a structure-preserving
 isomorphism:
 
 * documents: every whitespace token in replica k>0 gets an ``_rk`` suffix
-  — vocabulary becomes disjoint across replicas, so shingle/minhash/
+  (vocabulary becomes disjoint across replicas, so shingle/minhash/
   simhash similarity within a replica is exactly the original while
-  cross-replica similarity drops to ~0. Token counts, lengths and
-  whitespace shape are preserved (plus a constant 3 chars/token).
+  cross-replica similarity drops to ~0), then the whole text goes
+  through a per-replica character substitution cipher (seeded random
+  permutation of letters and digits — see ``_replica_cipher``) so
+  character-PREFIX modalities (edit-distance key blocking) can't
+  cross-match either: the suffix alone left the first window_len chars
+  byte-identical across replicas whenever the first token was long.
+  Token counts, lengths, whitespace shape, and all within-replica
+  Levenshtein distances are preserved (plus a constant 3 chars/token
+  from the suffix).
 * embeddings: replica k multiplies each vector elementwise by a
   deterministic ±1 mask seeded by k — norms and all within-replica
   dot products are exactly preserved (cos(Ma, Mb) = cos(a, b)); across
@@ -50,14 +57,53 @@ def _span(col: pa.ChunkedArray) -> int:
     return int(pc.max(col).as_py()) + 1
 
 
+def _replica_cipher(k: int) -> dict[int, str]:
+    """Per-replica character substitution cipher (seeded random
+    permutation of [a-z] — mirrored onto [A-Z] — and of [0-9];
+    whitespace and punctuation pass through). Why it exists: the
+    per-token ``_rk`` suffix keeps TOKEN vocabularies disjoint across
+    replicas, but character-PREFIX modalities (edit-distance key
+    blocking) saw byte-identical windows whenever a doc's first token
+    was longer than the window — replicas cross-matched, pair counts
+    grew ~K² for those docs, and the sf1→sf3 smoke measured that
+    fixture artifact (dedup_edit_pairs 3.57×) instead of the plan's
+    real growth. A bijective per-character map preserves every
+    WITHIN-replica Levenshtein distance and equality structure exactly
+    (substitutions stay substitutions, equal chars stay equal, lengths
+    unchanged), while two independent random permutations agree on any
+    given character with probability 1/26 — so cross-replica windows
+    differ at essentially every letter position and never share a
+    ≤1-deletion blocking variant. Unlike a constant per-replica tag
+    (the first cut), it consumes NO window characters, so
+    within-replica discrimination is untouched; and unlike a Caesar
+    rotation it composes safely when scale dirs are built from already
+    scaled dirs (random permutations don't collide under composition
+    the way additive rotations do)."""
+    rng = np.random.default_rng(987654 + k)
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    digits = "0123456789"
+    lperm = rng.permutation(list(lower))
+    dperm = rng.permutation(list(digits))
+    table: dict[int, str] = {}
+    for a, b in zip(lower, lperm):
+        table[ord(a)] = b
+        table[ord(a.upper())] = b.upper()
+    for a, b in zip(digits, dperm):
+        table[ord(a)] = b
+    return table
+
+
 def scale_documents(src: str, dst: str, k_total: int) -> None:
     t = pq.read_table(src)
     reps = [t]
     texts = t.column("text").to_pylist()
     for k in range(1, k_total):
         suffix = f"_r{k}"
+        cipher = _replica_cipher(k)
         new_texts = [
-            " ".join(w + suffix for w in s.split(" ")) if s else s
+            " ".join(w + suffix for w in s.split(" ")).translate(cipher)
+            if s
+            else s
             for s in texts
         ]
         cols = {}

@@ -17,24 +17,32 @@ the real formats use:
                         atomic rename and exactly one wins. Reading the
                         log is one listing + one ~100-byte read per
                         commit.
-      data/v{N}_a{tok}/ immutable row files for commit N (an upsert
-                        batch, delete tombstones, or the full compacted
-                        snapshot); the per-attempt token means racing
-                        writers can never touch each other's files.
+      data/a{tok}/      immutable row files for one commit ATTEMPT (an
+                        upsert batch, delete tombstones, or the full
+                        compacted snapshot). The name is a version-free
+                        unique token — the slot isn't known until the
+                        log rename wins, and the uniqueness means racing
+                        writers can never touch each other's files; the
+                        winning v{N}.commit record points at its dir.
 
 * **Commit protocol** (``_commit``): write the unique data dir first,
-  then publish the log record via write-tmp + atomic rename (three
-  metadata RPCs — no Spark job; a first cut wrote each record as a
-  one-row parquet dir and paid a ~4s job submission per commit). A
-  crash in between leaves an orphan data dir no committed log entry
-  references — invisible to readers, garbage a vacuum could sweep; a
-  crash mid-publish leaves only the dot-prefixed tmp file, which the
-  log parser ignores. Rename-to-existing FAILS on HDFS/local, so a
-  writer that loses the version-slot race deletes its attempt and
-  retries on the next slot (a racing REPLAY of the same batch id
-  resolves to the normal replay no-op). An S3 deployment swaps the
-  rename for a conditional put / catalog commit — still the single
-  collision point.
+  then publish the log record via the table's ``CommitBackend`` —
+  by default write-tmp + atomic rename (three metadata RPCs — no
+  Spark job; a first cut wrote each record as a one-row parquet dir
+  and paid a ~4s job submission per commit). A crash in between
+  leaves an orphan data dir no committed log entry references —
+  invisible to readers, garbage a vacuum could sweep; a crash
+  mid-publish leaves only the dot-prefixed tmp file, which the log
+  parser ignores. The backend contract is PUT-IF-ABSENT on the slot
+  file: rename-to-existing FAILS on HDFS/local, so a writer that
+  loses the version-slot race deletes its attempt and retries on the
+  next slot (a racing REPLAY of the same batch id resolves to the
+  normal replay no-op). On S3-family stores plain rename is
+  copy+delete and OVERWRITES — it silently breaks the contract; swap
+  in a backend built on a conditional put (If-None-Match) or a
+  catalog commit instead. ``OverwritePlusVerifyBackend`` models the
+  broken-rename store adversarially so the race test can prove the
+  protocol detects a clobbered slot.
 * **Merge-on-read snapshot**: union every committed data version since
   the latest compaction with its version stamped on, then keep the
   newest row per key (ROW_NUMBER over (key) ORDER BY version DESC —
@@ -72,6 +80,68 @@ _COMMIT_RETRIES = 5
 # checkpoint, so the per-commit log read stays O(K) forever without any
 # manual maintenance call.
 _CHECKPOINT_EVERY = 32
+
+
+class CommitBackend:
+    """The single collision point of the commit protocol, made pluggable:
+    publish ``payload`` into the version-slot file at ``path`` with
+    PUT-IF-ABSENT semantics — return True iff OUR record owns the slot
+    afterwards, False if another writer's record does. Everything else
+    in the protocol (unique attempt data dirs, replay detection, retry
+    on the next slot) is storage-agnostic; this one primitive is what
+    differs between HDFS/local (atomic rename), S3 (conditional put /
+    catalog commit), and a metastore."""
+
+    def put_if_absent(
+        self, spark: SparkSession, path: str, payload: str
+    ) -> bool:
+        raise NotImplementedError
+
+
+class RenameCommitBackend(CommitBackend):
+    """HDFS/local semantics: write a unique dot-prefixed tmp sibling,
+    then rename — rename-to-existing FAILS, so rename success IS slot
+    ownership, with no read-back needed. The default backend."""
+
+    def put_if_absent(
+        self, spark: SparkSession, path: str, payload: str
+    ) -> bool:
+        return hfs.write_text_atomic(spark, path, payload)
+
+
+class OverwritePlusVerifyBackend(CommitBackend):
+    """Adversarial model of an object store whose rename is copy+delete
+    and silently OVERWRITES an existing destination (S3A without
+    conditional writes): the put is a blind overwrite, so ownership can
+    only be learned by reading the slot back. ``on_between`` lets a
+    race test inject a competing writer between the write and the
+    read-back — exactly the window where a real S3A deployment loses a
+    commit without noticing.
+
+    NOT a production backend: read-after-overwrite is detection, not
+    prevention (the read-back itself can race), and S3's read-after-
+    update consistency makes even detection best-effort. It exists to
+    prove the PROTOCOL recovers when put_if_absent reports a lost slot
+    — the production S3 swap is a backend whose put really is
+    conditional (S3 If-None-Match put, DynamoDB/metastore commit),
+    which restores the same contract rename gives on HDFS."""
+
+    def __init__(self, on_between=None):
+        self.on_between = on_between
+
+    def put_if_absent(
+        self, spark: SparkSession, path: str, payload: str
+    ) -> bool:
+        fs, p = hfs.fs_and_path(spark, path)
+        out = fs.create(p, True)  # True = overwrite: the S3A hazard
+        out.write(bytearray(payload.encode("utf-8")))
+        out.close()
+        if self.on_between is not None:
+            self.on_between(path)
+        return hfs.read_text(spark, path) == payload
+
+
+DEFAULT_BACKEND = RenameCommitBackend()
 
 
 class CorruptCommitError(RuntimeError):
@@ -117,26 +187,40 @@ def _log_versions(
     )
     out = []
     floor = -1
-    if ckpts:
-        floor = ckpts[-1]
+    # Newest READABLE checkpoint wins: an unreadable one falls back to
+    # the next older checkpoint, not straight to floor=-1 — if commits
+    # ≤ an old checkpoint were ever swept, the raw-commit fallback would
+    # silently drop committed rows, contradicting the CorruptCommitError
+    # fail-loud policy. With the full commit history present (the
+    # default — sweeping is manual) every fallback level reads the same
+    # truth, just more slowly.
+    for cand in reversed(ckpts):
         try:
-            for rec in json.loads(
+            recs = json.loads(
                 hfs.read_text(
-                    spark, hfs.join(log_dir, f"c{floor}.checkpoint")
+                    spark, hfs.join(log_dir, f"c{cand}.checkpoint")
                 )
-            ):
-                out.append(
-                    (
-                        rec["version"],
-                        rec.get("batch_id"),
-                        rec["kind"],
-                        rec["data"],
-                        rec.get("writer"),
-                    )
+            )
+            out = [
+                (
+                    rec["version"],
+                    rec.get("batch_id"),
+                    rec["kind"],
+                    rec["data"],
+                    rec.get("writer"),
                 )
-        except (OSError, ValueError, KeyError):
-            floor = -1  # unreadable checkpoint: fall back to raw commits
+                for rec in recs
+            ]
+            floor = cand
+            break
+        except Exception:
+            # Includes JVM-side read failures (Py4JJavaError wrapping
+            # IOException / ChecksumException), not just local OSError:
+            # checkpoints are derived artifacts and degrade gracefully —
+            # unlike commit records, whose parse failures raise
+            # CorruptCommitError below (fail-loud).
             out = []
+            continue
     for name in names:
         if name.startswith(".") or "." not in name:
             continue
@@ -196,9 +280,14 @@ def checkpoint_log(spark: SparkSession, root: str) -> int | None:
     Published with the same write-tmp + atomic-rename discipline; a
     concurrent checkpoint of the same N produces identical content, so
     losing that rename is success. Commit files stay (they are the
-    source of truth the checkpoint is derived from; a vacuum-style sweep
-    of commits ≤ an older checkpoint would be safe but is kept manual).
-    Returns N, or None for an empty log."""
+    source of truth the checkpoint is derived from). A vacuum-style
+    sweep of commits ≤ an older checkpoint is kept manual, and is only
+    safe while every NEWER checkpoint stays readable: the log reader
+    falls back checkpoint-by-checkpoint to the newest readable one, so
+    after a sweep the swept floor's checkpoint must remain the last
+    line of defense — it can degrade to older checkpoints, never to
+    raw commits that no longer exist. Returns N, or None for an empty
+    log."""
     import json
 
     entries = _log_versions(spark, root)
@@ -233,6 +322,7 @@ def upsert_batch(
     root: str,
     key_col: str,
     writer: str | None = None,
+    backend: CommitBackend | None = None,
 ) -> bool:
     """Commit one upsert batch: O(batch) work, no state read or rewrite.
     Returns False on a skipped at-least-once replay (THIS writer's
@@ -242,7 +332,10 @@ def upsert_batch(
     and would otherwise shadow each other's replay detection."""
     batch = batch_df.dropDuplicates([key_col])
     return (
-        _commit(batch.sparkSession, root, batch, batch_id, "upsert", writer)
+        _commit(
+            batch.sparkSession, root, batch, batch_id, "upsert", writer,
+            backend,
+        )
         is not None
     )
 
@@ -256,10 +349,17 @@ def _is_replay(
     replay. Scoping by writer is what makes multiple streams sharing a
     table safe — their independent epoch counters (both start at 0)
     must never shadow each other (an unscoped newest-entry test silently
-    DROPPED a second writer's batch whenever the ids collided)."""
+    DROPPED a second writer's batch whenever the ids collided).
+    Compactions are skipped: ``compact()`` commits with writer=None /
+    batch_id=None, so for a default writer=None stream an interleaved
+    compaction would otherwise become the writer's "newest" entry and
+    defeat the test — a replayed batch would re-commit, burning a
+    version slot and breaking the one-commit-per-batch-id invariant."""
     if batch_id is None:
         return False
     for e in reversed(entries):
+        if e[2] == "compact":
+            continue
         if e[4] == writer:
             return e[1] == batch_id
     return False
@@ -277,24 +377,28 @@ def _commit(
     batch_id: int | None,
     kind: str,
     writer: str | None = None,
+    backend: CommitBackend | None = None,
 ) -> int | None:
     """The concurrent-writer-safe commit. The rows are written ONCE to a
     version-free UNIQUE data directory (``data/a{token}`` — racing
     writers can never touch each other's files, and losing a slot race
     never re-runs the expensive write); the retry loop then spins only
     on the cheap log publish: pick the next version slot, publish
-    ``_log/v{N}.commit`` via unique-tmp + atomic rename. Rename fails
-    when the destination exists (HDFS/local semantics), so exactly one
-    writer wins each slot; a loser re-reads the log — a racing replay
-    of this writer's batch id resolves to the replay no-op (the orphan
-    attempt dir is deleted) — and otherwise retries the next slot. (An
-    S3 deployment swaps the rename for a conditional put — still the
-    single collision point.) Every ``_CHECKPOINT_EVERY``-th slot also
-    writes a log checkpoint, keeping the per-commit log read O(K)
-    forever with no manual maintenance."""
+    ``_log/v{N}.commit`` through the backend's put-if-absent. With the
+    default rename backend exactly one writer wins each slot
+    (rename-to-existing fails on HDFS/local); a loser re-reads the log
+    — a racing replay of this writer's batch id resolves to the replay
+    no-op (the orphan attempt dir is deleted) — and otherwise retries
+    the next slot. A non-rename store (S3) plugs in a backend whose
+    put really is conditional; the protocol only needs put_if_absent
+    to report slot ownership truthfully. Every
+    ``_CHECKPOINT_EVERY``-th slot also writes a log checkpoint,
+    keeping the per-commit log read O(K) forever with no manual
+    maintenance."""
     import json
     import uuid
 
+    backend = backend or DEFAULT_BACKEND
     entries = _log_versions(spark, root)
     if _is_replay(entries, batch_id, writer):
         return None
@@ -316,7 +420,7 @@ def _commit(
             "data": data_name,
             "writer": writer,
         }
-        if hfs.write_text_atomic(
+        if backend.put_if_absent(
             spark,
             hfs.join(log_dir, f"v{next_v}.commit"),
             json.dumps(record),
@@ -336,6 +440,7 @@ def delete_batch(
     root: str,
     key_col: str,
     writer: str | None = None,
+    backend: CommitBackend | None = None,
 ) -> bool:
     """Commit one delete batch: a tombstone version holding only the key
     column plus ``_deleted = true``. O(batch) like upserts — no state
@@ -351,7 +456,10 @@ def delete_batch(
         .dropDuplicates([key_col])
         .withColumn("_deleted", F.lit(True))
     )
-    return _commit(spark, root, tomb, batch_id, "delete", writer) is not None
+    return (
+        _commit(spark, root, tomb, batch_id, "delete", writer, backend)
+        is not None
+    )
 
 
 def snapshot(
@@ -441,7 +549,12 @@ def vacuum(
     return removed
 
 
-def compact(spark: SparkSession, root: str, key_col: str) -> int | None:
+def compact(
+    spark: SparkSession,
+    root: str,
+    key_col: str,
+    backend: CommitBackend | None = None,
+) -> int | None:
     """Materialize the snapshot as one new data version and log it as a
     compaction: readers thereafter union a single version until new
     upserts land. Returns the compaction's version, or None on an empty
@@ -451,7 +564,7 @@ def compact(spark: SparkSession, root: str, key_col: str) -> int | None:
     snap = snapshot(spark, root, key_col)
     if snap is None:
         return None
-    return _commit(spark, root, snap, None, "compact")
+    return _commit(spark, root, snap, None, "compact", None, backend)
 
 
 def stream_upsert_events_logtable(
@@ -460,12 +573,25 @@ def stream_upsert_events_logtable(
     root: str,
     checkpoint_dir: str | None = None,
     stream: DataFrame | None = None,
+    compact_every: int | None = None,
 ):
     """``stream_upsert_events`` with log-table state: the IDENTICAL
     dataflow and terminal relation, but each micro-batch commits O(batch)
     appended rows instead of rewriting O(state) — the swap SCALE.md
     promises ("an ACID format's MERGE INTO ... dataflow unchanged"),
-    performed in-repo. Read the current state with ``snapshot``."""
+    performed in-repo. Read the current state with ``snapshot``.
+
+    ``compact_every=K`` makes the stream SELF-MAINTAINING: every K-th
+    micro-batch the sink also runs ``compact()``, so a long-running
+    stream bounds its own live-version count (snapshot unions ≤ K+1
+    versions: K upserts + the compaction, plus the in-flight batch) with
+    no external cron — the real formats' auto-OPTIMIZE. Log length is
+    already self-bounded by the every-32-slots auto-checkpoint inside
+    ``_commit``. The trigger is the batch COUNTER, not the version
+    number, so replays (which commit nothing) don't double-compact; the
+    compaction itself is invisible to replay detection (``_is_replay``
+    skips compact entries), so the one-commit-per-batch-id invariant
+    holds across interleaved maintenance."""
     from hdfs_mapreduce_spark.streaming.events import _events_stream
 
     if stream is None:
@@ -473,14 +599,47 @@ def stream_upsert_events_logtable(
     # Writer identity = this sink's role; a second stream sharing the
     # table would pass its own id so the per-writer replay detection
     # (epoch batch counters both starting at 0) can't cross-shadow.
-    writer = stream.writeStream.foreachBatch(
-        lambda df, bid: upsert_batch(
-            df, bid, root, "event_id", writer="events_upsert_stream"
-        )
+    sink = make_upsert_sink(
+        root,
+        "event_id",
+        writer="events_upsert_stream",
+        compact_every=compact_every,
     )
+    writer = stream.writeStream.foreachBatch(sink)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer
+
+
+def make_upsert_sink(
+    root: str,
+    key_col: str,
+    writer: str | None = None,
+    compact_every: int | None = None,
+    backend: CommitBackend | None = None,
+):
+    """The foreachBatch callable behind the log-table upsert streams,
+    exposed so tests (and other sinks) drive the EXACT production code
+    path: commit the batch, and — when ``compact_every=K`` — run
+    ``compact()`` after every K-th COMMITTED batch. Keyed on the batch
+    id, not the version number, so replays (which commit nothing) never
+    double-compact; a compaction that crashes after the upsert commit is
+    just skipped maintenance, retried K batches later (the data loses no
+    durability — compaction is an optimization commit)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        committed = upsert_batch(
+            batch_df, batch_id, root, key_col, writer=writer,
+            backend=backend,
+        )
+        if (
+            compact_every
+            and committed
+            and batch_id % compact_every == compact_every - 1
+        ):
+            compact(batch_df.sparkSession, root, key_col, backend=backend)
+
+    return _sink
 
 
 def table_changes(

@@ -83,13 +83,15 @@ def _ri_check(
 ) -> DataFrame:
     """Orphaned-foreign-key count: child rows whose fk matches no parent
     pk (left-anti). No broadcast hint — AQE picks the join strategy by
-    parent size."""
+    parent size. The parent key is aliased to a reserved name so a rule
+    whose fk and pk share a column name can't make the join condition
+    ambiguous (or trivially true)."""
     n = child.agg(F.count(F.lit(1)).alias("n_rows"))
     viol = (
         child.select(F.col(fk))
         .join(
-            parent.select(F.col(pk)).distinct(),
-            F.col(fk) == F.col(pk),
+            parent.select(F.col(pk).alias("_dq_pk")).distinct(),
+            F.col(fk) == F.col("_dq_pk"),
             "left_anti",
         )
         .agg(F.count(F.lit(1)).cast("long").alias("violations"))
@@ -101,6 +103,88 @@ def _ri_check(
         "violations",
         (F.col("violations") == 0).alias("pass"),
     )
+
+
+def incremental_row_checks(
+    base: DataFrame,
+    change_feeds: list[DataFrame],
+    tbl: str,
+    checks: dict,
+) -> DataFrame:
+    """Deequ-on-Delta: maintain a row-level expectations report from the
+    change feed instead of rescanning the table. Seed (n_rows, violations
+    per check) from the ``base`` snapshot with the same ONE
+    conditional-aggregate pass ``dq_report`` uses, then fold each CDF
+    relation (``streaming/logtable.py table_changes`` shape): after-images
+    of inserts/updates ADD a violation when they break the predicate,
+    before-images of updates/deletes RETRACT one when they did — the
+    retract-and-add discipline of ``logtable_ivm``, applied to audit
+    counters. Row count maintains as +inserts − deletes.
+
+    ``checks`` maps name → callable taking a column accessor
+    (``col_of: name -> Column``) and returning the is-violated predicate,
+    so one definition evaluates against the base row, the ``_before``
+    image, and the ``_after`` image. Only valid for row-LOCAL predicates
+    (each row's verdict independent of other rows): uniqueness and
+    referential integrity are not foldable this way and keep the
+    full-scan forms in ``dq_report``.
+
+    Scale: the base pass runs ONCE (at the maintained view's birth);
+    each maintenance step is one conditional-agg pass over |delta| rows
+    and a 1-row merge — the full-rescan twin pays O(|table|) per run.
+    Equivalence to a fresh full rescan of the final snapshot is exact
+    (proven by pytest and by the declared query's closed-form oracle)."""
+    acc = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.coalesce(  # empty base: SUM is NULL, the count is 0
+                _violations(build(lambda c: F.col(c))), F.lit(0).cast("long")
+            ).alias(name)
+            for name, build in checks.items()
+        ],
+    )
+    ct = F.col("change_type")
+    is_after = ct.isin("insert", "update")
+    is_before = ct.isin("update", "delete")
+    for ch in change_feeds:
+        if ch is None:
+            continue
+        delta = ch.agg(
+            F.sum(
+                F.when(ct == "insert", 1)
+                .when(ct == "delete", -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rows"),
+            *[
+                F.sum(
+                    F.when(
+                        is_after & build(lambda c: F.col(f"{c}_after")), 1
+                    ).otherwise(0)
+                    - F.when(
+                        is_before
+                        & build(lambda c: F.col(f"{c}_before")),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(name)
+                for name, build in checks.items()
+            ],
+        )
+        cols = ["n_rows", *checks]
+        a, d = acc.alias("a"), delta.alias("d")
+        acc = a.crossJoin(d).select(
+            *[
+                (
+                    F.col(f"a.{c}")
+                    + F.coalesce(F.col(f"d.{c}"), F.lit(0))
+                ).alias(c)
+                for c in cols
+            ]
+        )
+    return _unpivot(acc, tbl, list(checks))
 
 
 def dq_report(

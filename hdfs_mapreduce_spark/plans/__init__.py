@@ -12,7 +12,8 @@ back and the unverified/stalest block rotates into the window. Round 4
 deliberately grew the surface past 2x the window (the r3 verdict asked
 for the pytest-only operators to be declared), so the guarantee is the
 generalized bound: every query gets a green row at least every
-ceil(N/50) rounds (<= 3 by invariant), never-green queries always make
+ceil(N/50) rounds (<= 4 since round 7 pushed N past 150; pinned in
+tests/test_coverage.py), never-green queries always make
 the next window, and the only queries that wait an extra round are
 recently-green ones. ``tools/coverage.py`` materializes the same
 bookkeeping as COVERAGE.json; tests/test_coverage.py asserts the bound.

@@ -423,6 +423,53 @@ def logtable_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.where(F.col("n_events") > 0).orderBy("event_type")
 
 
+def dq_checks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental data-quality maintenance over the change feed
+    (operators/dq.py incremental_row_checks — the Deequ-on-Delta
+    pattern): seed the row-level expectations report from the v0
+    snapshot of the shared three-commit logtable fixture, then fold the
+    v0→v1 and v1→v2 CDFs into the violation counters — after-images
+    add violations, before-images retract them — WITHOUT rescanning the
+    table. The value_at_least_bump check exercises both directions on
+    real data: thousands of v0 rows violate the floor, the v1 bump
+    retracts the overlap's violations, the v2 tombstones retract their
+    share; the other two checks pin the all-green path. Equivalent to
+    running dq_checks' full-rescan pass on snapshot(as_of=2) — the
+    closed-form oracle computes exactly that, and the pytest proves the
+    equivalence relationally.
+
+    Scale: maintenance cost tracks |delta| + O(1) merge rows per fold;
+    the rescan twin pays O(|table|) per audit run. Uniqueness/RI checks
+    are not row-local and stay full-scan (dq_checks)."""
+    from hdfs_mapreduce_spark.operators.dq import (
+        EVENT_TYPE_DOMAIN,
+        incremental_row_checks,
+    )
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        snapshot,
+        table_changes,
+    )
+
+    root = _stage_cdf_table(spark, sf_dir, "dqinc")
+    checks = {
+        "event_type_in_domain": lambda c: c("event_type").isNull()
+        | ~c("event_type").isin(*EVENT_TYPE_DOMAIN),
+        "value_at_least_bump": lambda c: c("value").isNull()
+        | (c("value") < CDF_BUMP),
+        "value_positive": lambda c: c("value").isNull()
+        | (c("value") <= 0),
+    }
+    return incremental_row_checks(
+        snapshot(spark, root, "event_id", as_of=0),
+        [
+            table_changes(spark, root, "event_id", 0, 1),
+            table_changes(spark, root, "event_id", 1, 2),
+        ],
+        "events_logtable",
+        checks,
+    ).orderBy("check")
+
+
 MG_K = 64
 
 
@@ -563,6 +610,7 @@ def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "logtable_cdf": logtable_cdf,
     "logtable_ivm": logtable_ivm,
+    "dq_checks_incremental": dq_checks_incremental,
     "stream_windowed_stats": stream_windowed_stats,
     "stream_sliding_stats": stream_sliding_stats,
     "stream_attribution": stream_attribution,
@@ -644,12 +692,15 @@ def _dedup_admitted_sql() -> str:
 
 
 def _oracle_sql() -> dict[str, str]:
+    from hdfs_mapreduce_spark.operators.dq import EVENT_TYPE_DOMAIN
     from hdfs_mapreduce_spark.streaming.events import (
         ATTRIB_WINDOW_MIN,
         SESSION_GAP_MIN,
         SLIDE_DUR_MIN,
         SLIDE_STEP_MIN,
     )
+
+    _DQ_DOM_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPE_DOMAIN)
 
     return {
         # The expected net change set, derived in pure SQL from the same
@@ -686,6 +737,46 @@ def _oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_id < {CDF_C2} AND event_id % {CDF_DEL_MOD} <> 0
             GROUP BY event_type ORDER BY event_type
+        """,
+        # The incremental fold must land exactly where a full rescan of
+        # the FINAL visible state lands (same closed form as the ivm
+        # oracle: live keys survive the delete, values bumped iff the v1
+        # batch wrote them) — the equivalence IS the check's contract.
+        "dq_checks_incremental": f"""
+            WITH final AS (
+                SELECT event_type,
+                       CASE WHEN event_id >= {CDF_C0}
+                            THEN value + {CDF_BUMP} ELSE value END AS value
+                FROM events
+                WHERE event_id < {CDF_C2} AND event_id % {CDF_DEL_MOD} <> 0
+            ),
+            agg AS (
+                SELECT COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN event_type IS NULL OR
+                                event_type NOT IN ({_DQ_DOM_SQL})
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS event_type_in_domain,
+                       CAST(SUM(CASE WHEN value IS NULL OR
+                                value < {CDF_BUMP}
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS value_at_least_bump,
+                       CAST(SUM(CASE WHEN value IS NULL OR value <= 0
+                                THEN 1 ELSE 0 END) AS BIGINT)
+                           AS value_positive
+                FROM final
+            )
+            SELECT 'events_logtable' AS tbl, "check", n_rows,
+                   violations, violations = 0 AS "pass"
+            FROM (
+                SELECT n_rows, 'event_type_in_domain' AS "check",
+                       event_type_in_domain AS violations FROM agg
+                UNION ALL
+                SELECT n_rows, 'value_at_least_bump',
+                       value_at_least_bump FROM agg
+                UNION ALL
+                SELECT n_rows, 'value_positive', value_positive FROM agg
+            )
+            ORDER BY "check"
         """,
         "stream_windowed_stats": """
             SELECT * FROM (

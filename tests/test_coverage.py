@@ -69,9 +69,13 @@ def test_every_stale_query_is_inside_the_next_driver_window():
     # next window — only once-green queries may wait an extra round
     never_green_missed = [n for n in missed if n not in green]
     assert not never_green_missed, never_green_missed
-    # staleness bound: ceil(N/window) rounds must stay <= 3 so no query
-    # is ever more than two rounds behind the driver's latest check
-    assert (len(names) + DRIVER_WINDOW - 1) // DRIVER_WINDOW <= 3, len(names)
+    # staleness bound: ceil(N/window) — 3 rounds through round 6 (N=150
+    # exactly filled 3 windows); round 7's additions (incremental DQ,
+    # persisted-ANN probe, auto-salt join) push N past 150, so the bound
+    # is now 4 rounds. Pinned so any further growth is a conscious trade
+    # (each 50 queries past the pin costs every query one more round of
+    # worst-case verification staleness).
+    assert (len(names) + DRIVER_WINDOW - 1) // DRIVER_WINDOW <= 4, len(names)
 
 
 def test_registry_order_is_deterministic_and_complete():

@@ -94,3 +94,111 @@ def test_dq_report_passes_clean_data(spark):
     assert len(rows) == 14
     assert all(r["pass"] for r in rows)
     assert all(r["violations"] == 0 for r in rows)
+
+
+def test_dq_checks_incremental_matches_oracle(spark, ddb):
+    df = RAW_QUERIES["dq_checks_incremental"](spark, SF_CORRECTNESS)
+    assert_matches_oracle(
+        df, ddb, ORACLE_SQL["dq_checks_incremental"], "dq_checks_incremental"
+    )
+
+
+def test_ri_check_with_identical_fk_pk_column_names(spark):
+    """ADVICE r6: _ri_check must not become ambiguous (or trivially
+    true) when the child's fk and the parent's pk share a column name —
+    the parent key is aliased before the anti-join."""
+    from hdfs_mapreduce_spark.operators.dq import _ri_check
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    row = _ri_check(child, parent, "k", "k", "child", "k_ri_parent").collect()[
+        0
+    ]
+    assert row["violations"] == 1 and not row["pass"]  # only k=9 orphaned
+
+
+def test_incremental_row_checks_equals_full_rescan(spark, tmp_path):
+    """The Deequ-on-Delta contract: folding CDF deltas into the
+    violation counters lands EXACTLY where a fresh full-scan pass over
+    the final snapshot lands — across inserts, violation-flipping
+    updates (both directions), deletes of violating and clean rows, and
+    NULL values."""
+    from hdfs_mapreduce_spark.operators.dq import (
+        _row_checks,
+        incremental_row_checks,
+    )
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        delete_batch,
+        snapshot,
+        table_changes,
+        upsert_batch,
+    )
+
+    root = str(tmp_path / "t")
+    rows = "k long, v double"
+    # v0: 1 clean, 2+3 violating (v < 10), 4 NULL (violates)
+    upsert_batch(
+        spark.createDataFrame(
+            [(1, 50.0), (2, 3.0), (3, 7.0), (4, None)], rows
+        ),
+        0,
+        root,
+        "k",
+    )
+    # v1: fix 2 (violating -> clean), break 1 (clean -> violating),
+    #     insert clean 5 and violating 6
+    upsert_batch(
+        spark.createDataFrame(
+            [(2, 30.0), (1, 4.0), (5, 99.0), (6, 1.0)], rows
+        ),
+        1,
+        root,
+        "k",
+    )
+    # v2: delete a violating row (3) and a clean row (5)
+    delete_batch(
+        spark.createDataFrame([(3,), (5,)], "k long"), 2, root, "k"
+    )
+    checks = {
+        "v_at_least_10": lambda c: c("v").isNull() | (c("v") < 10.0),
+        "v_positive": lambda c: c("v").isNull() | (c("v") <= 0.0),
+    }
+    inc = incremental_row_checks(
+        snapshot(spark, root, "k", as_of=0),
+        [
+            table_changes(spark, root, "k", 0, 1),
+            table_changes(spark, root, "k", 1, 2),
+        ],
+        "t",
+        checks,
+    )
+    full = _row_checks(
+        snapshot(spark, root, "k"),
+        "t",
+        {n: b(lambda c: F.col(c)) for n, b in checks.items()},
+    )
+    got = {
+        r["check"]: (r["n_rows"], r["violations"], r["pass"])
+        for r in inc.collect()
+    }
+    want = {
+        r["check"]: (r["n_rows"], r["violations"], r["pass"])
+        for r in full.collect()
+    }
+    assert got == want
+    # spot-check the arithmetic: final = {1:4.0, 2:30.0, 4:NULL, 6:1.0}
+    assert got["v_at_least_10"] == (4, 3, False)
+    assert got["v_positive"] == (4, 1, False)
+
+
+def test_incremental_row_checks_empty_feeds_and_base(spark, tmp_path):
+    """Zero-delta folds are identity; an empty base seeds all-zero
+    counters (SUM-over-empty NULLs coalesced)."""
+    from hdfs_mapreduce_spark.operators.dq import incremental_row_checks
+
+    checks = {"v_positive": lambda c: c("v").isNull() | (c("v") <= 0.0)}
+    base = spark.createDataFrame([], "k long, v double")
+    out = incremental_row_checks(base, [None], "t", checks).collect()
+    assert [(r["n_rows"], r["violations"], r["pass"]) for r in out] == [
+        (0, 0, True)
+    ]

@@ -1,0 +1,263 @@
+"""Persist-and-probe ANN index lifecycle: build once, probe many.
+
+``ann_topk_ivfpq`` (operators/similarity.py) fits the coarse quantizer
+and PQ codebooks inside every invocation — correct, but the wrong
+economics at 100 TB: a production corpus builds its index ONCE (one
+full scan assigning a cell id and 4 B of PQ codes per vector) and then
+serves many probe queries, each reading only ``nprobe/nlist`` of the
+codes table. This module materializes the three index relations as
+parquet (operators/materialize.py — session scratch by default, a
+warehouse path for durability) and probes them without touching the
+raw embeddings again:
+
+    centroids  (cell, vec)             nlist rows — the coarse quantizer
+    codewords  (subspace, code, vec)   m_sub × ksub rows — PQ codebooks
+    codes      (id, cell, codes)       one row per corpus vector; the
+                                       only corpus-sized relation, and
+                                       it is written ORDERED BY cell so
+                                       a probe's ``cell IN (…)`` filter
+                                       prunes parquet row groups — each
+                                       query physically reads ~
+                                       nprobe/nlist of the files
+
+Exactness contract: ``ann_probe_ivfpq(build_ivfpq_index(corpus), q)``
+≡ ``ann_topk_ivfpq(corpus, q)``. The builder fits from the same seeded
+model sample and the same float64 assignment kernels
+(similarity.ivfpq_model_rows / centroid_matrix / make_cos_to_cents /
+_pq_sub_dists), centroids and codewords round-trip losslessly through
+parquet doubles, codes through int64, and the probe's ADC fold is
+s-ascending exactly like the fused kernel — so the declared
+``ann_probe_persisted`` query hash-matches the ``ann_ivfpq`` oracle,
+and the equivalence pytest probes the same index twice without
+re-fitting (VERDICT r6 item 4).
+
+Model state is driver-bounded everywhere: nlist + m_sub·ksub rows
+collect at probe time regardless of corpus size; queries collect by
+declared contract (a probe batch, not a corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hdfs_mapreduce_spark.operators.materialize import materialize
+from hdfs_mapreduce_spark.operators.similarity import (
+    PQ_KSUB,
+    PQ_M,
+    _codewords_from_rows,
+    _pq_sub_dists,
+    centroid_matrix,
+    ivfpq_model_rows,
+    make_cos_to_cents,
+)
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    nlist: int = 16,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    name: str = "ivfpq",
+    base: str | None = None,
+) -> dict:
+    """One corpus scan → the three materialized index relations plus
+    the metadata needed to probe them. Returns
+    ``{"centroids": df, "codewords": df, "codes": df, "meta": {...}}``
+    with every DataFrame reading the written parquet (materialize()),
+    so later probes — in this session or, with ``base=``, any session —
+    never re-run the fit or re-read the raw vectors."""
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    cent_rows = ivfpq_model_rows(embeddings, nlist, ksub, id_col, vec_col)
+    if not cent_rows:
+        raise ValueError("cannot build an IVF-PQ index over an empty corpus")
+    cmat, cnorm = centroid_matrix(cent_rows, nlist)
+    cos_to_cents = make_cos_to_cents(cmat, cnorm)
+    cbs = _codewords_from_rows(cent_rows[:ksub], m_sub)
+    dsub = cbs.shape[2]
+
+    centroids = materialize(
+        spark.createDataFrame(
+            [(int(i), [float(x) for x in cmat[i]]) for i in range(len(cmat))],
+            "cell long, vec array<double>",
+        ),
+        f"{name}_centroids",
+        base,
+    )
+    codewords = materialize(
+        spark.createDataFrame(
+            [
+                (int(s), int(c), [float(x) for x in cbs[s, c]])
+                for s in range(m_sub)
+                for c in range(cbs.shape[1])
+            ],
+            "subspace long, code long, vec array<double>",
+        ),
+        f"{name}_codewords",
+        base,
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            cells = np.argmax(cos_to_cents(mat), axis=1)
+            codes = np.empty((mat.shape[0], m_sub), dtype=np.int64)
+            for s in range(m_sub):
+                codes[:, s] = _pq_sub_dists(
+                    mat[:, s * dsub : (s + 1) * dsub], cbs[s]
+                ).argmin(axis=0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "cell": cells,
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = embeddings.select(id_col, vec_col).mapInPandas(
+        encode, "id long, cell long, codes array<long>"
+    )
+    # ORDER BY cell = range-partitioned, cell-clustered files: every
+    # parquet row group carries a tight (min, max) on cell, so a probe's
+    # cell IN (…) predicate prunes at the footer — the layout_zorder
+    # discipline applied to the one corpus-sized index relation.
+    codes = materialize(encoded.orderBy("cell", "id"), f"{name}_codes", base)
+    return {
+        "centroids": centroids,
+        "codewords": codewords,
+        "codes": codes,
+        "meta": {"nlist": nlist, "m_sub": m_sub, "ksub": ksub, "dsub": dsub},
+    }
+
+
+def load_ivfpq_index(spark: SparkSession, base: str, name: str = "ivfpq") -> dict:
+    """Reopen a durable index written with ``build_ivfpq_index(base=…)``
+    in a fresh session: three parquet reads, metadata re-derived from
+    the model tables' own shapes (no sidecar file to drift)."""
+    centroids = spark.read.parquet(f"{base}/{name}_centroids")
+    codewords = spark.read.parquet(f"{base}/{name}_codewords")
+    codes = spark.read.parquet(f"{base}/{name}_codes")
+    m_sub = codewords.agg(F.countDistinct("subspace")).collect()[0][0]
+    ksub = codewords.agg(F.countDistinct("code")).collect()[0][0]
+    first = codewords.select(F.size("vec")).limit(1).collect()[0][0]
+    return {
+        "centroids": centroids,
+        "codewords": codewords,
+        "codes": codes,
+        "meta": {
+            "nlist": centroids.count(),
+            "m_sub": m_sub,
+            "ksub": ksub,
+            "dsub": first,
+        },
+    }
+
+
+def ann_probe_ivfpq(
+    index: dict,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Serve top-k from the persisted index: collect the driver-bounded
+    model tables (nlist + m_sub·ksub rows), build each query's probe set
+    and ADC lookup table exactly as the fused kernel does, then scan
+    ONLY the codes rows in probed cells (``cell IN`` prunes row groups
+    thanks to the build-time clustering) and rank by the s-ascending
+    LUT fold. No raw corpus vector is read.
+
+    ``queries`` carries (id_col, vec_col) rows for the probe batch."""
+    import numpy as np
+    import pandas as pd
+
+    meta = index["meta"]
+    m_sub, ksub, dsub = meta["m_sub"], meta["ksub"], meta["dsub"]
+
+    crows = sorted(index["centroids"].collect(), key=lambda r: r["cell"])
+    cmat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in crows])
+    cnorm = np.zeros(cmat.shape[0])
+    for d in range(cmat.shape[1]):
+        cnorm = cnorm + cmat[:, d] * cmat[:, d]
+    cos_to_cents = make_cos_to_cents(cmat, np.sqrt(cnorm))
+
+    cbs = np.empty((m_sub, ksub, dsub))
+    for r in index["codewords"].collect():
+        cbs[r["subspace"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [r[0] for r in qrows]
+    if not qids:
+        return index["codes"].limit(0).select(
+            F.col("id").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            F.lit(0).alias("rank"),
+            F.lit(0.0).alias("approx_dist"),
+        )
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    probe_sets = [
+        set(int(c) for c in row)
+        for row in np.argsort(-cos_to_cents(qmat), kind="stable", axis=1)[
+            :, :nprobe
+        ]
+    ]
+    luts = np.empty((len(qids), m_sub, ksub))
+    for s in range(m_sub):
+        luts[:, s, :] = _pq_sub_dists(
+            qmat[:, s * dsub : (s + 1) * dsub], cbs[s]
+        ).T
+    probed_cells = sorted(set().union(*probe_sets))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["cell"].values
+            ids = pdf["id"].values
+            codes = np.stack(pdf["codes"].values).astype(np.int64)
+            frames = []
+            for qi, qid in enumerate(qids):
+                keep = np.array(
+                    [c in probe_sets[qi] for c in cells], dtype=bool
+                ) & (ids != qid)
+                if not keep.any():
+                    continue
+                acc = np.zeros(int(keep.sum()))
+                kcodes = codes[keep]
+                for s in range(m_sub):  # s-ascending fold = fused kernel
+                    acc = acc + luts[qi, s, kcodes[:, s]]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": ids[keep],
+                            "approx_dist": acc,
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = (
+        index["codes"]
+        .filter(F.col("cell").isin([int(c) for c in probed_cells]))
+        .mapInPandas(score, "query_id long, neighbor_id long, approx_dist double")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist")
+        .orderBy("query_id", "rank")
+    )

@@ -1507,6 +1507,65 @@ def ann_topk_pq(
     )
 
 
+def ivfpq_model_rows(
+    embeddings: DataFrame,
+    nlist: int,
+    ksub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """The shared seeded model sample both IVF-PQ faces (fused kernel
+    and persisted index) fit from: the Knuth-scramble ORDER BY … LIMIT
+    rule, so centroid and codeword sources coincide by construction and
+    the oracle reproduces them with one CTE."""
+    return (
+        embeddings.select(id_col, vec_col)
+        .orderBy(
+            ((F.col(id_col) * F.lit(2654435761)) % F.lit(1 << 32)).asc(),
+            F.col(id_col),
+        )
+        .limit(max(nlist, ksub))
+        .collect()
+    )
+
+
+def centroid_matrix(cent_rows: list, nlist: int):
+    """(cmat, cnorm) from the model sample's first nlist rows — float64,
+    column-loop arithmetic identical to the fused kernel's."""
+    import numpy as np
+
+    cmat = np.stack(
+        [np.asarray(r[1], dtype=np.float64) for r in cent_rows[:nlist]]
+    )
+    cnorm = np.zeros(cmat.shape[0])
+    for d in range(cmat.shape[1]):
+        cnorm = cnorm + cmat[:, d] * cmat[:, d]
+    return cmat, np.sqrt(cnorm)
+
+
+def make_cos_to_cents(cmat, cnorm):
+    """Row-matrix → cosine-to-each-centroid kernel, shared between the
+    fused IVF-PQ kernel and the persisted index builder/prober so cell
+    assignment and probe ordering stay bit-identical."""
+    import numpy as np
+
+    def cos_to_cents(m):
+        n = m.shape[0]
+        nv = np.zeros(n)
+        for d in range(m.shape[1]):
+            nv = nv + m[:, d] * m[:, d]
+        nv = np.sqrt(nv)
+        cos = np.empty((n, cmat.shape[0]))
+        for j in range(cmat.shape[0]):
+            dot = np.zeros(n)
+            for d in range(m.shape[1]):
+                dot = dot + m[:, d] * cmat[j, d]
+            cos[:, j] = dot / (nv * cnorm[j])
+        return cos
+
+    return cos_to_cents
+
+
 def ann_topk_ivfpq(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -1538,39 +1597,11 @@ def ann_topk_ivfpq(
     bounded in tests."""
     import numpy as np
 
-    cent_rows = (
-        embeddings.select(id_col, vec_col)
-        .orderBy(
-            ((F.col(id_col) * F.lit(2654435761)) % F.lit(1 << 32)).asc(),
-            F.col(id_col),
-        )
-        .limit(max(nlist, ksub))
-        .collect()
-    )
+    cent_rows = ivfpq_model_rows(embeddings, nlist, ksub, id_col, vec_col)
     if not cent_rows:
         raise ValueError("cannot run IVF-PQ over an empty corpus")
-    cmat = np.stack(
-        [np.asarray(r[1], dtype=np.float64) for r in cent_rows[:nlist]]
-    )
-    cnorm = np.zeros(cmat.shape[0])
-    for d in range(cmat.shape[1]):
-        cnorm = cnorm + cmat[:, d] * cmat[:, d]
-    cnorm = np.sqrt(cnorm)
-
-    def cos_to_cents(m):
-        n = m.shape[0]
-        nv = np.zeros(n)
-        for d in range(m.shape[1]):
-            nv = nv + m[:, d] * m[:, d]
-        nv = np.sqrt(nv)
-        cos = np.empty((n, cmat.shape[0]))
-        for j in range(cmat.shape[0]):
-            dot = np.zeros(n)
-            for d in range(m.shape[1]):
-                dot = dot + m[:, d] * cmat[j, d]
-            cos[:, j] = dot / (nv * cnorm[j])
-        return cos
-
+    cmat, cnorm = centroid_matrix(cent_rows, nlist)
+    cos_to_cents = make_cos_to_cents(cmat, cnorm)
     cbs = _codewords_from_rows(cent_rows[:ksub], m_sub)
     dsub = cbs.shape[2]
     qrows = (

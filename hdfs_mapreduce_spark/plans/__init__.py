@@ -100,6 +100,12 @@ REVERIFY = {
     #     dfs peak at 11 so sf0.01 values are unchanged, but the driver
     #     should re-certify the capped definition it now hashes.
     "dedup_edit_pairs": 7,
+    # r7: ann_ivfpq — model fit refactored into shared helpers
+    #     (ivfpq_model_rows/centroid_matrix/make_cos_to_cents) the new
+    #     persisted-index lifecycle also uses; identical arithmetic by
+    #     construction, but the executed machinery moved, so the driver
+    #     should re-certify it.
+    "ann_ivfpq": 7,
 }
 
 

@@ -334,6 +334,38 @@ def ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index ANN lifecycle (operators/ann_index.py —
+    VERDICT r6 item 4): build the IVF-PQ index ONCE — centroids,
+    codewords, and a cell-clustered codes table materialized as parquet
+    — then serve the standard query batch from the index alone, never
+    re-reading the raw vectors. Probe cost is a driver-bounded model
+    collect plus a codes scan whose ``cell IN`` filter prunes row
+    groups (the build writes codes ordered by cell), i.e. ~nprobe/nlist
+    of the corpus per query at scale; the build-once/probe-many
+    economics the per-call ann_ivfpq can't offer. Same model sample,
+    same float64 kernels, same s-ascending ADC fold ⇒ hash-identical
+    to ann_ivfpq (the oracle IS ann_ivfpq's); the pytest probes one
+    index twice without re-fitting."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        ann_probe_ivfpq,
+        build_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivfpq_index(
+        emb,
+        nlist=IVF_NLIST,
+        name=f"ivfpq_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, PAIR_THRESHOLD, max_rows=EXACT_PAIRS_MAX_ROWS)
@@ -596,6 +628,7 @@ QUERIES = {
     "embedding_pq_codes": embedding_pq_codes,
     "ann_pq": ann_pq,
     "ann_ivfpq": ann_ivfpq,
+    "ann_probe_persisted": ann_probe_persisted,
     "dedup_pq_buckets": dedup_pq_buckets,
     "text_hash_embeddings": text_hash_embeddings,
     "text_hash_ann": text_hash_ann,
@@ -1045,6 +1078,9 @@ ORACLE_SQL = {
     "embedding_pq_codes": _pq_codes_sql(),
     "ann_pq": _ann_pq_sql(),
     "ann_ivfpq": _ann_ivfpq_sql(),
+    # The persisted-index probe is DEFINED to reproduce ann_ivfpq's
+    # relation from materialized state — one oracle serves both faces.
+    "ann_probe_persisted": _ann_ivfpq_sql(),
     "dedup_pq_buckets": f"""
         WITH {_pq_ctes()},
         keys AS (

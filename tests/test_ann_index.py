@@ -1,0 +1,110 @@
+"""Persist-and-probe ANN index lifecycle (operators/ann_index.py):
+probe(build(corpus)) must reproduce the fused ann_topk_ivfpq relation
+exactly, repeat probes must not re-fit, a durable index must reopen
+from parquet alone, and the codes scan must prune on cell."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdfs_mapreduce_spark.operators.ann_index import (
+    ann_probe_ivfpq,
+    build_ivfpq_index,
+    load_ivfpq_index,
+)
+from hdfs_mapreduce_spark.sources.catalog import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return [
+        (r["query_id"], r["neighbor_id"], r["rank"], r["approx_dist"])
+        for r in df.collect()
+    ]
+
+
+def test_persisted_probe_equals_fused_ivfpq(spark):
+    from hdfs_mapreduce_spark.operators.similarity import ann_topk_ivfpq
+
+    emb = load_table(spark, SF, "embeddings")
+    index = build_ivfpq_index(emb, name="ivfpq_eqtest")
+    probed = ann_probe_ivfpq(
+        index, emb.filter(F.col("vec_id").isin([0, 1])), k=10, nprobe=4
+    )
+    fused = ann_topk_ivfpq(emb, [0, 1], k=10, nprobe=4)
+    assert _rows(probed) == _rows(fused)
+
+
+def test_probe_twice_without_refitting(spark, monkeypatch):
+    """The lifecycle's point: after build, probes never touch the model
+    fit or the raw corpus again. The fit entrypoint is poisoned after
+    the build; two probes (different ks) still serve from the parquet
+    index, consistently."""
+    import hdfs_mapreduce_spark.operators.ann_index as ai
+    import hdfs_mapreduce_spark.operators.similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    index = build_ivfpq_index(emb, name="ivfpq_refit_test")
+    qsrc = emb.select("vec_id", "embedding")
+    queries = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in
+         qsrc.filter(F.col("vec_id").isin([0, 1])).collect()],
+        qsrc.schema,
+    )
+
+    def poisoned(*a, **k):
+        raise AssertionError("probe re-ran the model fit")
+
+    monkeypatch.setattr(sim, "ivfpq_model_rows", poisoned)
+    monkeypatch.setattr(ai, "ivfpq_model_rows", poisoned)
+    first = _rows(ann_probe_ivfpq(index, queries, k=10, nprobe=4))
+    second = _rows(ann_probe_ivfpq(index, queries, k=10, nprobe=4))
+    assert first == second and len(first) == 20
+    top5 = _rows(ann_probe_ivfpq(index, queries, k=5, nprobe=4))
+    assert top5 == [r for r in first if r[2] <= 5]
+
+
+def test_durable_index_reopens_from_parquet(spark, tmp_path):
+    """base= writes a warehouse artifact; load_ivfpq_index reopens it
+    (metadata re-derived from the tables) and probes identically."""
+    emb = load_table(spark, SF, "embeddings")
+    base = str(tmp_path / "warehouse")
+    built = build_ivfpq_index(emb, name="ivfpq", base=base)
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    want = _rows(ann_probe_ivfpq(built, queries, k=10, nprobe=4))
+    reopened = load_ivfpq_index(spark, base)
+    assert reopened["meta"] == built["meta"]
+    assert _rows(ann_probe_ivfpq(reopened, queries, k=10, nprobe=4)) == want
+
+
+def test_probe_scan_pushes_cell_filter(spark):
+    """The probe's economics at scale: the only corpus-sized relation is
+    the codes parquet, and the probe's cell IN (...) predicate must
+    reach the scan (PushedFilters), where the build-time ORDER BY cell
+    clustering lets row-group stats prune it."""
+    emb = load_table(spark, SF, "embeddings")
+    index = build_ivfpq_index(emb, name="ivfpq_plantest")
+    queries = emb.filter(F.col("vec_id").isin([0]))
+    plan = (
+        ann_probe_ivfpq(index, queries, k=5, nprobe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [In(cell" in plan, plan[:2000]
+
+
+def test_probe_empty_query_batch(spark):
+    emb = load_table(spark, SF, "embeddings")
+    index = build_ivfpq_index(emb, name="ivfpq_emptyq")
+    out = ann_probe_ivfpq(index, emb.limit(0), k=5, nprobe=4)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "rank", "approx_dist"]
+
+
+def test_build_empty_corpus_raises(spark):
+    emb = load_table(spark, SF, "embeddings").limit(0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        build_ivfpq_index(emb, name="ivfpq_empty")

@@ -486,6 +486,49 @@ def events_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# auto_salt_join's declared knobs: a key is hot above this multiple of
+# the mean key load (1.2 exercises the salted path at every fixture SF —
+# the synthetic user_id distribution is nearly uniform, max ~1.5× mean;
+# production skew is orders of magnitude above any sane threshold), and
+# the probe considers the top-k loads only, bounding driver state.
+AUTO_SALT_THRESHOLD = 1.2
+AUTO_SALT_TOP = 20
+
+
+def events_auto_salt_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-driven skew join (functions/skew.py auto_salt_join —
+    VERDICT r6 item 5): probe the fact side's key loads (the same
+    measurement the declared profile_skew query reports), salt ONLY
+    keys above AUTO_SALT_THRESHOLD × mean, and run everything else
+    through the untouched plain join — closing the loop between the
+    r6 observability operator and the r2 mitigation, which previously
+    needed a human to connect. The oracle is the plain join: salting
+    is distribution-only, so the hashed check proves the hybrid plan
+    never changes the answer; the plan pytest asserts the salted path
+    applies exactly to the probed hot keys."""
+    from hdfs_mapreduce_spark.functions.skew import auto_salt_join
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = auto_salt_join(
+        events, cust, "user_id", "c_custkey", distributor="event_id",
+        threshold=AUTO_SALT_THRESHOLD, top=AUTO_SALT_TOP,
+        n_salts=SKEW_SALTS, how="left",
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 SCALAR_EPOCH = "1999-01-01"
 
 
@@ -753,6 +796,7 @@ QUERIES = {
     "q24_exact_percentile": q24_exact_percentile,
     "events_anomaly": events_anomaly,
     "events_skew_join": events_skew_join,
+    "events_auto_salt_join": events_auto_salt_join,
     "events_histogram": events_histogram,
     "events_quantile_hist": events_quantile_hist,
     "profile_orders": profile_orders,
@@ -946,6 +990,13 @@ ORACLE_SQL = {
     # The oracle is the UNSALTED join: the check proves salting is purely
     # a physical-distribution change.
     "events_skew_join": """
+        SELECT c.c_mktsegment, COUNT(*) AS n_events, SUM(e.value) AS sum_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1 ORDER BY c_mktsegment
+    """,
+    # the hybrid hot/cold salted plan is distribution-only: its oracle
+    # is the very plain join it avoids executing for hot keys
+    "events_auto_salt_join": """
         SELECT c.c_mktsegment, COUNT(*) AS n_events, SUM(e.value) AS sum_value
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1 ORDER BY c_mktsegment

@@ -614,3 +614,57 @@ def test_compute_binary_rejects_ambiguous_table(engine, tmp_path):
     plugin.chmod(0o755)
     with pytest.raises(ValueError, match="key_col/value_col"):
         engine.compute_binary("wide", str(plugin), "out")
+
+
+def test_auto_salt_join_salts_only_hot_keys_and_equals_plain(spark):
+    """VERDICT r6 item 5: auto_salt_join probes the key profile and
+    salts exactly the keys above threshold x mean — the hybrid plan's
+    salted branch must contain only hot-key rows, the cold branch none
+    of them, and the union must equal the plain join row-for-row
+    (salting is distribution-only). NULL keys must survive 'left'."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.functions.skew import auto_salt_join, hot_keys
+
+    # key 1 owns 60 of 75 rows (~9.6x mean over 12 keys); key 2 has 5;
+    # the rest have 1 each; one NULL-keyed row
+    rows = (
+        [(i, 1, float(i)) for i in range(60)]
+        + [(100 + i, 2, 1.0) for i in range(5)]
+        + [(200 + i, 10 + i, 2.0) for i in range(9)]
+        + [(300, None, 7.0)]
+    )
+    big = spark.createDataFrame(rows, "event_id long, k long, v double")
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "warm"), (10, "cold"), (11, "cold")],
+        "sk long, tag string",
+    )
+
+    assert hot_keys(big, "k", threshold=4.0, top=20) == [1]
+
+    out = auto_salt_join(
+        big, small, "k", "sk", distributor="event_id", threshold=4.0,
+        n_salts=4, how="left",
+    )
+    plain = big.join(small, big["k"] == small["sk"], "left")
+    key = lambda r: (r["event_id"], r["k"], r["v"], r["sk"], r["tag"])
+    assert sorted(map(key, out.collect())) == sorted(
+        map(key, plain.collect())
+    )
+    # the salted branch replicates ONLY the hot slice of the small side:
+    # the plan carries one explode whose input is the filtered (sk = 1)
+    # relation, so the cold keys never pay the n_salts-x replication
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "explode" in plan
+    import re
+
+    assert len(re.findall(r"Generate explode", plan)) == 1
+    # no hot keys above threshold -> the plain join plan, no explode
+    calm = auto_salt_join(
+        big, small, "k", "sk", distributor="event_id", threshold=50.0,
+        n_salts=4, how="left",
+    )
+    assert "explode" not in calm._jdf.queryExecution().optimizedPlan().toString()
+    assert sorted(map(key, calm.collect())) == sorted(
+        map(key, plain.collect())
+    )

@@ -31,6 +31,13 @@ s-ascending exactly like the fused kernel — so the declared
 and the equivalence pytest probes the same index twice without
 re-fitting (VERDICT r6 item 4).
 
+``append_to_ivfpq_index`` completes the lifecycle with the FAISS
+``add()`` contract: day-2 vectors are encoded with the FROZEN model
+(no refit, no re-read of existing codes) and their cell-ordered files
+append to the codes table — the declared ``ann_probe_appended`` query
+pins the semantics with an oracle whose model CTEs sample the day-1
+subset while codes cover everything.
+
 Model state is driver-bounded everywhere: nlist + m_sub·ksub rows
 collect at probe time regardless of corpus size; queries collect by
 declared contract (a probe batch, not a corpus).
@@ -54,6 +61,35 @@ from hdfs_mapreduce_spark.operators.similarity import (
 )
 
 
+def _encoder(cos_to_cents, cbs, m_sub: int, dsub: int, id_col: str, vec_col: str):
+    """The frozen-model encode kernel (cell assignment + PQ codes),
+    shared by build and append so day-2 vectors get byte-identical
+    treatment to day-1's."""
+    import numpy as np
+    import pandas as pd
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            cells = np.argmax(cos_to_cents(mat), axis=1)
+            codes = np.empty((mat.shape[0], m_sub), dtype=np.int64)
+            for s in range(m_sub):
+                codes[:, s] = _pq_sub_dists(
+                    mat[:, s * dsub : (s + 1) * dsub], cbs[s]
+                ).argmin(axis=0)
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col].values,
+                    "cell": cells,
+                    "codes": list(codes),
+                }
+            )
+
+    return encode
+
+
 def build_ivfpq_index(
     embeddings: DataFrame,
     nlist: int = 16,
@@ -70,10 +106,12 @@ def build_ivfpq_index(
     with every DataFrame reading the written parquet (materialize()),
     so later probes — in this session or, with ``base=``, any session —
     never re-run the fit or re-read the raw vectors."""
-    import numpy as np
-    import pandas as pd
+    from hdfs_mapreduce_spark.operators.materialize import (
+        session_scratch_dir,
+    )
 
     spark = embeddings.sparkSession
+    root = base or session_scratch_dir(spark)
     cent_rows = ivfpq_model_rows(embeddings, nlist, ksub, id_col, vec_col)
     if not cent_rows:
         raise ValueError("cannot build an IVF-PQ index over an empty corpus")
@@ -103,27 +141,9 @@ def build_ivfpq_index(
         base,
     )
 
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            mat = np.stack(pdf[vec_col].values).astype(np.float64)
-            cells = np.argmax(cos_to_cents(mat), axis=1)
-            codes = np.empty((mat.shape[0], m_sub), dtype=np.int64)
-            for s in range(m_sub):
-                codes[:, s] = _pq_sub_dists(
-                    mat[:, s * dsub : (s + 1) * dsub], cbs[s]
-                ).argmin(axis=0)
-            yield pd.DataFrame(
-                {
-                    "id": pdf[id_col].values,
-                    "cell": cells,
-                    "codes": list(codes),
-                }
-            )
-
     encoded = embeddings.select(id_col, vec_col).mapInPandas(
-        encode, "id long, cell long, codes array<long>"
+        _encoder(cos_to_cents, cbs, m_sub, dsub, id_col, vec_col),
+        "id long, cell long, codes array<long>",
     )
     # ORDER BY cell = range-partitioned, cell-clustered files: every
     # parquet row group carries a tight (min, max) on cell, so a probe's
@@ -135,6 +155,11 @@ def build_ivfpq_index(
         "codewords": codewords,
         "codes": codes,
         "meta": {"nlist": nlist, "m_sub": m_sub, "ksub": ksub, "dsub": dsub},
+        "paths": {
+            "centroids": f"{root}/{name}_centroids",
+            "codewords": f"{root}/{name}_codewords",
+            "codes": f"{root}/{name}_codes",
+        },
     }
 
 
@@ -158,7 +183,59 @@ def load_ivfpq_index(spark: SparkSession, base: str, name: str = "ivfpq") -> dic
             "ksub": ksub,
             "dsub": first,
         },
+        "paths": {
+            "centroids": f"{base}/{name}_centroids",
+            "codewords": f"{base}/{name}_codewords",
+            "codes": f"{base}/{name}_codes",
+        },
     }
+
+
+def append_to_ivfpq_index(
+    index: dict,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Add day-2 vectors to a day-1 index WITHOUT refitting — the FAISS
+    ``add()`` contract: the model (centroids + codewords) is FROZEN, the
+    new batch is encoded with the stored model's exact kernels and its
+    cell-ordered codes files are appended to the codes table. Cost is
+    one scan of the new batch; the existing corpus is never touched or
+    re-read, and the model tables don't change.
+
+    The price of frozen-model appends is the standard one: cells are
+    never re-balanced, so a drifting day-2 distribution degrades probe
+    pruning (not correctness) until the owner rebuilds — the same
+    retrain-cadence judgment FAISS users make.
+
+    Returns the index dict with a REFRESHED codes reader (the old
+    DataFrame's file listing predates the append). Appended files are
+    each internally cell-ordered, so row-group pruning on ``cell``
+    keeps working per file."""
+    import numpy as np
+
+    meta = index["meta"]
+    m_sub, ksub, dsub = meta["m_sub"], meta["ksub"], meta["dsub"]
+    spark = new_embeddings.sparkSession
+
+    crows = sorted(index["centroids"].collect(), key=lambda r: r["cell"])
+    cmat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in crows])
+    cnorm = np.zeros(cmat.shape[0])
+    for d in range(cmat.shape[1]):
+        cnorm = cnorm + cmat[:, d] * cmat[:, d]
+    cos_to_cents = make_cos_to_cents(cmat, np.sqrt(cnorm))
+    cbs = np.empty((m_sub, ksub, dsub))
+    for r in index["codewords"].collect():
+        cbs[r["subspace"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
+
+    encoded = new_embeddings.select(id_col, vec_col).mapInPandas(
+        _encoder(cos_to_cents, cbs, m_sub, dsub, id_col, vec_col),
+        "id long, cell long, codes array<long>",
+    )
+    codes_path = index["paths"]["codes"]
+    encoded.orderBy("cell", "id").write.mode("append").parquet(codes_path)
+    return {**index, "codes": spark.read.parquet(codes_path)}
 
 
 def ann_probe_ivfpq(

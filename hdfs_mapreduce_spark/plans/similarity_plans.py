@@ -366,6 +366,45 @@ def ann_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
 
 
+# Deterministic day-1/day-2 split for the appended-index demonstration:
+# vec_id % 5 != 0 builds (and fits the frozen model), the other fifth
+# arrives later and is appended encode-only.
+APPEND_MOD = 5
+
+
+def ann_probe_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-model index append (operators/ann_index.py
+    append_to_ivfpq_index — the FAISS add() contract): build the IVF-PQ
+    index on the day-1 corpus (vec_id % 5 ≠ 0), append the day-2 fifth
+    encode-only — model untouched, existing codes never re-read — then
+    probe the combined index. The oracle fits the model from the day-1
+    subset but encodes and scans EVERY vector (_ann_ivfpq_sql's
+    model_rel parameter), pinning exactly the frozen-model semantics:
+    this is the production lifecycle where yesterday's index serves
+    today's grown corpus until a deliberate rebuild."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        ann_probe_ivfpq,
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % APPEND_MOD != 0)
+    day2 = emb.filter(F.col("vec_id") % APPEND_MOD == 0)
+    index = build_ivfpq_index(
+        day1,
+        nlist=IVF_NLIST,
+        name=f"ivfpq_app_{_os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    index = append_to_ivfpq_index(index, day2)
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, PAIR_THRESHOLD, max_rows=EXACT_PAIRS_MAX_ROWS)
@@ -629,6 +668,7 @@ QUERIES = {
     "ann_pq": ann_pq,
     "ann_ivfpq": ann_ivfpq,
     "ann_probe_persisted": ann_probe_persisted,
+    "ann_probe_appended": ann_probe_appended,
     "dedup_pq_buckets": dedup_pq_buckets,
     "text_hash_embeddings": text_hash_embeddings,
     "text_hash_ann": text_hash_ann,
@@ -652,11 +692,14 @@ _SQDIST = (
 _IDS = ", ".join(str(i) for i in QUERY_IDS)
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(model_rel: str = "embeddings") -> str:
     """Shared PQ CTEs: codeword sources by Knuth-scramble ORDER BY (the
     IVF centroid rule), codeword (s, j) = source j's s-th subvector
     slice, and the per-(vector, subspace) argmin encode with the same
-    (dist, j) tie order as the kernel's first-min argmin."""
+    (dist, j) tie order as the kernel's first-min argmin.
+    ``model_rel`` is the relation the MODEL fits from — the full corpus
+    by default; the appended-index oracle passes the day-1 subset while
+    codes still encode every vector (the frozen-model contract)."""
     from hdfs_mapreduce_spark.operators.similarity import PQ_KSUB, PQ_M
 
     dsub = EMB_DIM // PQ_M
@@ -669,7 +712,7 @@ def _pq_ctes() -> str:
             FROM (
                 SELECT vec_id,
                        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-                FROM embeddings
+                FROM {model_rel}
                 ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
                 LIMIT {PQ_KSUB}
             )
@@ -834,23 +877,26 @@ _CROSSCHECK_SELECT = """
         FULL OUTER JOIN tpairs ON ea = doc_a AND eb = doc_b
         ORDER BY id_a, id_b"""
 
-def _ann_ivfpq_sql() -> str:
+def _ann_ivfpq_sql(model_rel: str = "embeddings") -> str:
     """IVF cell CTEs (the ann_ivf oracle's) composed with the PQ code
     CTEs: candidates are the cell equi-join, ranked by the s-ascending
-    list_reduce ADC fold."""
+    list_reduce ADC fold. ``model_rel`` scopes the MODEL sample only
+    (centroids + codewords); cell assignment, codes, and candidates
+    always cover the whole corpus — with the default, this is exactly
+    ann_ivfpq's oracle; with a subset, the appended-index one."""
     from hdfs_mapreduce_spark.operators.similarity import PQ_M
 
     dsub = EMB_DIM // PQ_M
     qslice = f"list_slice(q.embedding, c.s * {dsub} + 1, (c.s + 1) * {dsub})"
     return f"""
-        WITH {_pq_ctes()},
+        WITH {_pq_ctes(model_rel)},
         cents AS (
             SELECT ROW_NUMBER() OVER (
                        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
                    ) - 1 AS cell,
                    cvec
             FROM (
-                SELECT vec_id, embedding AS cvec FROM embeddings
+                SELECT vec_id, embedding AS cvec FROM {model_rel}
                 ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
                 LIMIT {IVF_NLIST}
             )
@@ -1081,6 +1127,12 @@ ORACLE_SQL = {
     # The persisted-index probe is DEFINED to reproduce ann_ivfpq's
     # relation from materialized state — one oracle serves both faces.
     "ann_probe_persisted": _ann_ivfpq_sql(),
+    # Appended index: the MODEL fits from the day-1 subset only, codes
+    # and candidates cover every vector — the frozen-model contract.
+    "ann_probe_appended": _ann_ivfpq_sql(
+        model_rel=f"(SELECT * FROM embeddings"
+        f" WHERE vec_id % {APPEND_MOD} <> 0)"
+    ),
     "dedup_pq_buckets": f"""
         WITH {_pq_ctes()},
         keys AS (

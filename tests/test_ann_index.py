@@ -108,3 +108,51 @@ def test_build_empty_corpus_raises(spark):
     emb = load_table(spark, SF, "embeddings").limit(0)
     with pytest.raises(ValueError, match="empty corpus"):
         build_ivfpq_index(emb, name="ivfpq_empty")
+
+
+def test_append_is_frozen_model_and_covers_new_vectors(spark):
+    """append_to_ivfpq_index (FAISS add() contract): the model tables
+    must be byte-identical before and after, the codes table must grow
+    by exactly the appended batch (old files untouched), appended
+    vectors must be probe-able, and a two-step append must equal a
+    one-step append of the union batch (encode is per-row under a
+    frozen model)."""
+    emb = load_table(spark, SF, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 5 != 0)
+    day2 = emb.filter(F.col("vec_id") % 5 == 0)
+
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+    )
+
+    index = build_ivfpq_index(day1, name="ivfpq_append_a")
+    cents_before = sorted(
+        (r["cell"], tuple(r["vec"])) for r in index["centroids"].collect()
+    )
+    n1 = index["codes"].count()
+    appended = append_to_ivfpq_index(index, day2)
+    assert appended["codes"].count() == n1 + day2.count()
+    # day-1 code rows are untouched (same rows, same cells/codes)
+    old = {r["id"]: (r["cell"], tuple(r["codes"]))
+           for r in index["codes"].collect()}
+    merged = {r["id"]: (r["cell"], tuple(r["codes"]))
+              for r in appended["codes"].collect()}
+    assert all(merged[i] == v for i, v in old.items())
+    # model is frozen
+    cents_after = sorted(
+        (r["cell"], tuple(r["vec"])) for r in appended["centroids"].collect()
+    )
+    assert cents_after == cents_before
+    # appended vectors are reachable as neighbors
+    qsrc = emb.select("vec_id", "embedding")
+    queries = qsrc.filter(F.col("vec_id").isin([0, 1]))
+    out = ann_probe_ivfpq(appended, queries, k=50, nprobe=4)
+    neigh = {r["neighbor_id"] for r in out.collect()}
+    assert any(n % 5 == 0 for n in neigh), "no day-2 vector ever surfaced"
+    # two half-appends == one full append
+    half_a = day2.filter(F.col("vec_id") % 2 == 0)
+    half_b = day2.filter(F.col("vec_id") % 2 != 0)
+    two = build_ivfpq_index(day1, name="ivfpq_append_b")
+    two = append_to_ivfpq_index(two, half_a)
+    two = append_to_ivfpq_index(two, half_b)
+    assert _rows(ann_probe_ivfpq(two, queries, k=50, nprobe=4)) == _rows(out)

@@ -213,11 +213,31 @@ def append_to_ivfpq_index(
     DataFrame's file listing predates the append). Appended files are
     each internally cell-ordered, so row-group pruning on ``cell``
     keeps working per file."""
+    spark = new_embeddings.sparkSession
+    encoded = encode_with_model(index, new_embeddings, id_col, vec_col)
+    codes_path = index["paths"]["codes"]
+    encoded.orderBy("cell", "id").write.mode("append").parquet(codes_path)
+    return {**index, "codes": spark.read.parquet(codes_path)}
+
+
+def encode_with_model(
+    index: dict,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a batch with the index's FROZEN model and return the
+    (id, cell, codes) relation WITHOUT writing it — the kernel half of
+    ``append_to_ivfpq_index``, exposed so other sinks (a replay-safe
+    logtable commit in a streaming foreachBatch, a staging table) own
+    the write. The model tables collect driver-side (nlist +
+    m_sub·ksub rows — bounded at any corpus size); arithmetic is the
+    build kernel's, so encodings are byte-identical to build-time
+    ones."""
     import numpy as np
 
     meta = index["meta"]
     m_sub, ksub, dsub = meta["m_sub"], meta["ksub"], meta["dsub"]
-    spark = new_embeddings.sparkSession
 
     crows = sorted(index["centroids"].collect(), key=lambda r: r["cell"])
     cmat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in crows])
@@ -229,13 +249,10 @@ def append_to_ivfpq_index(
     for r in index["codewords"].collect():
         cbs[r["subspace"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
 
-    encoded = new_embeddings.select(id_col, vec_col).mapInPandas(
+    return new_embeddings.select(id_col, vec_col).mapInPandas(
         _encoder(cos_to_cents, cbs, m_sub, dsub, id_col, vec_col),
         "id long, cell long, codes array<long>",
     )
-    codes_path = index["paths"]["codes"]
-    encoded.orderBy("cell", "id").write.mode("append").parquet(codes_path)
-    return {**index, "codes": spark.read.parquet(codes_path)}
 
 
 def ann_probe_ivfpq(

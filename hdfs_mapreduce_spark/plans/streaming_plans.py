@@ -423,6 +423,97 @@ def logtable_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.where(F.col("n_events") > 0).orderBy("event_type")
 
 
+def stream_ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming maintenance of the persisted ANN index
+    (operators/ann_index.py + streaming/logtable.py composed): the
+    day-1 corpus (vec_id % 5 ≠ 0) builds the frozen IVF-PQ model and
+    codes; the day-2 fifth ARRIVES AS A STREAM in three micro-batches,
+    each encoded inside foreachBatch with the frozen model
+    (encode_with_model) and committed to a codes LOGTABLE keyed by
+    vector id — the logtable's replay detection is what makes the
+    at-least-once append idempotent (a blind ``mode=append`` parquet
+    write would duplicate every replayed batch's codes and silently
+    corrupt distances). The probe then serves from {frozen model,
+    day-1 codes ∪ logtable snapshot} — by the frozen-model contract
+    this equals ann_probe_appended's relation, so the SAME closed-form
+    oracle hashes it. This is the 100 TB shape for continuous
+    embedding ingest: model retrain is a deliberate rebuild; between
+    rebuilds the index follows the corpus with O(batch) commits."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        ann_probe_ivfpq,
+        build_ivfpq_index,
+        encode_with_model,
+    )
+    from hdfs_mapreduce_spark.plans.similarity_plans import (
+        APPEND_MOD,
+        IVF_NLIST,
+        IVF_NPROBE,
+        QUERY_IDS,
+        TOP_K,
+    )
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        snapshot,
+        upsert_batch,
+    )
+
+    root = _scratch(spark, "ann_ingest", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % APPEND_MOD != 0)
+    day2 = emb.filter(F.col("vec_id") % APPEND_MOD == 0)
+    index = build_ivfpq_index(
+        day1,
+        nlist=IVF_NLIST,
+        name=f"ivfpq_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{next(_INVOCATION)}",
+    )
+
+    # Stage day-2 as three single-file micro-batches (driver-local
+    # os/shutil on declared-fixture staging only — the state/table dirs
+    # all go through the logtable's Hadoop-FS machinery).
+    import glob as _glob
+    import shutil as _shutil
+
+    stage = os.path.join(root, "src")
+    os.makedirs(stage, exist_ok=True)
+    qsrc = emb.select("vec_id", "embedding")
+    for i in range(3):
+        part = day2.select("vec_id", "embedding").filter(
+            ((F.col("vec_id") / APPEND_MOD).cast("long") % 3) == i
+        )
+        tmp = os.path.join(root, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        _shutil.move(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(stage, f"b{i}.parquet"),
+        )
+    table_root = os.path.join(root, "codes_table")
+
+    def _sink(batch_df, batch_id):
+        upsert_batch(
+            encode_with_model(index, batch_df),
+            batch_id,
+            table_root,
+            "id",
+            writer="ann_codes_stream",
+        )
+
+    stream = (
+        spark.readStream.schema(qsrc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    _run(
+        stream.writeStream.foreachBatch(_sink),
+        None,
+        os.path.join(root, "ckpt"),
+    )
+    streamed_codes = snapshot(spark, table_root, "id")
+    combined = {**index, "codes": index["codes"].unionByName(streamed_codes)}
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    return ann_probe_ivfpq(combined, queries, TOP_K, nprobe=IVF_NPROBE)
+
+
 def dq_checks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental data-quality maintenance over the change feed
     (operators/dq.py incremental_row_checks — the Deequ-on-Delta
@@ -611,6 +702,7 @@ QUERIES = {
     "logtable_cdf": logtable_cdf,
     "logtable_ivm": logtable_ivm,
     "dq_checks_incremental": dq_checks_incremental,
+    "stream_ann_ingest_topk": stream_ann_ingest_topk,
     "stream_windowed_stats": stream_windowed_stats,
     "stream_sliding_stats": stream_sliding_stats,
     "stream_attribution": stream_attribution,
@@ -693,6 +785,10 @@ def _dedup_admitted_sql() -> str:
 
 def _oracle_sql() -> dict[str, str]:
     from hdfs_mapreduce_spark.operators.dq import EVENT_TYPE_DOMAIN
+    from hdfs_mapreduce_spark.plans.similarity_plans import (
+        APPEND_MOD,
+        _ann_ivfpq_sql,
+    )
     from hdfs_mapreduce_spark.streaming.events import (
         ATTRIB_WINDOW_MIN,
         SESSION_GAP_MIN,
@@ -703,6 +799,13 @@ def _oracle_sql() -> dict[str, str]:
     _DQ_DOM_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPE_DOMAIN)
 
     return {
+        # Streaming ingest lands exactly where the batch append lands
+        # (frozen model over day-1, codes over everything) — the
+        # ann_probe_appended oracle hashes the streamed result too.
+        "stream_ann_ingest_topk": _ann_ivfpq_sql(
+            model_rel=f"(SELECT * FROM embeddings"
+            f" WHERE vec_id % {APPEND_MOD} <> 0)"
+        ),
         # The expected net change set, derived in pure SQL from the same
         # constants the Spark face commits with: inserts = the above-C1
         # slice that survives the delete, updates = the bumped overlap

@@ -156,3 +156,55 @@ def test_append_is_frozen_model_and_covers_new_vectors(spark):
     two = append_to_ivfpq_index(two, half_a)
     two = append_to_ivfpq_index(two, half_b)
     assert _rows(ann_probe_ivfpq(two, queries, k=50, nprobe=4)) == _rows(out)
+
+
+def test_streaming_codes_ingest_is_replay_safe(spark, tmp_path):
+    """The declared stream_ann_ingest_topk claim: encoding a micro-batch
+    with the frozen model and committing via the codes logtable makes
+    at-least-once delivery idempotent — a replayed batch adds NO code
+    rows (a blind parquet append would double them and corrupt every
+    ADC distance involving the duplicated vectors)."""
+    from hdfs_mapreduce_spark.operators.ann_index import encode_with_model
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        snapshot,
+        upsert_batch,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 5 != 0)
+    day2 = emb.filter(F.col("vec_id") % 5 == 0)
+    index = build_ivfpq_index(day1, name="ivfpq_replay_ingest")
+    root = str(tmp_path / "codes_table")
+
+    def sink(batch_df, bid):
+        upsert_batch(
+            encode_with_model(index, batch_df), bid, root, "id",
+            writer="ann_codes_stream",
+        )
+
+    sink(day2, 0)
+    once = sorted(
+        (r["id"], r["cell"], tuple(r["codes"]))
+        for r in snapshot(spark, root, "id").collect()
+    )
+    assert len(once) == day2.count()
+    sink(day2, 0)  # at-least-once replay of the same batch
+    again = sorted(
+        (r["id"], r["cell"], tuple(r["codes"]))
+        for r in snapshot(spark, root, "id").collect()
+    )
+    assert again == once
+    # the streamed codes match what a batch append would have written
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        append_to_ivfpq_index,
+    )
+
+    batch_idx = build_ivfpq_index(day1, name="ivfpq_replay_ingest_b")
+    appended = append_to_ivfpq_index(batch_idx, day2)
+    day2_ids = {i for i, _, _ in once}
+    batch_codes = sorted(
+        (r["id"], r["cell"], tuple(r["codes"]))
+        for r in appended["codes"].collect()
+        if r["id"] in day2_ids
+    )
+    assert batch_codes == once

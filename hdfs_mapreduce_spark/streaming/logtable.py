@@ -617,6 +617,7 @@ def make_upsert_sink(
     writer: str | None = None,
     compact_every: int | None = None,
     backend: CommitBackend | None = None,
+    vacuum_after_compact: bool = False,
 ):
     """The foreachBatch callable behind the log-table upsert streams,
     exposed so tests (and other sinks) drive the EXACT production code
@@ -625,7 +626,17 @@ def make_upsert_sink(
     id, not the version number, so replays (which commit nothing) never
     double-compact; a compaction that crashes after the upsert commit is
     just skipped maintenance, retried K batches later (the data loses no
-    durability — compaction is an optimization commit)."""
+    durability — compaction is an optimization commit).
+
+    ``vacuum_after_compact=True`` additionally vacuums superseded data
+    versions right after each compaction, so a long-running stream
+    bounds its DISK footprint as well as its read set. Safe here where
+    the general vacuum caveat bites, because the sink is the table's
+    only writer and foreachBatch runs it serially — there is no
+    in-flight attempt dir to mistake for garbage (orphan sweeping is
+    still left to an explicit offline vacuum). The trade is documented
+    vacuum semantics: time travel below the newest compaction dies;
+    leave it off for tables whose history must stay queryable."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         committed = upsert_batch(
@@ -637,7 +648,10 @@ def make_upsert_sink(
             and committed
             and batch_id % compact_every == compact_every - 1
         ):
-            compact(batch_df.sparkSession, root, key_col, backend=backend)
+            spark = batch_df.sparkSession
+            compact(spark, root, key_col, backend=backend)
+            if vacuum_after_compact:
+                vacuum(spark, root)
 
     return _sink
 

@@ -755,3 +755,29 @@ def test_stream_self_maintenance_bounds_versions_and_log_reads(
     # terminal state is the newest value per key
     snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
     assert snap == {i: f"v{54 + (i - 4) % 10}" for i in range(10)}
+
+
+def test_stream_self_maintenance_with_vacuum_bounds_disk(
+    spark, tmp_path, monkeypatch
+):
+    """vacuum_after_compact=True: a long-running stream bounds its
+    on-disk data-dir count, not just its read set — after each
+    compaction the superseded versions are deleted. State stays
+    correct; time travel below the newest compaction is the documented
+    price."""
+    import hdfs_mapreduce_spark.streaming.logtable as lt
+    from hdfs_mapreduce_spark.streaming.logtable import make_upsert_sink
+
+    monkeypatch.setattr(lt, "_CHECKPOINT_EVERY", 8)
+    root = str(tmp_path / "t")
+    sink = make_upsert_sink(
+        root, "k", writer="s", compact_every=4, vacuum_after_compact=True
+    )
+    for bid in range(24):
+        sink(_batch(spark, [(bid % 6, f"v{bid}")]), bid)
+        dirs = os.listdir(os.path.join(root, "data"))
+        # between compactions at most: the compaction dir + K upserts
+        # after it + the pre-compaction tail not yet vacuumed
+        assert len(dirs) <= 4 + 2, dirs
+    snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert snap == {i: f"v{18 + i}" for i in range(6)}

@@ -554,16 +554,31 @@ def compact(
     root: str,
     key_col: str,
     backend: CommitBackend | None = None,
+    cluster_by: tuple[str, str] | None = None,
+    n_partitions: int = 8,
 ) -> int | None:
     """Materialize the snapshot as one new data version and log it as a
     compaction: readers thereafter union a single version until new
     upserts land. Returns the compaction's version, or None on an empty
     table. Earlier data dirs become dead weight a vacuum can delete —
     exactly the real formats' OPTIMIZE/VACUUM split; kept out of scope
-    here because deletion is irreversible and orthogonal to reads."""
+    here because deletion is irreversible and orthogonal to reads.
+
+    ``cluster_by=(col_a, col_b)`` re-lays the compacted rows along the
+    Z curve of two non-negative integer columns before writing (the
+    real formats' OPTIMIZE ZORDER BY, via operators/layout.py):
+    compaction already rewrites the whole live state, so the clustering
+    shuffle replaces — not adds to — the write's, and every snapshot
+    scan between compactions then prunes parquet row groups on BOTH
+    columns. Merge-on-read semantics are unaffected (the snapshot's
+    newest-row-per-key window doesn't care about row order)."""
     snap = snapshot(spark, root, key_col)
     if snap is None:
         return None
+    if cluster_by is not None:
+        from hdfs_mapreduce_spark.operators.layout import zorder_layout
+
+        snap = zorder_layout(snap, *cluster_by, n_partitions=n_partitions)
     return _commit(spark, root, snap, None, "compact", None, backend)
 
 

@@ -781,3 +781,37 @@ def test_stream_self_maintenance_with_vacuum_bounds_disk(
         assert len(dirs) <= 4 + 2, dirs
     snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
     assert snap == {i: f"v{18 + i}" for i in range(6)}
+
+
+def test_clustered_compaction_prunes_and_preserves_state(spark, tmp_path):
+    """compact(cluster_by=...) — OPTIMIZE ZORDER BY for the logtable:
+    the compacted data version's files each cover a narrow slice of
+    BOTH clustering columns (parquet footer stats prune), and the
+    merge-on-read state is unchanged, including upserts stacked on top
+    afterwards."""
+    from tests.test_layout import _file_ranges
+
+    root = str(tmp_path / "t")
+    rows = [(a * 64 + b, a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    for bid in range(2):  # two halves so compaction has real merging
+        upsert_batch(df.filter(F.col("k") % 2 == bid), bid, root, "k")
+    cv = compact(spark, root, "k", cluster_by=("a", "b"), n_partitions=16)
+    assert cv == 2
+    cdir = [e[3] for e in _log_versions(spark, root) if e[0] == cv][0]
+    zpath = os.path.join(root, "data", cdir)
+    za, zb = _file_ranges(zpath, "a"), _file_ranges(zpath, "b")
+
+    def mean_width(ranges):
+        return sum(hi - lo for lo, hi in ranges) / len(ranges)
+
+    assert mean_width(za) <= 24, za
+    assert mean_width(zb) <= 24, zb
+    snap = snapshot(spark, root, "k")
+    assert snap.count() == 4096
+    # newest-row-per-key still holds across a clustered floor
+    upsert_batch(_batch(spark, [(0, "newest")]).selectExpr(
+        "k", "CAST(NULL AS LONG) a", "CAST(NULL AS LONG) b", "v"
+    ).drop("v"), 5, root, "k")
+    got = snapshot(spark, root, "k").filter(F.col("k") == 0).collect()[0]
+    assert got["a"] is None

@@ -106,6 +106,16 @@ REVERIFY = {
     #     construction, but the executed machinery moved, so the driver
     #     should re-certify it.
     "ann_ivfpq": 7,
+    # r7: the logtable commit protocol grew the CommitBackend seam,
+    #     compact-aware replay detection, and the checkpoint
+    #     fallback-to-older-readable (streaming/logtable.py) — same
+    #     relations, new state machinery under all three consumers;
+    #     dq_checks' RI anti-join gained the parent-key alias (same
+    #     relation, new executed join condition).
+    "stream_upsert_log_snapshot": 7,
+    "logtable_cdf": 7,
+    "logtable_ivm": 7,
+    "dq_checks": 7,
 }
 
 

@@ -115,10 +115,17 @@ def hot_keys(
     """The probe half of ``auto_salt_join``, shared with the declared
     ``profile_skew`` diagnostics: per-key counts (one map-side-combined
     groupBy), the 1-row (total, n_keys) stats, and the top-k loads —
-    returning only the key values whose load exceeds ``threshold`` ×
-    the mean key load. Driver state is ≤ ``top`` rows at any corpus
-    size; everything heavier stays engine-side."""
-    counts = big.groupBy(big_key).agg(F.count(F.lit(1)).alias("cnt"))
+    returning only the NON-NULL key values whose load exceeds
+    ``threshold`` × the mean key load. NULL keys are excluded (they
+    can't equi-join, so ``auto_salt_join`` handles them with no join at
+    all — a NULL entry here would only waste a probe slot). Driver
+    state is ≤ ``top`` rows at any corpus size; everything heavier
+    stays engine-side."""
+    counts = (
+        big.filter(F.col(big_key).isNotNull())
+        .groupBy(big_key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     stats = counts.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
     )
@@ -161,29 +168,58 @@ def auto_salt_join(
 
     Correctness: salting is distribution-only, so the result is ≡ the
     plain join for how='inner'/'left' (the declared query's oracle IS
-    the plain join; salted_join rejects right/full). NULL big-side keys
-    route to the cold path explicitly — ``isin`` returns NULL for NULL
-    keys, and a bare negation would silently drop those rows under
-    'left'.
+    the plain join); 'right'/'full' are rejected UP FRONT with
+    salted_join's rule — deferring that check to the hot path would
+    make the call work for weeks on calm data and then crash the day a
+    key crosses the threshold.
+
+    NULL keys never equi-join, so they are the one skew class no join
+    strategy can spread — and in real data the NULL group is often THE
+    hot key. They skip the join entirely: dropped under 'inner' (a
+    NULL key can't match), union-back null-padded under 'left' — a
+    map-only path, so a billion NULL-keyed rows cost zero shuffle
+    instead of hashing onto one cold-join partition.
 
     Cost: the probe is one map-side-combined count + a ``top``-row
     driver collect — the same pass AQE's runtime statistics get for
     free at the shuffle, spent here once to keep the salted plan
     static, reproducible, and AQE-independent. With no key above the
-    threshold the plain join is returned unchanged."""
+    threshold the plain join (minus the NULL-key fast path) is
+    returned unchanged."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"auto_salt_join supports how='inner'|'left', got {how!r}: "
+            "unmatched small-side rows are replicated n_salts times "
+            "under right/full outer joins"
+        )
+    key_null = F.col(big_key).isNull()
+    b_nn = big.filter(~key_null)
     hot = hot_keys(big, big_key, threshold, top)
-    if not hot:
-        return big.join(small, big[big_key] == small[small_key], how)
-    is_hot = F.coalesce(F.col(big_key).isin(hot), F.lit(False))
-    salted = salted_join(
-        big.filter(is_hot),
-        small.filter(F.col(small_key).isin(hot)),
-        big_key,
-        small_key,
-        distributor,
-        n_salts,
-        how,
-    )
-    b_cold = big.filter(~is_hot)
-    cold = b_cold.join(small, b_cold[big_key] == small[small_key], how)
-    return salted.unionByName(cold)
+    if hot:
+        is_hot = F.coalesce(F.col(big_key).isin(hot), F.lit(False))
+        salted = salted_join(
+            b_nn.filter(is_hot),
+            small.filter(F.col(small_key).isin(hot)),
+            big_key,
+            small_key,
+            distributor,
+            n_salts,
+            how,
+        )
+        b_cold = b_nn.filter(~is_hot)
+        out = salted.unionByName(
+            b_cold.join(small, b_cold[big_key] == small[small_key], how)
+        )
+    else:
+        out = b_nn.join(small, b_nn[big_key] == small[small_key], how)
+    if how == "left":
+        # NULL-keyed rows surface once, null-padded — no join touched
+        nulls = big.filter(key_null).select(
+            "*",
+            *[
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in small.schema.fields
+            ],
+        )
+        out = out.unionByName(nulls)
+    return out

@@ -154,7 +154,17 @@ def build_ivfpq_index(
         "centroids": centroids,
         "codewords": codewords,
         "codes": codes,
-        "meta": {"nlist": nlist, "m_sub": m_sub, "ksub": ksub, "dsub": dsub},
+        # ACTUAL model shapes, not the requested ones: a corpus smaller
+        # than nlist/ksub yields fewer centroids/codewords (the fused
+        # kernel sizes everything from the fitted tensors too), and a
+        # probe that allocated the REQUESTED ksub would fold
+        # uninitialized codebook rows into every LUT.
+        "meta": {
+            "nlist": len(cmat),
+            "m_sub": m_sub,
+            "ksub": int(cbs.shape[1]),
+            "dsub": dsub,
+        },
         "paths": {
             "centroids": f"{root}/{name}_centroids",
             "codewords": f"{root}/{name}_codewords",
@@ -234,25 +244,33 @@ def encode_with_model(
     m_sub·ksub rows — bounded at any corpus size); arithmetic is the
     build kernel's, so encodings are byte-identical to build-time
     ones."""
-    import numpy as np
-
-    meta = index["meta"]
-    m_sub, ksub, dsub = meta["m_sub"], meta["ksub"], meta["dsub"]
-
-    crows = sorted(index["centroids"].collect(), key=lambda r: r["cell"])
-    cmat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in crows])
-    cnorm = np.zeros(cmat.shape[0])
-    for d in range(cmat.shape[1]):
-        cnorm = cnorm + cmat[:, d] * cmat[:, d]
-    cos_to_cents = make_cos_to_cents(cmat, np.sqrt(cnorm))
-    cbs = np.empty((m_sub, ksub, dsub))
-    for r in index["codewords"].collect():
-        cbs[r["subspace"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
-
+    cos_to_cents, cbs, m_sub, dsub = _model_from_tables(index)
     return new_embeddings.select(id_col, vec_col).mapInPandas(
         _encoder(cos_to_cents, cbs, m_sub, dsub, id_col, vec_col),
         "id long, cell long, codes array<long>",
     )
+
+
+def _model_from_tables(index: dict):
+    """Rebuild the driver-side model kernels from the index's parquet
+    tables — the ONE place the reconstruction arithmetic lives, so
+    probe, append, and streaming encode can never drift from each
+    other. The centroid matrix/norms go through the same
+    ``centroid_matrix`` helper the fused kernel's fit uses (its row
+    shape is (id, vec); the sorted (cell, vec) collect matches), and
+    the codeword tensor is sized by the meta's ACTUAL shapes so every
+    row is filled by the codewords table."""
+    import numpy as np
+
+    meta = index["meta"]
+    m_sub, ksub, dsub = meta["m_sub"], meta["ksub"], meta["dsub"]
+    crows = sorted(index["centroids"].collect(), key=lambda r: r["cell"])
+    cmat, cnorm = centroid_matrix(crows, len(crows))
+    cos_to_cents = make_cos_to_cents(cmat, cnorm)
+    cbs = np.empty((m_sub, ksub, dsub))
+    for r in index["codewords"].collect():
+        cbs[r["subspace"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
+    return cos_to_cents, cbs, m_sub, dsub
 
 
 def ann_probe_ivfpq(
@@ -274,20 +292,8 @@ def ann_probe_ivfpq(
     import numpy as np
     import pandas as pd
 
-    meta = index["meta"]
-    m_sub, ksub, dsub = meta["m_sub"], meta["ksub"], meta["dsub"]
-
-    crows = sorted(index["centroids"].collect(), key=lambda r: r["cell"])
-    cmat = np.stack([np.asarray(r["vec"], dtype=np.float64) for r in crows])
-    cnorm = np.zeros(cmat.shape[0])
-    for d in range(cmat.shape[1]):
-        cnorm = cnorm + cmat[:, d] * cmat[:, d]
-    cos_to_cents = make_cos_to_cents(cmat, np.sqrt(cnorm))
-
-    cbs = np.empty((m_sub, ksub, dsub))
-    for r in index["codewords"].collect():
-        cbs[r["subspace"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
-
+    cos_to_cents, cbs, m_sub, dsub = _model_from_tables(index)
+    ksub = cbs.shape[1]
     qrows = queries.select(id_col, vec_col).collect()
     qids = [r[0] for r in qrows]
     if not qids:

@@ -1442,6 +1442,9 @@ def ann_topk_pq(
     import numpy as np
 
     cbs = _pq_codewords(embeddings, m_sub, ksub, id_col, vec_col)
+    # a corpus smaller than ksub fits fewer codewords: size the LUTs by
+    # the FITTED tensor, or the fold would read uninitialized rows
+    ksub = cbs.shape[1]
     dsub = cbs.shape[2]
     qrows = (
         embeddings.filter(F.col(id_col).isin(query_ids))
@@ -1603,6 +1606,8 @@ def ann_topk_ivfpq(
     cmat, cnorm = centroid_matrix(cent_rows, nlist)
     cos_to_cents = make_cos_to_cents(cmat, cnorm)
     cbs = _codewords_from_rows(cent_rows[:ksub], m_sub)
+    # small-corpus rule as ann_topk_pq: LUT width = fitted codebook width
+    ksub = cbs.shape[1]
     dsub = cbs.shape[2]
     qrows = (
         embeddings.filter(F.col(id_col).isin(query_ids))

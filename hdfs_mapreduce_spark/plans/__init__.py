@@ -106,6 +106,10 @@ REVERIFY = {
     #     construction, but the executed machinery moved, so the driver
     #     should re-certify it.
     "ann_ivfpq": 7,
+    # r7 (review pass): ann_topk_pq's LUTs are now sized by the FITTED
+    #     codebook width instead of the requested ksub (small-corpus
+    #     rule; identical at fixture scale, new executed line).
+    "ann_pq": 7,
     # r7: the logtable commit protocol grew the CommitBackend seam,
     #     compact-aware replay detection, and the checkpoint
     #     fallback-to-older-readable (streaming/logtable.py) — same

@@ -16,6 +16,8 @@ nondeterminism — so both carry full hash oracles.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 
 from hdfs_mapreduce_spark.functions.hashing import h56_sql
@@ -34,6 +36,14 @@ from hdfs_mapreduce_spark.operators.similarity import (
     kmeans_fit,
 )
 from hdfs_mapreduce_spark.sources.catalog import load_table, spread
+
+# Unique per-invocation suffix for materialized index names: a fresh RAW
+# invocation in the same session must never build into a directory a
+# concurrently-running invocation's plan is still reading — materialize's
+# rename-swap would delete files under the other plan (the same
+# discipline streaming_plans' _INVOCATION pins for state dirs).
+# itertools.count's __next__ is one C call, atomic under the GIL.
+_INVOCATION = itertools.count(1)
 
 QUERY_IDS = [0, 1, 2, 3, 4]
 TOP_K = 10
@@ -360,7 +370,8 @@ def ann_probe_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = build_ivfpq_index(
         emb,
         nlist=IVF_NLIST,
-        name=f"ivfpq_{_os.path.basename(sf_dir.rstrip('/'))}",
+        name=f"ivfpq_{_os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{next(_INVOCATION)}",
     )
     queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
     return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
@@ -398,7 +409,8 @@ def ann_probe_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = build_ivfpq_index(
         day1,
         nlist=IVF_NLIST,
-        name=f"ivfpq_app_{_os.path.basename(sf_dir.rstrip('/'))}",
+        name=f"ivfpq_app_{_os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{next(_INVOCATION)}",
     )
     index = append_to_ivfpq_index(index, day2)
     queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))

@@ -208,3 +208,38 @@ def test_streaming_codes_ingest_is_replay_safe(spark, tmp_path):
         if r["id"] in day2_ids
     )
     assert batch_codes == once
+
+
+def test_small_corpus_index_matches_fused_and_stores_actual_shapes(spark):
+    """A corpus smaller than the requested nlist/ksub fits fewer
+    centroids/codewords; the index meta must record the ACTUAL shapes
+    (a requested-size codeword tensor would fold uninitialized rows
+    into every probe LUT) and probe must still equal the fused
+    kernel."""
+    from hdfs_mapreduce_spark.operators.similarity import (
+        PQ_KSUB,
+        ann_topk_ivfpq,
+    )
+
+    emb = load_table(spark, SF, "embeddings").filter(
+        F.col("vec_id") < PQ_KSUB - 4  # 12 vectors < ksub=16, < nlist=16
+    )
+    index = build_ivfpq_index(emb, name="ivfpq_small")
+    assert index["meta"]["ksub"] == PQ_KSUB - 4
+    assert index["meta"]["nlist"] == PQ_KSUB - 4
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    probed = _rows(ann_probe_ivfpq(index, queries, k=5, nprobe=4))
+    fused = _rows(ann_topk_ivfpq(emb, [0, 1], k=5, nprobe=4))
+    # 12 singleton cells probed 4-at-a-time: few but REAL neighbors
+    assert probed == fused and probed
+    # encode-only append over the small model stays in-range too
+    from hdfs_mapreduce_spark.operators.ann_index import encode_with_model
+
+    extra = load_table(spark, SF, "embeddings").filter(
+        (F.col("vec_id") >= 12) & (F.col("vec_id") < 20)
+    )
+    codes = encode_with_model(index, extra).collect()
+    assert codes and all(
+        max(r["codes"]) < PQ_KSUB - 4 and r["cell"] < PQ_KSUB - 4
+        for r in codes
+    )

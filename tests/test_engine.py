@@ -668,3 +668,50 @@ def test_auto_salt_join_salts_only_hot_keys_and_equals_plain(spark):
     assert sorted(map(key, calm.collect())) == sorted(
         map(key, plain.collect())
     )
+
+
+def test_auto_salt_join_rejects_outer_directions_up_front(spark):
+    """how='right'/'full' must fail at CALL time, not only on the day a
+    key crosses the hot threshold (a data-dependent production crash)."""
+    import pytest
+
+    from hdfs_mapreduce_spark.functions.skew import auto_salt_join
+
+    big = spark.createDataFrame([(1, 1)], "event_id long, k long")
+    small = spark.createDataFrame([(1, "x")], "sk long, tag string")
+    for how in ("right", "full"):
+        with pytest.raises(ValueError, match="auto_salt_join supports"):
+            auto_salt_join(
+                big, small, "k", "sk", distributor="event_id",
+                threshold=1e9, how=how,  # calm data: nothing hot
+            )
+
+
+def test_auto_salt_join_null_keys_skip_the_join(spark):
+    """A hot NULL key group is the one skew no join strategy can spread:
+    NULL rows must bypass the join entirely — dropped under inner,
+    union-back null-padded under left — and never occupy a hot-key
+    probe slot."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.functions.skew import auto_salt_join, hot_keys
+
+    rows = [(i, None, 1.0) for i in range(50)]  # hot NULL group
+    rows += [(100 + i, 1, 2.0) for i in range(10)]
+    rows += [(200 + i, 10 + i, 3.0) for i in range(5)]
+    big = spark.createDataFrame(rows, "event_id long, k long, v double")
+    small = spark.createDataFrame(
+        [(1, "one"), (10, "ten")], "sk long, tag string"
+    )
+    # the NULL group (the largest!) must not occupy a probe slot
+    assert hot_keys(big, "k", threshold=2.0, top=20) == [1]
+    for how in ("inner", "left"):
+        out = auto_salt_join(
+            big, small, "k", "sk", distributor="event_id",
+            threshold=2.0, n_salts=4, how=how,
+        )
+        plain = big.join(small, big["k"] == small["sk"], how)
+        key = lambda r: (r["event_id"], r["k"], r["v"], r["sk"], r["tag"])
+        assert sorted(map(key, out.collect())) == sorted(
+            map(key, plain.collect())
+        ), how

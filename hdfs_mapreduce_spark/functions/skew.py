@@ -135,9 +135,14 @@ def hot_keys(
         .crossJoin(F.broadcast(stats))
         .select(
             big_key,
-            ((F.col("cnt") * F.col("n_keys")) / F.col("total")).alias(
-                "x_mean"
-            ),
+            # cnt·n_keys as double: the long*long product wraps negative
+            # past 2^63 under non-ANSI Spark (a 1e10-row hot key over 1e9
+            # distinct keys), which would silently drop the hottest key —
+            # disabling the mitigation exactly where it matters most.
+            (
+                (F.col("cnt").cast("double") * F.col("n_keys"))
+                / F.col("total")
+            ).alias("x_mean"),
         )
         .collect()
     )
@@ -191,6 +196,14 @@ def auto_salt_join(
             f"auto_salt_join supports how='inner'|'left', got {how!r}: "
             "unmatched small-side rows are replicated n_salts times "
             "under right/full outer joins"
+        )
+    shared = set(big.columns) & set(small.columns)
+    if shared:
+        raise ValueError(
+            "auto_salt_join requires disjoint column names between big "
+            f"and small sides; shared: {sorted(shared)} — the left-join "
+            "NULL-pad path selects small's columns alongside big's, and "
+            "a shared name makes the unionByName ambiguous"
         )
     key_null = F.col(big_key).isNull()
     b_nn = big.filter(~key_null)

@@ -324,22 +324,40 @@ def ann_probe_ivfpq(
             cells = pdf["cell"].values
             ids = pdf["id"].values
             codes = np.stack(pdf["codes"].values).astype(np.int64)
+            # Group scanned rows by cell ONCE per batch (one argsort),
+            # then each query gathers its probed cells' row slices by
+            # fancy indexing — no per-query × per-row Python membership
+            # test (the r7 verdict's one hot-path weak item).
+            order = np.argsort(cells, kind="stable")
+            sorted_cells = cells[order]
+            uniq, starts = np.unique(sorted_cells, return_index=True)
+            bounds = np.append(starts, len(sorted_cells))
+            cell_rows = {
+                int(c): order[bounds[i] : bounds[i + 1]]
+                for i, c in enumerate(uniq)
+            }
             frames = []
             for qi, qid in enumerate(qids):
-                keep = np.array(
-                    [c in probe_sets[qi] for c in cells], dtype=bool
-                ) & (ids != qid)
-                if not keep.any():
+                slices = [
+                    cell_rows[c]
+                    for c in probe_sets[qi]
+                    if c in cell_rows
+                ]
+                if not slices:
                     continue
-                acc = np.zeros(int(keep.sum()))
-                kcodes = codes[keep]
+                rows = np.concatenate(slices)
+                rows = rows[ids[rows] != qid]
+                if not len(rows):
+                    continue
+                acc = np.zeros(len(rows))
+                kcodes = codes[rows]
                 for s in range(m_sub):  # s-ascending fold = fused kernel
                     acc = acc + luts[qi, s, kcodes[:, s]]
                 frames.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
-                            "neighbor_id": ids[keep],
+                            "neighbor_id": ids[rows],
                             "approx_dist": acc,
                         }
                     )

@@ -124,7 +124,12 @@ def incremental_row_checks(
     ``checks`` maps name → callable taking a column accessor
     (``col_of: name -> Column``) and returning the is-violated predicate,
     so one definition evaluates against the base row, the ``_before``
-    image, and the ``_after`` image. Only valid for row-LOCAL predicates
+    image, and the ``_after`` image. The CDF emits the table's key
+    column BARE (no suffix — an upsert key is identical in both images
+    by construction), so the accessor resolves a name to its suffixed
+    image when the feed carries one and to the bare column otherwise;
+    checks may therefore reference the key column safely.
+    Only valid for row-LOCAL predicates
     (each row's verdict independent of other rows): uniqueness and
     referential integrity are not foldable this way and keep the
     full-scan forms in ``dq_report``.
@@ -149,6 +154,15 @@ def incremental_row_checks(
     for ch in change_feeds:
         if ch is None:
             continue
+        feed_cols = set(ch.columns)
+
+        def _img(suffix):
+            # Suffixed image when the feed carries one; the key column
+            # (emitted bare by table_changes) resolves to itself.
+            return lambda c: F.col(
+                f"{c}{suffix}" if f"{c}{suffix}" in feed_cols else c
+            )
+
         delta = ch.agg(
             F.sum(
                 F.when(ct == "insert", 1)
@@ -160,11 +174,10 @@ def incremental_row_checks(
             *[
                 F.sum(
                     F.when(
-                        is_after & build(lambda c: F.col(f"{c}_after")), 1
+                        is_after & build(_img("_after")), 1
                     ).otherwise(0)
                     - F.when(
-                        is_before
-                        & build(lambda c: F.col(f"{c}_before")),
+                        is_before & build(_img("_before")),
                         1,
                     ).otherwise(0)
                 )

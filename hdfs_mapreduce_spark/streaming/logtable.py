@@ -201,6 +201,18 @@ def _log_versions(
                     spark, hfs.join(log_dir, f"c{cand}.checkpoint")
                 )
             )
+            # Validate record shape like raw commits are validated: a
+            # parseable-but-corrupt checkpoint (bogus kind, missing
+            # version/data) must fall back to the next older checkpoint
+            # exactly as an unreadable one does, or the fail-loud policy
+            # is only as strong as JSON syntax.
+            for rec in recs:
+                if rec.get("kind") not in _KINDS:
+                    raise ValueError(f"bad kind {rec.get('kind')!r}")
+                if not isinstance(rec.get("version"), int) or not rec.get(
+                    "data"
+                ):
+                    raise ValueError(f"bad checkpoint record {rec!r}")
             out = [
                 (
                     rec["version"],

@@ -191,6 +191,51 @@ def test_incremental_row_checks_equals_full_rescan(spark, tmp_path):
     assert got["v_positive"] == (4, 1, False)
 
 
+def test_incremental_row_checks_may_reference_key_col(spark, tmp_path):
+    """ADVICE r7: table_changes emits the key column BARE (no
+    _before/_after suffix), so a check referencing the key must resolve
+    to the bare column on folds instead of failing analysis."""
+    from hdfs_mapreduce_spark.operators.dq import (
+        _row_checks,
+        incremental_row_checks,
+    )
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        snapshot,
+        table_changes,
+        upsert_batch,
+    )
+
+    root = str(tmp_path / "t")
+    rows = "k long, v double"
+    upsert_batch(
+        spark.createDataFrame([(-1, 1.0), (2, 2.0)], rows), 0, root, "k"
+    )
+    upsert_batch(
+        spark.createDataFrame([(-3, 3.0), (2, 0.0)], rows), 1, root, "k"
+    )
+    checks = {
+        "k_positive": lambda c: c("k") <= 0,  # references the key column
+        "v_positive": lambda c: c("v").isNull() | (c("v") <= 0.0),
+    }
+    inc = incremental_row_checks(
+        snapshot(spark, root, "k", as_of=0),
+        [table_changes(spark, root, "k", 0, 1)],
+        "t",
+        checks,
+    )
+    full = _row_checks(
+        snapshot(spark, root, "k"),
+        "t",
+        {n: b(lambda c: F.col(c)) for n, b in checks.items()},
+    )
+    got = {r["check"]: (r["n_rows"], r["violations"]) for r in inc.collect()}
+    want = {
+        r["check"]: (r["n_rows"], r["violations"]) for r in full.collect()
+    }
+    assert got == want
+    assert got["k_positive"] == (3, 2)  # final: {-1, 2, -3}
+
+
 def test_incremental_row_checks_empty_feeds_and_base(spark, tmp_path):
     """Zero-delta folds are identity; an empty base seeds all-zero
     counters (SUM-over-empty NULLs coalesced)."""

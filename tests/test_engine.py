@@ -687,6 +687,22 @@ def test_auto_salt_join_rejects_outer_directions_up_front(spark):
             )
 
 
+def test_auto_salt_join_rejects_shared_column_names(spark):
+    """ADVICE r7: the left-join NULL-pad path selects small's columns
+    alongside big's, so a shared name makes the unionByName ambiguous —
+    fail at call time with a clear message, not deep in the plan."""
+    import pytest
+
+    from hdfs_mapreduce_spark.functions.skew import auto_salt_join
+
+    big = spark.createDataFrame([(1, 1)], "event_id long, k long")
+    small = spark.createDataFrame([(1, "x")], "k long, tag string")
+    with pytest.raises(ValueError, match="disjoint column names"):
+        auto_salt_join(
+            big, small, "k", "k", distributor="event_id", how="left"
+        )
+
+
 def test_auto_salt_join_null_keys_skip_the_join(spark):
     """A hot NULL key group is the one skew no join strategy can spread:
     NULL rows must bypass the join entirely — dropped under inner,

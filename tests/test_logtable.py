@@ -577,6 +577,38 @@ def test_unreadable_checkpoint_falls_back_to_older_checkpoint(
     }
 
 
+def test_semantically_corrupt_checkpoint_falls_back(spark, tmp_path):
+    """ADVICE r7: a checkpoint that PARSES but carries a bogus record
+    kind (truncated-then-padded content) must fall back to the next
+    older checkpoint exactly like an unreadable one — otherwise the
+    fail-loud policy is only as strong as JSON syntax."""
+    import json
+
+    from hdfs_mapreduce_spark.streaming.logtable import checkpoint_log
+
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(0, "a")]), 0, root, "k")
+    upsert_batch(_batch(spark, [(1, "b")]), 1, root, "k")
+    assert checkpoint_log(spark, root) == 1
+    upsert_batch(_batch(spark, [(2, "c")]), 2, root, "k")
+    upsert_batch(_batch(spark, [(3, "d")]), 3, root, "k")
+    assert checkpoint_log(spark, root) == 3
+    # Parseable but semantically corrupt: one record's kind is garbage.
+    ck = os.path.join(root, "_log", "c3.checkpoint")
+    recs = json.loads(open(ck).read())
+    recs[1]["kind"] = "upsrt"
+    with open(ck, "w") as f:
+        f.write(json.dumps(recs))
+    entries = _log_versions(spark, root)
+    assert [e[0] for e in entries] == [0, 1, 2, 3]
+    assert {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()} == {
+        0: "a",
+        1: "b",
+        2: "c",
+        3: "d",
+    }
+
+
 def test_overwrite_backend_race_is_detected_and_retried(spark, tmp_path):
     """S3-semantics adversarial race (VERDICT r6 item 3): on a store
     whose rename OVERWRITES instead of failing, a competing writer can

@@ -183,7 +183,7 @@ def load_ivfpq_index(spark: SparkSession, base: str, name: str = "ivfpq") -> dic
     m_sub = codewords.agg(F.countDistinct("subspace")).collect()[0][0]
     ksub = codewords.agg(F.countDistinct("code")).collect()[0][0]
     first = codewords.select(F.size("vec")).limit(1).collect()[0][0]
-    return {
+    out = {
         "centroids": centroids,
         "codewords": codewords,
         "codes": codes,
@@ -199,6 +199,17 @@ def load_ivfpq_index(spark: SparkSession, base: str, name: str = "ivfpq") -> dic
             "codes": f"{base}/{name}_codes",
         },
     }
+    # A tombstone logtable beside the codes table (written by
+    # delete_from_ivfpq_index) reloads with the index.
+    from hdfs_mapreduce_spark.sources import fs as hfs
+    from hdfs_mapreduce_spark.streaming.logtable import snapshot
+
+    tomb_root = f"{base}/{name}_codes_tombstones"
+    fs, path = hfs.fs_and_path(spark, hfs.join(tomb_root, "_log"))
+    if fs.exists(path):
+        out["tombstones"] = snapshot(spark, tomb_root, "id")
+        out["paths"]["tombstones"] = tomb_root
+    return out
 
 
 def append_to_ivfpq_index(
@@ -228,6 +239,53 @@ def append_to_ivfpq_index(
     codes_path = index["paths"]["codes"]
     encoded.orderBy("cell", "id").write.mode("append").parquet(codes_path)
     return {**index, "codes": spark.read.parquet(codes_path)}
+
+
+def delete_from_ivfpq_index(
+    index: dict,
+    keys_df: DataFrame,
+    batch_id: int,
+    id_col: str = "vec_id",
+    writer: str | None = None,
+) -> dict:
+    """Remove vectors from the index — the FAISS ``remove_ids``
+    contract, implemented the way the lake formats implement DELETE on
+    an immutable layout: the cell-clustered codes files are never
+    rewritten (rewriting them would forfeit the build's row-group
+    clustering); instead the deleted ids commit to a TOMBSTONE logtable
+    beside the codes table (streaming/logtable.py — a deletion-vector
+    sidecar), and the probe anti-joins its snapshot after the cell
+    filter, so deleted vectors vanish from every subsequent result.
+
+    The logtable commit is what makes deletes safe under at-least-once
+    delivery: a replayed ``batch_id`` commits nothing (the same
+    replay-detection the streaming ingest path relies on), where a blind
+    parquet append of tombstone rows would not be idempotent. Cost is
+    O(batch) per delete; probe overhead is one broadcast anti-join
+    against the tombstone set. When deletes grow to a corpus-scale
+    fraction, rebuild the index — the same compact-or-rebuild judgment
+    FAISS users make after heavy ``remove_ids`` churn.
+
+    Returns the index dict with a refreshed ``tombstones`` snapshot."""
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        snapshot,
+        upsert_batch,
+    )
+
+    spark = keys_df.sparkSession
+    root = index["paths"]["codes"] + "_tombstones"
+    upsert_batch(
+        keys_df.select(F.col(id_col).alias("id")).dropDuplicates(["id"]),
+        batch_id,
+        root,
+        "id",
+        writer=writer,
+    )
+    return {
+        **index,
+        "tombstones": snapshot(spark, root, "id"),
+        "paths": {**index["paths"], "tombstones": root},
+    }
 
 
 def encode_with_model(
@@ -365,10 +423,17 @@ def ann_probe_ivfpq(
             if frames:
                 yield pd.concat(frames, ignore_index=True)
 
-    scored = (
-        index["codes"]
-        .filter(F.col("cell").isin([int(c) for c in probed_cells]))
-        .mapInPandas(score, "query_id long, neighbor_id long, approx_dist double")
+    live = index["codes"].filter(
+        F.col("cell").isin([int(c) for c in probed_cells])
+    )
+    tombstones = index.get("tombstones")
+    if tombstones is not None:
+        # Deletion-vector read-through: the anti-join runs AFTER the
+        # cell filter so row-group pruning still bounds the scan; the
+        # tombstone side is delete-sized, hence broadcast.
+        live = live.join(F.broadcast(tombstones), "id", "left_anti")
+    scored = live.mapInPandas(
+        score, "query_id long, neighbor_id long, approx_dist double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("approx_dist").asc(), F.col("neighbor_id")

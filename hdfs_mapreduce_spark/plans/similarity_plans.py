@@ -417,6 +417,48 @@ def ann_probe_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
 
 
+# Deterministic delete cohort for the deleted-index demonstration: the
+# vec_id % 7 == 0 seventh is tombstoned after the build (includes query
+# id 0, so "probe with an erased vector's own embedding" is exercised).
+DELETE_MOD = 7
+
+
+def ann_probe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index deletes (operators/ann_index.py delete_from_ivfpq_index
+    — the FAISS ``remove_ids`` contract, VERDICT r7 item 3): build the
+    IVF-PQ index over the full corpus, tombstone the vec_id % 7 == 0
+    seventh via the deletion-vector logtable (model FROZEN — centroids,
+    codewords, and the cell-clustered codes files are untouched), then
+    probe: deleted vectors vanish from every result list and the next
+    best survivors fill the top-k. The oracle keeps the full-corpus
+    model/cell CTEs and restricts only the CANDIDATE relation to
+    surviving ids — exactly the read-through semantics. The logtable
+    commit makes the delete replay-idempotent (pytest); the probe pays
+    one broadcast anti-join after the cell filter, so the build's
+    row-group pruning still bounds the scan."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        ann_probe_ivfpq,
+        build_ivfpq_index,
+        delete_from_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = build_ivfpq_index(
+        emb,
+        nlist=IVF_NLIST,
+        name=f"ivfpq_del_{_os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{next(_INVOCATION)}",
+    )
+    dels = emb.filter(F.col("vec_id") % DELETE_MOD == 0).select("vec_id")
+    index = delete_from_ivfpq_index(index, dels, batch_id=0)
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, PAIR_THRESHOLD, max_rows=EXACT_PAIRS_MAX_ROWS)
@@ -681,6 +723,7 @@ QUERIES = {
     "ann_ivfpq": ann_ivfpq,
     "ann_probe_persisted": ann_probe_persisted,
     "ann_probe_appended": ann_probe_appended,
+    "ann_probe_deleted": ann_probe_deleted,
     "dedup_pq_buckets": dedup_pq_buckets,
     "text_hash_embeddings": text_hash_embeddings,
     "text_hash_ann": text_hash_ann,
@@ -889,13 +932,20 @@ _CROSSCHECK_SELECT = """
         FULL OUTER JOIN tpairs ON ea = doc_a AND eb = doc_b
         ORDER BY id_a, id_b"""
 
-def _ann_ivfpq_sql(model_rel: str = "embeddings") -> str:
+def _ann_ivfpq_sql(
+    model_rel: str = "embeddings", survivor_pred: str | None = None
+) -> str:
     """IVF cell CTEs (the ann_ivf oracle's) composed with the PQ code
     CTEs: candidates are the cell equi-join, ranked by the s-ascending
     list_reduce ADC fold. ``model_rel`` scopes the MODEL sample only
     (centroids + codewords); cell assignment, codes, and candidates
     always cover the whole corpus — with the default, this is exactly
-    ann_ivfpq's oracle; with a subset, the appended-index one."""
+    ann_ivfpq's oracle; with a subset, the appended-index one.
+    ``survivor_pred`` (a predicate over ``co.vid``) restricts the
+    CANDIDATE set only — model and cell assignment still see every
+    vector — which is exactly the tombstone-read-through semantics of
+    the deleted-index probe (FAISS remove_ids: the model never refits
+    on delete)."""
     from hdfs_mapreduce_spark.operators.similarity import PQ_M
 
     dsub = EMB_DIM // PQ_M
@@ -946,6 +996,7 @@ def _ann_ivfpq_sql(model_rel: str = "embeddings") -> str:
             JOIN luts l ON l.query_id = p.query_id
                        AND l.s = co.s AND l.j = co.code
             WHERE co.vid <> p.query_id
+                  {f"AND ({survivor_pred})" if survivor_pred else ""}
             GROUP BY l.query_id, co.vid
         )
         SELECT query_id, neighbor_id, rank, approx_dist FROM (
@@ -1144,6 +1195,11 @@ ORACLE_SQL = {
     "ann_probe_appended": _ann_ivfpq_sql(
         model_rel=f"(SELECT * FROM embeddings"
         f" WHERE vec_id % {APPEND_MOD} <> 0)"
+    ),
+    # Deleted index: full-corpus model and cells, candidates restricted
+    # to surviving ids — the tombstone read-through contract.
+    "ann_probe_deleted": _ann_ivfpq_sql(
+        survivor_pred=f"co.vid % {DELETE_MOD} <> 0"
     ),
     "dedup_pq_buckets": f"""
         WITH {_pq_ctes()},

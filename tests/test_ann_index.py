@@ -243,3 +243,79 @@ def test_small_corpus_index_matches_fused_and_stores_actual_shapes(spark):
         max(r["codes"]) < PQ_KSUB - 4 and r["cell"] < PQ_KSUB - 4
         for r in codes
     )
+
+
+def test_delete_excludes_exactly_tombstoned_ids_and_replays_nop(spark):
+    """delete_from_ivfpq_index (FAISS remove_ids contract, VERDICT r7
+    item 3): after the delete, probes exclude EXACTLY the tombstoned
+    ids — survivors keep their relative order and the next-best
+    candidates fill the freed ranks — the model and codes files are
+    untouched, a replayed delete batch commits nothing, and a second
+    delete batch composes."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        delete_from_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    index = build_ivfpq_index(emb, name="ivfpq_del_test")
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    before = ann_probe_ivfpq(index, queries, k=50, nprobe=4)
+    before_rows = _rows(before)
+    victims = sorted(
+        {r[1] for r in before_rows if r[1] % 3 == 0}
+    )  # delete some actual neighbors so results MUST change
+    assert victims, "fixture has no mod-3 neighbor — pick another mod"
+    dels = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    codes_before = index["codes"].count()
+    deleted = delete_from_ivfpq_index(index, dels, batch_id=0)
+    # codes files untouched; tombstones carry exactly the victim set
+    assert deleted["codes"].count() == codes_before
+    assert sorted(
+        r["id"] for r in deleted["tombstones"].collect()
+    ) == victims
+    after_rows = _rows(ann_probe_ivfpq(deleted, queries, k=50, nprobe=4))
+    got_neighbors = {r[1] for r in after_rows}
+    assert not (got_neighbors & set(victims))
+    # survivors keep order: after == before minus victims, re-ranked
+    for qid in (0, 1):
+        surv = [r[1] for r in before_rows
+                if r[0] == qid and r[1] not in victims]
+        got = [r[1] for r in after_rows if r[0] == qid]
+        assert got[: len(surv)] == surv[: len(got)]
+    # replay of the same batch_id is a no-op
+    replayed = delete_from_ivfpq_index(deleted, dels, batch_id=0)
+    assert _rows(
+        ann_probe_ivfpq(replayed, queries, k=50, nprobe=4)
+    ) == after_rows
+    # a second, different batch composes
+    more = spark.createDataFrame(
+        [(after_rows[0][1],)], "vec_id long"
+    )  # current rank-1 neighbor of query 0
+    deleted2 = delete_from_ivfpq_index(replayed, more, batch_id=1)
+    rows2 = _rows(ann_probe_ivfpq(deleted2, queries, k=50, nprobe=4))
+    assert after_rows[0][1] not in {r[1] for r in rows2}
+
+
+def test_deleted_index_reloads_tombstones_from_disk(spark, tmp_path):
+    """A durable index's tombstone logtable reopens with it: a fresh
+    load_ivfpq_index must read the deletion sidecar and probe without
+    the deleted ids."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        delete_from_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    base = str(tmp_path / "warehouse")
+    built = build_ivfpq_index(emb, name="ivfpq", base=base)
+    queries = emb.filter(F.col("vec_id").isin([0]))
+    victims = [
+        r[1] for r in _rows(ann_probe_ivfpq(built, queries, k=3, nprobe=4))
+    ]
+    dels = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    deleted = delete_from_ivfpq_index(built, dels, batch_id=0)
+    want = _rows(ann_probe_ivfpq(deleted, queries, k=10, nprobe=4))
+    reopened = load_ivfpq_index(spark, base)
+    assert reopened["paths"]["tombstones"].endswith("_codes_tombstones")
+    got = _rows(ann_probe_ivfpq(reopened, queries, k=10, nprobe=4))
+    assert got == want
+    assert not ({r[1] for r in got} & set(victims))

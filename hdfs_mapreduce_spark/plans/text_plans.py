@@ -790,6 +790,169 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Iterative BPE training (operators/bpe.py — VERDICT r7 item 4): merge
+# counts for the declared train/encode queries. Train runs 12 rounds;
+# encode learns-then-applies 8 (keeps the unrolled oracle CTE chain
+# readable while still exercising multi-round compounding merges like
+# ('jo','in') built on round 2's ('o','w')-class outputs).
+BPE_TRAIN_MERGES = 12
+BPE_ENCODE_MERGES = 8
+
+
+def _bpe_alpha_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text) restricted to lowercase-alphabetic word types —
+    the standard tokenizer-training normalization, and what lets the
+    oracle's '|'-wrapped token encoding be injective (no corpus word can
+    contain the separator)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"),
+                lambda w: w.rlike("^[a-z]+$"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE merge loop (operators/bpe.py bpe_learn —
+    Sennrich et al. '16) as a declared, hash-oracled query: learn
+    BPE_TRAIN_MERGES merges over the documents corpus and return the
+    ordered merge table (step, a, b). Each round is one pair-stats
+    aggregate over the WORD-TYPE relation (vocabulary-sized, not
+    corpus-sized — the corpus is scanned exactly once) plus a 1-row
+    argmax collect; ties break (count desc, a, b) deterministically in
+    both engines. The oracle unrolls the k rounds as CTEs, applying
+    each merge via left-to-right non-overlapping string replace over a
+    '|token|'-wrapped encoding — provably equivalent to the engine's
+    left-priority array fold (tests/test_bpe.py pins the fold against
+    the reference algorithm)."""
+    from hdfs_mapreduce_spark.operators.bpe import bpe_learn
+
+    corpus = _bpe_alpha_corpus(spark, sf_dir)
+    merges, _ = bpe_learn(corpus, "text", BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "step long, a string, b string",
+    ).orderBy("step")
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer train + encode end-to-end (operators/bpe.py): learn
+    BPE_ENCODE_MERGES merges, then encode every document — merges apply
+    to the DISTINCT word types (vocabulary-sized) and the finished
+    word→subwords dictionary broadcasts back onto the corpus token
+    stream, so the corpus-sized side never carries a merge loop.
+    Returns (doc_id, toks, n_tokens) with the subword sequence
+    space-joined in document order; the oracle replays the same merges
+    as string replaces over each document's wrapped token stream (the
+    wrapping makes cross-word merges impossible in both engines)."""
+    from hdfs_mapreduce_spark.operators.bpe import bpe_encode as _encode
+    from hdfs_mapreduce_spark.operators.bpe import bpe_learn
+
+    corpus = _bpe_alpha_corpus(spark, sf_dir)
+    merges, _ = bpe_learn(corpus, "text", BPE_ENCODE_MERGES)
+    enc = _encode(corpus, "doc_id", "text", merges)
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("toks"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    ).orderBy("doc_id")
+
+
+def _bpe_train_ctes(k: int) -> str:
+    """The unrolled-merge-round CTE chain shared by both BPE oracles:
+    w0 = word types with counts and the '|'-wrapped symbol encoding;
+    each round's t{i} is the deterministic argmax pair and w{i} applies
+    it via non-overlapping left-to-right replace — '|a||b|' → '|ab|'
+    over the wrapped encoding is exactly the engine's left-priority
+    adjacent-pair fold ("aaaa" under (a,a) → ["aa","aa"] in both).
+    MATERIALIZED: t{i} and w{i} are each referenced twice; inlining
+    would re-derive the whole prefix chain per reference."""
+    parts = [
+        """tok AS (
+            SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                          t -> regexp_matches(t, '^[a-z]+$'))) AS word
+            FROM documents
+        ),
+        w0 AS MATERIALIZED (
+            SELECT word, COUNT(*) AS n,
+                   regexp_replace(word, '(.)', '|\\1|', 'g') AS s
+            FROM tok GROUP BY word
+        )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""t{i} AS MATERIALIZED (
+            SELECT a, b FROM (
+                SELECT z[1] AS a, z[2] AS b, SUM(n) AS cnt
+                FROM (
+                    SELECT n, unnest(list_zip(sym[1:len(sym)-1],
+                                              sym[2:len(sym)])) AS z
+                    FROM (SELECT n, str_split(trim(s, '|'), '||') AS sym
+                          FROM w{i - 1})
+                ) GROUP BY 1, 2
+            ) ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        w{i} AS MATERIALIZED (
+            SELECT word, n,
+                   replace(s,
+                           '|' || (SELECT a FROM t{i}) || '||'
+                               || (SELECT b FROM t{i}) || '|',
+                           '|' || (SELECT a FROM t{i})
+                               || (SELECT b FROM t{i}) || '|') AS s
+            FROM w{i - 1}
+        )"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql(k: int) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT {i} AS step, a, b FROM t{i}" for i in range(1, k + 1)
+    )
+    return f"""
+        WITH {_bpe_train_ctes(k)}
+        SELECT CAST(step AS BIGINT) AS step, a, b FROM ({union})
+        ORDER BY step
+    """
+
+
+def _bpe_encode_sql(k: int) -> str:
+    reps = "".join(
+        f""", d{i} AS MATERIALIZED (
+            SELECT doc_id,
+                   replace(s,
+                           '|' || (SELECT a FROM t{i}) || '||'
+                               || (SELECT b FROM t{i}) || '|',
+                           '|' || (SELECT a FROM t{i})
+                               || (SELECT b FROM t{i}) || '|') AS s
+            FROM d{i - 1})"""
+        for i in range(1, k + 1)
+    )
+    return f"""
+        WITH {_bpe_train_ctes(k)},
+        d0 AS (
+            SELECT doc_id,
+                   list_aggregate(
+                       list_transform(
+                           list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> regexp_matches(t, '^[a-z]+$')),
+                           w -> regexp_replace(w, '(.)', '|\\1|', 'g')),
+                       'string_agg', ' ') AS s
+            FROM documents
+        ){reps}
+        SELECT doc_id,
+               replace(replace(s, '||', ' '), '|', '') AS toks,
+               CAST((length(s) - length(replace(s, '|', ''))) / 2
+                    AS BIGINT) AS n_tokens
+        FROM d{k} WHERE s IS NOT NULL AND s <> '' ORDER BY doc_id
+    """
+
+
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the corpus-trained Naive Bayes language
     classifier (operators/relevance.py nb_classify): (lang, pred, n) over
@@ -853,6 +1016,8 @@ def dataset_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "nb_lang_confusion": nb_lang_confusion,
     "bpe_pair_stats": bpe_pair_stats,
+    "bpe_train": bpe_train,
+    "bpe_encode": bpe_encode,
     "pii_scrub": pii_scrub,
     "corpus_mix": corpus_mix,
     "corpus_reweight": corpus_reweight,
@@ -947,6 +1112,8 @@ def _nb_sql() -> str:
 
 ORACLE_SQL = {
     "nb_lang_confusion": _nb_sql(),
+    "bpe_train": _bpe_train_sql(BPE_TRAIN_MERGES),
+    "bpe_encode": _bpe_encode_sql(BPE_ENCODE_MERGES),
     "bpe_pair_stats": f"""
         WITH tok AS (
             SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),

@@ -520,15 +520,29 @@ def snapshot(
 
 
 def vacuum(
-    spark: SparkSession, root: str, sweep_orphans: bool = False
+    spark: SparkSession,
+    root: str,
+    sweep_orphans: bool = False,
+    retain_last: int | None = None,
 ) -> list[int]:
     """Physically delete data versions BELOW the latest compaction — the
     snapshot never reads them (the compaction carries their net effect),
     they only serve time travel, and this is the one irreversible
-    operation the format exposes (the real formats' VACUUM, minus the
-    retention clock: the caller picks when). Log entries stay (cheap,
-    and they document history); ``snapshot(as_of=<vacuumed>)`` fails at
-    scan time thereafter, same as Delta.
+    operation the format exposes (the real formats' VACUUM). Log entries
+    stay (cheap, and they document history); ``snapshot(as_of=
+    <vacuumed>)`` fails at scan time thereafter, same as Delta.
+
+    ``retain_last=N`` is the retention policy (Delta's RETAIN clause,
+    counted in commits rather than hours — commit records carry no
+    wall clock): time travel to any of the N newest versions must keep
+    working. A snapshot as-of version v reads every data version from
+    its compaction floor up, so the deletable set is everything below
+    the newest compaction that is itself ≤ the retention horizon —
+    deleting anything above that compaction would break an as-of INSIDE
+    the retained window, not just below it. With no compaction at or
+    below the horizon nothing is deletable, exactly like Delta when no
+    checkpoint predates the retention boundary. Default (None) retains
+    nothing below the newest compaction — the pre-r8 behavior.
 
     ``sweep_orphans=True`` additionally deletes data dirs no committed
     log entry references — the residue of attempts that crashed between
@@ -538,9 +552,22 @@ def vacuum(
     like an orphan (the same caveat Delta's VACUUM carries for its
     retention window). Returns the removed versions (orphan dirs have
     no version and are not reported)."""
+    if retain_last is not None and retain_last < 1:
+        raise ValueError(
+            f"retain_last must be >= 1 (the current snapshot is always "
+            f"retained), got {retain_last}"
+        )
     entries = _log_versions(spark, root)
     compactions = [e[0] for e in entries if e[2] == "compact"]
     removed = []
+    if retain_last is not None:
+        # Horizon = oldest version inside the retained window.
+        horizon = (
+            entries[-retain_last][0]
+            if len(entries) >= retain_last
+            else (entries[0][0] if entries else 0)
+        )
+        compactions = [c for c in compactions if c <= horizon]
     if compactions:
         floor = max(compactions)
         for e in entries:

@@ -847,3 +847,50 @@ def test_clustered_compaction_prunes_and_preserves_state(spark, tmp_path):
     ).drop("v"), 5, root, "k")
     got = snapshot(spark, root, "k").filter(F.col("k") == 0).collect()[0]
     assert got["a"] is None
+
+
+def test_vacuum_retain_last_keeps_time_travel_window(spark, tmp_path):
+    """vacuum(retain_last=N) (VERDICT r7 item 6): time travel to any of
+    the N newest commits keeps working after the vacuum, the deletable
+    set is bounded by the newest compaction AT OR BELOW the retention
+    horizon, and as-of below the vacuumed horizon fails at scan time."""
+    import pytest
+
+    from hdfs_mapreduce_spark.streaming.logtable import vacuum
+
+    root = str(tmp_path / "t")
+    # versions 0-3: upserts; 4: compact; 5-7: upserts; 8: compact; 9: upsert
+    for i in range(4):
+        upsert_batch(_batch(spark, [(i, f"v{i}")]), i, root, "k")
+    assert compact(spark, root, "k") == 4
+    for i in range(5, 8):
+        upsert_batch(_batch(spark, [(i, f"v{i}")]), i, root, "k")
+    assert compact(spark, root, "k") == 8
+    upsert_batch(_batch(spark, [(9, "v9")]), 9, root, "k")
+
+    # retain_last larger than history: nothing deletable
+    assert vacuum(spark, root, retain_last=100) == []
+    assert snapshot(spark, root, "k", as_of=0).count() == 1
+
+    # retain the 3 newest commits (7, 8, 9): horizon=7, newest
+    # compaction <= 7 is 4, so versions 0-3 go and 4-9 stay
+    assert vacuum(spark, root, retain_last=3) == [0, 1, 2, 3]
+    # every retained as-of still reads (5..7 need compaction-4 data)
+    for v in (4, 5, 6, 7, 8, 9):
+        assert snapshot(spark, root, "k", as_of=v) is not None
+    assert {r["k"] for r in
+            snapshot(spark, root, "k", as_of=7).collect()} == {
+        0, 1, 2, 3, 5, 6, 7
+    }
+    # below the vacuumed horizon: fails at scan time, like Delta
+    with pytest.raises(Exception):
+        snapshot(spark, root, "k", as_of=3).collect()
+
+    # retain_last=1 degenerates to the default below-newest-compaction rule
+    assert vacuum(spark, root, retain_last=1) == [4, 5, 6, 7]
+    assert {r["k"] for r in snapshot(spark, root, "k").collect()} == {
+        0, 1, 2, 3, 5, 6, 7, 9
+    }
+
+    with pytest.raises(ValueError, match="retain_last"):
+        vacuum(spark, root, retain_last=0)

@@ -514,6 +514,95 @@ def stream_ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_probe_ivfpq(combined, queries, TOP_K, nprobe=IVF_NPROBE)
 
 
+# stream_cdc_apply constants: residue-class batching of the events keys
+# into three CDC micro-batches, with mod-6 updates (a subset of batch
+# 0's inserts) and mod-9 deletes (likewise), so the final state is a
+# pure-SQL function of the events table.
+CDC_BUMP = 100.0
+CDC_UPD_MOD = 6
+CDC_DEL_MOD = 9
+
+
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC ingest: a stream whose micro-batches MIX upserts and deletes,
+    each applied as ONE logtable commit via ``merge_batch`` — the real
+    formats' ``foreachBatch + MERGE INTO`` pattern (streaming/logtable.py).
+    Batch 0 inserts the event_id % 3 == 0 third; batch 1 inserts the
+    % 3 == 1 third AND updates the % 6 == 0 keys (value + CDC_BUMP);
+    batch 2 inserts the % 3 == 2 third AND deletes the % 9 == 0 keys.
+    A two-commit split per batch (upserts, then deletes) would break
+    the one-commit-per-batch-id replay invariant — under at-least-once
+    delivery the replay test would only see the second commit and
+    re-apply the first half; the merge commit is what makes mixed CDC
+    batches idempotent (pytest proves the replay). The declared
+    relation is the terminal snapshot; the oracle computes the final
+    state closed-form from the residue classes."""
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        merge_batch,
+        snapshot,
+    )
+
+    root = _scratch(spark, "cdc_apply", sf_dir)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    eid = F.col("event_id")
+    batches = [
+        events.where(eid % 3 == 0).withColumn("is_delete", F.lit(False)),
+        events.where(eid % 3 == 1)
+        .withColumn("is_delete", F.lit(False))
+        .unionByName(
+            events.where(eid % CDC_UPD_MOD == 0)
+            .withColumn("value", F.col("value") + CDC_BUMP)
+            .withColumn("is_delete", F.lit(False))
+        ),
+        events.where(eid % 3 == 2)
+        .withColumn("is_delete", F.lit(False))
+        .unionByName(
+            events.where(eid % CDC_DEL_MOD == 0).withColumn(
+                "is_delete", F.lit(True)
+            )
+        ),
+    ]
+
+    import glob as _glob
+    import shutil as _shutil
+
+    stage = os.path.join(root, "src")
+    os.makedirs(stage, exist_ok=True)
+    for i, b in enumerate(batches):
+        tmp = os.path.join(root, f"tmp{i}")
+        b.coalesce(1).write.parquet(tmp)
+        _shutil.move(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(stage, f"b{i}.parquet"),
+        )
+    table_root = os.path.join(root, "table")
+
+    def _sink(batch_df, batch_id):
+        merge_batch(
+            batch_df,
+            batch_id,
+            table_root,
+            "event_id",
+            "is_delete",
+            writer="cdc_stream",
+        )
+
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    _run(
+        stream.writeStream.foreachBatch(_sink),
+        None,
+        os.path.join(root, "ckpt"),
+    )
+    return snapshot(spark, table_root, "event_id").orderBy("event_id")
+
+
 def dq_checks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental data-quality maintenance over the change feed
     (operators/dq.py incremental_row_checks — the Deequ-on-Delta
@@ -703,6 +792,7 @@ QUERIES = {
     "logtable_ivm": logtable_ivm,
     "dq_checks_incremental": dq_checks_incremental,
     "stream_ann_ingest_topk": stream_ann_ingest_topk,
+    "stream_cdc_apply": stream_cdc_apply,
     "stream_windowed_stats": stream_windowed_stats,
     "stream_sliding_stats": stream_sliding_stats,
     "stream_attribution": stream_attribution,
@@ -806,6 +896,16 @@ def _oracle_sql() -> dict[str, str]:
             model_rel=f"(SELECT * FROM embeddings"
             f" WHERE vec_id % {APPEND_MOD} <> 0)"
         ),
+        # CDC final state closed-form: every key except the deleted
+        # mod-9 class, with the mod-6 class carrying the batch-1 bump.
+        "stream_cdc_apply": f"""
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % {CDC_UPD_MOD} = 0
+                        THEN value + {CDC_BUMP} ELSE value END AS value
+            FROM events
+            WHERE event_id % {CDC_DEL_MOD} <> 0
+            ORDER BY event_id
+        """,
         # The expected net change set, derived in pure SQL from the same
         # constants the Spark face commits with: inserts = the above-C1
         # slice that survives the delete, updates = the bumped overlap

@@ -71,7 +71,7 @@ from pyspark.sql.window import Window
 from hdfs_mapreduce_spark.sources import fs as hfs
 
 
-_KINDS = ("upsert", "delete", "compact")
+_KINDS = ("upsert", "delete", "merge", "compact")
 
 # Attempts before giving up when racing other writers for a version slot.
 _COMMIT_RETRIES = 5
@@ -470,6 +470,44 @@ def delete_batch(
     )
     return (
         _commit(spark, root, tomb, batch_id, "delete", writer, backend)
+        is not None
+    )
+
+
+def merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    root: str,
+    key_col: str,
+    delete_col: str,
+    writer: str | None = None,
+    backend: CommitBackend | None = None,
+) -> bool:
+    """Commit one MIXED CDC batch — upserts and deletes together — as
+    ONE version: the real formats' ``MERGE INTO`` applied to a change
+    feed. Rows whose ``delete_col`` is true land as tombstones (data
+    columns nulled, ``_deleted = true``); the rest land as ordinary
+    upsert images. The snapshot's newest-row-per-key rule plus its
+    ``_deleted`` filter already give these rows DELETE/UPSERT semantics
+    with no reader change, and one commit per batch preserves the
+    one-commit-per-batch-id replay invariant a two-commit split
+    (upserts then deletes) would break — under at-least-once delivery
+    the replay test would see only the second commit's id and re-apply
+    the first half. O(batch), no state read, same replay rule as
+    upserts. A key may appear once per batch (``dropDuplicates``, like
+    ``upsert_batch``); emit intra-batch last-writer-wins upstream."""
+    spark = batch_df.sparkSession
+    is_del = F.coalesce(F.col(delete_col), F.lit(False))
+    data_cols = [
+        c for c in batch_df.columns if c not in (key_col, delete_col)
+    ]
+    mixed = batch_df.dropDuplicates([key_col]).select(
+        key_col,
+        *[F.when(~is_del, F.col(c)).alias(c) for c in data_cols],
+        is_del.alias("_deleted"),
+    )
+    return (
+        _commit(spark, root, mixed, batch_id, "merge", writer, backend)
         is not None
     )
 

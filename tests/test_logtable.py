@@ -894,3 +894,71 @@ def test_vacuum_retain_last_keeps_time_travel_window(spark, tmp_path):
 
     with pytest.raises(ValueError, match="retain_last"):
         vacuum(spark, root, retain_last=0)
+
+
+def test_merge_batch_mixed_cdc_commit_and_replay(spark, tmp_path):
+    """merge_batch: one MIXED upsert+delete CDC batch lands as ONE
+    version with MERGE INTO semantics, and a replayed mixed batch
+    commits nothing — where a two-commit split (upserts then deletes)
+    loses replay detection for its first half."""
+    from hdfs_mapreduce_spark.streaming.logtable import (
+        delete_batch,
+        merge_batch,
+    )
+
+    root = str(tmp_path / "t")
+    upsert_batch(_batch(spark, [(1, "a"), (2, "b"), (3, "c")]), 0, root, "k")
+    cdc = spark.createDataFrame(
+        [(2, "B2", False), (3, None, True), (4, "d", False)],
+        "k long, v string, is_delete boolean",
+    )
+    assert merge_batch(cdc, 1, root, "k", "is_delete")
+    entries = _log_versions(spark, root)
+    assert [(e[0], e[2]) for e in entries] == [(0, "upsert"), (1, "merge")]
+    snap = {r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()}
+    assert snap == {1: "a", 2: "B2", 4: "d"}  # 3 deleted, 2 updated
+    # at-least-once replay of the mixed batch: one commit id, no-op
+    assert not merge_batch(cdc, 1, root, "k", "is_delete")
+    assert len(_log_versions(spark, root)) == 2
+    assert {
+        r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()
+    } == snap
+    # re-upsert resurrects a merge-deleted key (tombstones are ordinary
+    # versioned rows)
+    upsert_batch(_batch(spark, [(3, "c2")]), 2, root, "k")
+    assert snapshot(spark, root, "k").where(F.col("k") == 3).collect()[0][
+        "v"
+    ] == "c2"
+
+    # CONTRAST: the split protocol double-applies under replay — the
+    # replay test only remembers the writer's newest commit id, so
+    # re-running (upserts as id 3, deletes as id 4) re-commits the
+    # upsert half. This is the failure mode merge_batch exists to close.
+    ups = spark.createDataFrame([(5, "e")], "k long, v string")
+    dels = spark.createDataFrame([(4,)], "k long")
+    upsert_batch(ups, 3, root, "k")
+    delete_batch(dels, 4, root, "k")
+    n = len(_log_versions(spark, root))
+    assert upsert_batch(ups, 3, root, "k")  # replay NOT detected
+    assert len(_log_versions(spark, root)) == n + 1
+
+
+def test_merge_batch_all_deletes_and_all_upserts(spark, tmp_path):
+    """Degenerate mixed batches reduce to the pure forms."""
+    from hdfs_mapreduce_spark.streaming.logtable import merge_batch
+
+    root = str(tmp_path / "t")
+    all_ups = spark.createDataFrame(
+        [(1, "a", False), (2, "b", None)],  # NULL is_delete = upsert
+        "k long, v string, is_delete boolean",
+    )
+    assert merge_batch(all_ups, 0, root, "k", "is_delete")
+    assert {
+        r["k"]: r["v"] for r in snapshot(spark, root, "k").collect()
+    } == {1: "a", 2: "b"}
+    all_dels = spark.createDataFrame(
+        [(1, None, True), (2, None, True)],
+        "k long, v string, is_delete boolean",
+    )
+    assert merge_batch(all_dels, 1, root, "k", "is_delete")
+    assert snapshot(spark, root, "k").count() == 0

@@ -111,18 +111,39 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return _sig_agg(id_col, rel).orderBy(id_col)
 
 
-def _banded_sketch(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _banded_sketch(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
     """Banded MinHash sketch rows: one row per (doc, band_idx) carrying the
     band key, the doc's full band-key array (for first-band-wins pair
     dedup), and its distinct shingle-hash set (for the exact-Jaccard
-    verify). One doc-keyed shuffle; everything else is map-side."""
+    verify). One doc-keyed shuffle; everything else is map-side.
+
+    ``n_perm``/``n_bands`` expose the standard b/r tuning (defaults = the
+    declared-query constants): at the default r = 2 rows/band the
+    CHANCE band collision rate between dissimilar docs is a constant per
+    pair, so false candidates grow ~N² — invisible at small N (the
+    sf1→sf10 probe measured 1.4 false candidates/doc at 500k docs, all
+    killed by the exact verify) but the wrong coefficient for a
+    billion-doc corpus. The production response is wider bands: r = 4
+    (e.g. 32 perms × 8 bands) squares the per-band false-positive rate
+    while the verify threshold keeps results exact — recall at the
+    threshold is the (1/b)^(1/r) curve, audited by dedup_lsh_recall."""
+    if n_perm % n_bands:
+        raise ValueError(f"n_perm={n_perm} not divisible by n_bands={n_bands}")
+    rows_per_band = n_perm // n_bands
+    perms = PERMS if n_perm == N_PERM else perm_params(n_perm, seed=42)
     p = F.lit(MERSENNE_31)
     rel = shingle_relation(df, id_col, text_col)
     per_doc = rel.groupBy("doc").agg(
         F.collect_set("x").alias("sh"),
         *[
             F.min((F.lit(a) * (F.col("x") % p) + F.lit(b)) % p).alias(f"mh{i}")
-            for i, (a, b) in enumerate(PERMS)
+            for i, (a, b) in enumerate(perms)
         ],
     )
     band_keys = F.array(
@@ -130,11 +151,11 @@ def _banded_sketch(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.concat_ws(
                 ":",
                 *[
-                    F.col(f"mh{b * ROWS_PER_BAND + r}")
-                    for r in range(ROWS_PER_BAND)
+                    F.col(f"mh{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
                 ],
             )
-            for b in range(N_BANDS)
+            for b in range(n_bands)
         ]
     )
     return per_doc.select("doc", "sh", band_keys.alias("bkeys")).select(
@@ -160,6 +181,8 @@ def minhash_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
 
@@ -187,7 +210,7 @@ def minhash_pairs(
     table (minhash_signatures + a parquet write) and banding from that;
     for the one-shot query this single-pass shape is the honest optimum.
     """
-    bands = _banded_sketch(df, id_col, text_col)
+    bands = _banded_sketch(df, id_col, text_col, n_perm, n_bands)
     left = bands.alias("l")
     right = bands.alias("r")
     return (

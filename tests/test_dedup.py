@@ -657,3 +657,34 @@ def test_winnowing_short_doc_still_fingerprints(spark):
     assert len(docs[1]) == 1
     # doc 2: single token -> whole-text shingle -> 1 fp
     assert len(docs[2]) == 1
+
+
+def test_minhash_wider_bands_cut_candidates_keep_high_j_pairs(spark):
+    """The b/r tuning lever (r8 sf10 probe: at the default r=2 the
+    CHANCE band-collision rate is constant per pair, so false candidates
+    grow ~N^2): wider bands must produce a SUBSET of the default verified
+    pairs with identical Jaccard values, and every high-similarity pair
+    must survive — recall loss concentrates at the threshold, exactly
+    the (1/b)^(1/r) curve."""
+    from hdfs_mapreduce_spark.operators.dedup import minhash_pairs
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    base = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_pairs(docs, "doc_id", "text", 0.5).collect()
+    }
+    wide = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_pairs(
+            docs, "doc_id", "text", 0.5, n_perm=32, n_bands=8
+        ).collect()
+    }
+    assert set(wide) <= set(base)
+    assert all(wide[p] == base[p] for p in wide)
+    hi = {p for p, j in base.items() if j >= 0.8}
+    assert hi <= set(wide), "a high-J pair vanished under wider bands"
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        minhash_pairs(docs, "doc_id", "text", 0.5, n_perm=16, n_bands=5)

@@ -459,6 +459,50 @@ def ann_probe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
 
 
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-PQ search against the brute-force ground
+    truth, per query — the quantified answer to "what does the 16-cell
+    coarse quantizer + 8×16 PQ codebook cost in accuracy". Both sides
+    are deterministic (seeded model, exact float64 folds), so unlike the
+    boolean-invariant audits (ann_pca_audit) the recall NUMBERS carry a
+    full hash oracle: DuckDB recomputes the approximate and exact top-k
+    symbolically and joins them the same way. Scale: the brute-force
+    side is the guarded recall baseline (operators/guards.py) — at
+    production scale this runs on a sampled query set, which is exactly
+    how FAISS users measure recall."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivfpq,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = ann_topk_ivfpq(
+        emb, QUERY_IDS, TOP_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE
+    ).select("query_id", "neighbor_id")
+    exact = ann_topk_bruteforce(
+        emb, QUERY_IDS, TOP_K, max_pairs=ANN_BRUTE_MAX_PAIRS
+    ).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hits"),
+            F.lit(TOP_K).cast("long").alias("top_k"),
+            (F.coalesce("h", F.lit(0)) / F.lit(TOP_K)).alias("recall"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_pairs(emb, PAIR_THRESHOLD, max_rows=EXACT_PAIRS_MAX_ROWS)
@@ -724,6 +768,7 @@ QUERIES = {
     "ann_probe_persisted": ann_probe_persisted,
     "ann_probe_appended": ann_probe_appended,
     "ann_probe_deleted": ann_probe_deleted,
+    "ann_ivfpq_recall": ann_ivfpq_recall,
     "dedup_pq_buckets": dedup_pq_buckets,
     "text_hash_embeddings": text_hash_embeddings,
     "text_hash_ann": text_hash_ann,
@@ -931,6 +976,51 @@ _CROSSCHECK_SELECT = """
         FROM epairs
         FULL OUTER JOIN tpairs ON ea = doc_a AND eb = doc_b
         ORDER BY id_a, id_b"""
+
+def _ann_brute_sql() -> str:
+    """Exact top-k cosine over the full corpus — the recall ground truth
+    and the ann_bruteforce oracle (one definition serves both)."""
+    return f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+            WHERE vec_id IN ({_IDS})
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_cos('q.qvec', 'e.embedding')} AS cos_sim
+            FROM embeddings e, q
+            WHERE e.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, rank, cos_sim
+        FROM ranked WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
+    """
+
+
+def _ivfpq_recall_sql() -> str:
+    """Per-query recall@k of the IVF-PQ search against brute force —
+    BOTH sides are deterministic CTE chains, so the recall numbers
+    themselves hash-match (stronger than the boolean-invariant audits)."""
+    return f"""
+        WITH approx AS ({_ann_ivfpq_sql()}),
+        exact AS ({_ann_brute_sql()})
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS hits,
+               CAST({TOP_K} AS BIGINT) AS top_k,
+               COUNT(a.neighbor_id) / {TOP_K} AS recall
+        FROM exact e
+        LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+        ORDER BY e.query_id
+    """
+
 
 def _ann_ivfpq_sql(
     model_rel: str = "embeddings", survivor_pred: str | None = None
@@ -1201,6 +1291,7 @@ ORACLE_SQL = {
     "ann_probe_deleted": _ann_ivfpq_sql(
         survivor_pred=f"co.vid % {DELETE_MOD} <> 0"
     ),
+    "ann_ivfpq_recall": _ivfpq_recall_sql(),
     "dedup_pq_buckets": f"""
         WITH {_pq_ctes()},
         keys AS (
@@ -1299,27 +1390,7 @@ ORACLE_SQL = {
                len(list_filter(qv, v -> abs(v) = 127)) AS n_sat
         FROM coded ORDER BY vec_id
     """,
-    "ann_bruteforce": f"""
-        WITH q AS (
-            SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
-            WHERE vec_id IN ({_IDS})
-        ),
-        scored AS (
-            SELECT q.query_id, e.vec_id AS neighbor_id,
-                   {_cos('q.qvec', 'e.embedding')} AS cos_sim
-            FROM embeddings e, q
-            WHERE e.vec_id <> q.query_id
-        ),
-        ranked AS (
-            SELECT query_id, neighbor_id, cos_sim,
-                   ROW_NUMBER() OVER (PARTITION BY query_id
-                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
-            FROM scored
-        )
-        SELECT query_id, neighbor_id, rank, cos_sim
-        FROM ranked WHERE rank <= {TOP_K}
-        ORDER BY query_id, rank
-    """,
+    "ann_bruteforce": _ann_brute_sql(),
     "dedup_crosscheck": f"""
         WITH {_TPAIRS_CAPPED_CTES},
         epairs AS (

@@ -15,15 +15,24 @@ import subprocess
 import sys
 
 WORKER = """
-import os, sys
+import os, sys, time
 sys.path.insert(0, {repo!r})
 os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
 from hdfs_mapreduce_spark.session import get_spark
 from hdfs_mapreduce_spark.streaming.logtable import upsert_batch
 
-root, writer, offset = sys.argv[1], sys.argv[2], int(sys.argv[3])
+root, writer, offset, barrier = (
+    sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+)
 spark = get_spark(f"logtable-worker-{{writer}}")
 spark.sparkContext.setLogLevel("ERROR")
+# Rendezvous: announce readiness (session fully up), then spin until the
+# parent releases both workers at once — without this, JVM startup
+# stagger lets one writer finish before the other starts and the version
+# slots never actually contend.
+open(os.path.join(barrier, f"ready_{{writer}}"), "w").close()
+while not os.path.exists(os.path.join(barrier, "go")):
+    time.sleep(0.02)
 for bid in range(6):
     df = spark.createDataFrame(
         [(offset + bid, f"{{writer}}-b{{bid}}")], "k long, v string"
@@ -36,17 +45,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_two_real_writer_processes_never_collide(spark, tmp_path):
+    import time
+
     root = str(tmp_path / "t")
+    barrier = str(tmp_path / "barrier")
+    os.makedirs(barrier)
     script = WORKER.format(repo=REPO)
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", script, root, w, str(off)],
+            [sys.executable, "-c", script, root, w, str(off), barrier],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
         )
         for w, off in (("alpha", 100), ("beta", 200))
     ]
+    # release both writers only when both sessions are up, so the
+    # commit loops genuinely overlap and slot races genuinely occur
+    deadline = time.time() + 300
+    while time.time() < deadline and not all(
+        os.path.exists(os.path.join(barrier, f"ready_{w}"))
+        for w in ("alpha", "beta")
+    ):
+        time.sleep(0.05)
+    open(os.path.join(barrier, "go"), "w").close()
     outs = [p.communicate(timeout=600) for p in procs]
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out}\n{err[-3000:]}"

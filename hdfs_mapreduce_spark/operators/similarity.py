@@ -1688,6 +1688,160 @@ def ann_topk_ivfpq(
     )
 
 
+def ann_topk_ivfpq_residual(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC proper (Jégou et al. '11, the form FAISS's IndexIVFPQ
+    actually implements): PQ codes quantize each vector's RESIDUAL
+    x − centroid(cell(x)) rather than x itself. Residuals concentrate
+    near zero, so the same 4-bit-per-subspace budget spends its
+    resolution on the part of x the coarse quantizer didn't already
+    explain — the standard accuracy upgrade over raw-vector PQ
+    (``ann_topk_ivfpq``) at identical code size and scan cost. The
+    price is query-side: the ADC lookup table becomes per-(query, cell)
+    — q's residual differs in every probed cell — i.e. nprobe× the LUT
+    build of the raw variant, still O(nprobe·m·ksub) driver floats.
+
+    Same seeded scramble sample, cell assignment, first-min argmin, and
+    s-ascending fold as the raw kernel — but the codeword sources are
+    the ksub scramble rows AFTER the nlist centroid rows, not the same
+    ones: a centroid row's residual w.r.t. its own cell is (near) zero,
+    so sharing the slices (the raw kernel's one-collect economy) would
+    collapse the residual codebook to ~16 copies of the zero vector and
+    degenerate every ADC ranking to the tie order — measured exactly
+    that (recall 0.24 → 0.04) before the slices were made disjoint.
+    On the synthetic benchmark embeddings recall is at parity with the
+    raw kernel (0.22 vs 0.24 at sf0.01): residuals only concentrate —
+    and residual PQ only pulls ahead — when the corpus has real cluster
+    structure, which iid synthetic vectors lack; the operator exists so
+    the engine-exact IVFADC form is available where corpora do.
+    Deterministic end-to-end → full hash oracle (the residual
+    arithmetic is mirrored subtraction-first in SQL so the doubles are
+    bit-identical)."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(
+            ((F.col(id_col) * F.lit(2654435761)) % F.lit(1 << 32)).asc(),
+            F.col(id_col),
+        )
+        .limit(nlist + ksub)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot run IVF-PQ over an empty corpus")
+    cent_rows = rows[:nlist]
+    cw_rows = rows[nlist : nlist + ksub]
+    if not cw_rows:
+        raise ValueError(
+            "corpus too small for residual PQ: needs more than "
+            f"nlist={nlist} rows to fit a disjoint codeword sample"
+        )
+    cmat, cnorm = centroid_matrix(cent_rows, nlist)
+    cos_to_cents = make_cos_to_cents(cmat, cnorm)
+    # codewords = the DISJOINT sample rows' residuals w.r.t. their cells
+    src = np.stack([np.asarray(r[1], dtype=np.float64) for r in cw_rows])
+    src_cells = np.argmax(cos_to_cents(src), axis=1)
+    res_src = src - cmat[src_cells]
+    dim = src.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    cbs = res_src.reshape(src.shape[0], m_sub, dsub).transpose(1, 0, 2)
+    ksub = cbs.shape[1]
+    qrows = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    qids = [r[0] for r in qrows]
+    if not qids:
+        return embeddings.limit(0).select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0).alias("rank"),
+            F.lit(0.0).alias("approx_dist"),
+        )
+    qmat = np.stack([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    probe_lists = [
+        [int(c) for c in row]
+        for row in np.argsort(-cos_to_cents(qmat), kind="stable", axis=1)[
+            :, :nprobe
+        ]
+    ]
+    # per-(query, probed cell) LUT: q's residual differs in every cell
+    luts = {}
+    for qi in range(len(qids)):
+        for c in probe_lists[qi]:
+            qres = qmat[qi] - cmat[c]
+            lut = np.empty((m_sub, ksub))
+            for s in range(m_sub):
+                lut[s, :] = _pq_sub_dists(
+                    qres[None, s * dsub : (s + 1) * dsub], cbs[s]
+                )[:, 0]
+            luts[(qi, c)] = lut
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].values).astype(np.float64)
+            cells = np.argmax(cos_to_cents(mat), axis=1)
+            res = mat - cmat[cells]
+            codes = np.empty((mat.shape[0], m_sub), dtype=np.int64)
+            for s in range(m_sub):
+                codes[:, s] = _pq_sub_dists(
+                    res[:, s * dsub : (s + 1) * dsub], cbs[s]
+                ).argmin(axis=0)
+            ids = pdf[id_col].values
+            frames = []
+            for qi, qid in enumerate(qids):
+                for c in probe_lists[qi]:
+                    keep = (cells == c) & (ids != qid)
+                    if not keep.any():
+                        continue
+                    lut = luts[(qi, c)]
+                    kcodes = codes[keep]
+                    acc = np.zeros(int(keep.sum()))
+                    for s in range(m_sub):  # s-ascending fold
+                        acc = acc + lut[s, kcodes[:, s]]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "query_id": qid,
+                                "neighbor_id": ids[keep],
+                                "approx_dist": acc,
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, approx_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_dist")
+        .orderBy("query_id", "rank")
+    )
+
+
 # --- feature-hashing document embeddings ------------------------------------
 HASH_EMBED_DIM = 64
 

@@ -459,6 +459,23 @@ def ann_probe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
 
 
+def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC proper (operators/similarity.py ann_topk_ivfpq_residual):
+    PQ codes quantize residuals x − centroid(cell(x)) — the form FAISS's
+    IndexIVFPQ actually ships, and the standard accuracy upgrade over
+    raw-vector PQ at identical code size. The oracle recomputes the
+    residual codewords, residual encodes, and per-(query, cell) ADC
+    tables symbolically with subtraction-first arithmetic."""
+    from hdfs_mapreduce_spark.operators.similarity import (
+        ann_topk_ivfpq_residual,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_topk_ivfpq_residual(
+        emb, QUERY_IDS, TOP_K, nlist=IVF_NLIST, nprobe=IVF_NPROBE
+    )
+
+
 def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the IVF-PQ search against the brute-force ground
     truth, per query — the quantified answer to "what does the 16-cell
@@ -769,6 +786,7 @@ QUERIES = {
     "ann_probe_appended": ann_probe_appended,
     "ann_probe_deleted": ann_probe_deleted,
     "ann_ivfpq_recall": ann_ivfpq_recall,
+    "ann_ivfpq_residual": ann_ivfpq_residual,
     "dedup_pq_buckets": dedup_pq_buckets,
     "text_hash_embeddings": text_hash_embeddings,
     "text_hash_ann": text_hash_ann,
@@ -1019,6 +1037,128 @@ def _ivfpq_recall_sql() -> str:
           ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
         GROUP BY e.query_id
         ORDER BY e.query_id
+    """
+
+
+def _ann_ivfpq_residual_sql() -> str:
+    """IVFADC-proper oracle: codewords are the model sample's RESIDUALS
+    w.r.t. their own cells, encode argmins run on each vector's residual,
+    and the ADC lookup table is per-(query, probed cell). Every residual
+    is computed subtraction-first ((x[i] − cvec[i]) − cw[i]) exactly as
+    the kernel's elementwise numpy, so doubles are bit-identical."""
+    from hdfs_mapreduce_spark.operators.similarity import PQ_KSUB, PQ_M
+
+    dsub = EMB_DIM // PQ_M
+
+    def res_sqdist(x: str, cv: str, cw: str, s: str) -> str:
+        diff = (
+            f"(CAST({x}[{s} * {dsub} + i] AS DOUBLE)"
+            f" - CAST({cv}[{s} * {dsub} + i] AS DOUBLE)) - {cw}[i]"
+        )
+        return (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dsub}), "
+            f"i -> ({diff}) * ({diff}))), (acc, v) -> acc + v)"
+        )
+
+    enc = res_sqdist("e.embedding", "ac.cvec", "c.cvec", "c.s")
+    lut = res_sqdist("q.embedding", "ct.cvec", "c.cvec", "c.s")
+    return f"""
+        WITH cents AS (
+            SELECT ROW_NUMBER() OVER (
+                       ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                   ) - 1 AS cell,
+                   cvec
+            FROM (
+                SELECT vec_id, embedding AS cvec FROM embeddings
+                ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                LIMIT {IVF_NLIST}
+            )
+        ),
+        src AS (
+            -- codeword sources: the ksub scramble rows AFTER the nlist
+            -- centroid rows (a centroid's own residual is ~zero; shared
+            -- slices would degenerate the codebook)
+            SELECT rn - {IVF_NLIST} AS j, vec_id, v FROM (
+                SELECT ROW_NUMBER() OVER (
+                           ORDER BY (vec_id * 2654435761) % 4294967296,
+                                    vec_id
+                       ) - 1 AS rn,
+                       vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                FROM (
+                    SELECT vec_id, embedding FROM embeddings
+                    ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
+                    LIMIT {IVF_NLIST + PQ_KSUB}
+                )
+            ) WHERE rn >= {IVF_NLIST}
+        ),
+        scored_cells AS (
+            SELECT e.vec_id, c.cell, c.cvec,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.cell
+                   ) AS rn
+            FROM embeddings e, cents c
+        ),
+        allcell AS (
+            SELECT vec_id AS vid, cell, cvec FROM scored_cells WHERE rn = 1
+        ),
+        rcw AS (
+            SELECT sub.s, src.j,
+                   list_transform(generate_series(1, {dsub}),
+                       i -> src.v[sub.s * {dsub} + i]
+                          - CAST(ac.cvec[sub.s * {dsub} + i] AS DOUBLE)
+                   ) AS cvec
+            FROM src
+            JOIN allcell ac ON ac.vid = src.vec_id,
+                 (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s) sub
+        ),
+        codes AS (
+            SELECT vid, s, j AS code FROM (
+                SELECT e.vec_id AS vid, c.s, c.j,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id, c.s
+                           ORDER BY {enc}, c.j
+                       ) AS rn
+                FROM embeddings e
+                JOIN allcell ac ON ac.vid = e.vec_id, rcw c)
+            WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, cell
+            FROM scored_cells
+            WHERE rn <= {IVF_NPROBE} AND vec_id IN ({_IDS})
+        ),
+        luts AS (
+            SELECT q.vec_id AS query_id, p.cell, c.s, c.j, {lut} AS d
+            FROM embeddings q
+            JOIN probes p ON p.query_id = q.vec_id
+            JOIN cents ct ON ct.cell = p.cell, rcw c
+            WHERE q.vec_id IN ({_IDS})
+        ),
+        adist AS (
+            SELECT l.query_id, co.vid AS neighbor_id,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(l.d ORDER BY l.s)),
+                       (acc, v) -> acc + v) AS approx_dist
+            FROM codes co
+            JOIN allcell ce ON ce.vid = co.vid
+            JOIN probes p ON p.cell = ce.cell
+            JOIN luts l ON l.query_id = p.query_id AND l.cell = ce.cell
+                       AND l.s = co.s AND l.j = co.code
+            WHERE co.vid <> p.query_id
+            GROUP BY l.query_id, co.vid
+        )
+        SELECT query_id, neighbor_id, rank, approx_dist FROM (
+            SELECT query_id, neighbor_id, approx_dist,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY approx_dist, neighbor_id
+                   ) AS rank
+            FROM adist)
+        WHERE rank <= {TOP_K}
+        ORDER BY query_id, rank
     """
 
 
@@ -1292,6 +1432,7 @@ ORACLE_SQL = {
         survivor_pred=f"co.vid % {DELETE_MOD} <> 0"
     ),
     "ann_ivfpq_recall": _ivfpq_recall_sql(),
+    "ann_ivfpq_residual": _ann_ivfpq_residual_sql(),
     "dedup_pq_buckets": f"""
         WITH {_pq_ctes()},
         keys AS (

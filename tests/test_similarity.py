@@ -571,3 +571,36 @@ def test_mmr_select_missing_query_is_empty(spark):
 
     emb = load_table(spark, SF_CORRECTNESS, "embeddings")
     assert mmr_select(emb, query_id=-999).count() == 0
+
+
+def test_ivfpq_residual_codebook_not_degenerate(spark):
+    """Regression pin for the shared-slice bug: when the codeword sample
+    rows coincide with the centroid rows, every residual codeword is
+    ~zero and ADC ranking degenerates to the tie order (measured recall
+    0.04-0.06). With the disjoint slices the residual kernel must stay
+    well above that floor, and a corpus with no rows beyond the
+    centroids must refuse to fit."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivfpq_residual,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(emb, q, 10).collect()
+    }
+    res = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_ivfpq_residual(emb, q, 10).collect()
+    }
+    assert len(res & exact) / len(exact) >= 0.1
+    # nlist rows exactly: no disjoint codeword sample can exist
+    tiny = emb.orderBy("vec_id").limit(16)
+    with pytest.raises(ValueError, match="corpus too small"):
+        ann_topk_ivfpq_residual(tiny, [0], 5, nlist=16)

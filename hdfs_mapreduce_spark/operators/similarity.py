@@ -1650,23 +1650,38 @@ def ann_topk_ivfpq(
                     mat[:, s * dsub : (s + 1) * dsub], cbs[s]
                 ).argmin(axis=0)
             ids = pdf[id_col].values
+            # Group rows by cell ONCE per batch (one argsort), then each
+            # query gathers its probed cells' row slices by fancy
+            # indexing — the ann_index probe's vectorization (r8),
+            # applied to the fused kernel's identical inner loop.
+            order = np.argsort(cells, kind="stable")
+            sorted_cells = cells[order]
+            uniq, starts = np.unique(sorted_cells, return_index=True)
+            bounds = np.append(starts, len(sorted_cells))
+            cell_rows = {
+                int(c): order[bounds[i] : bounds[i + 1]]
+                for i, c in enumerate(uniq)
+            }
             frames = []
             for qi, qid in enumerate(qids):
-                in_probe = np.array(
-                    [c in probe_sets[qi] for c in cells], dtype=bool
-                )
-                keep = in_probe & (ids != qid)
-                if not keep.any():
+                slices = [
+                    cell_rows[c] for c in probe_sets[qi] if c in cell_rows
+                ]
+                if not slices:
                     continue
-                acc = np.zeros(int(keep.sum()))
-                kcodes = codes[keep]
+                rows = np.concatenate(slices)
+                rows = rows[ids[rows] != qid]
+                if not len(rows):
+                    continue
+                acc = np.zeros(len(rows))
+                kcodes = codes[rows]
                 for s in range(m_sub):  # s-ascending fold = list_reduce
                     acc = acc + luts[qi, s, kcodes[:, s]]
                 frames.append(
                     pd.DataFrame(
                         {
                             "query_id": qid,
-                            "neighbor_id": ids[keep],
+                            "neighbor_id": ids[rows],
                             "approx_dist": acc,
                         }
                     )

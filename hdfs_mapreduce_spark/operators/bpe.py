@@ -139,6 +139,28 @@ def bpe_encode(
     )
 
 
+def save_bpe_model(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the ordered merge list as a parquet artifact — the
+    tokenizer lifecycle's model file (train once, encode everywhere):
+    a production pipeline trains on one corpus snapshot and applies the
+    FROZEN merges to every later batch, exactly like the ANN index's
+    frozen-model contract. The artifact is merge-count-sized (KBs for a
+    32k vocab), so one coalesced file."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "step long, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_model(spark, path: str) -> list[tuple[str, str]]:
+    """Reload a merge list saved by ``save_bpe_model`` — order restored
+    from the explicit step column, never from file layout."""
+    return [
+        (r["a"], r["b"])
+        for r in spark.read.parquet(path).orderBy("step").collect()
+    ]
+
+
 def bpe_learn(
     df: DataFrame,
     text_col: str,

@@ -200,3 +200,35 @@ def test_bpe_learn_long_run_with_checkpointing(spark):
     assert got == want
     leaked = set(sc._jsc.getPersistentRDDs().keySet()) - before
     assert len(leaked) <= 1  # only the newest checkpoint may remain live
+
+
+def test_bpe_model_save_load_roundtrip_and_frozen_encode(spark, tmp_path):
+    """The tokenizer lifecycle: train once, persist the merges, reload,
+    and encode a NEW batch with the frozen model — loaded-model encodes
+    must be identical to fresh-model encodes, and merge order must come
+    from the step column, not file layout."""
+    from hdfs_mapreduce_spark.operators.bpe import (
+        bpe_encode,
+        bpe_learn,
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "lower lowest newer newest wider widest low new"),
+         (1, "lower newer low low newest widest")],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe_learn(docs, "text", 6)
+    path = str(tmp_path / "bpe_model")
+    save_bpe_model(spark, merges, path)
+    loaded = load_bpe_model(spark, path)
+    assert loaded == merges
+    day2 = spark.createDataFrame(
+        [(7, "newest lowest wider unseen")], "doc_id long, text string"
+    )
+    fresh = bpe_encode(day2, "doc_id", "text", merges).collect()
+    frozen = bpe_encode(day2, "doc_id", "text", loaded).collect()
+    assert [(r["doc_id"], r["tokens"]) for r in fresh] == [
+        (r["doc_id"], r["tokens"]) for r in frozen
+    ]

@@ -64,6 +64,8 @@ ranked as missing item 3.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -158,9 +160,11 @@ class ConcurrentCommitError(RuntimeError):
 
 def _log_versions(
     spark: SparkSession, root: str
-) -> list[tuple[int, int | None, str, str, str | None]]:
+) -> list[tuple[int, int | None, str, str, str | None, float | None]]:
     """Committed log entries ascending by version:
-    ``(version, batch_id or None, kind, data_dir_name, writer or None)``.
+    ``(version, batch_id or None, kind, data_dir_name, writer or None,
+    commit wall-clock ts or None)`` — ts is None for pre-r8 commits and
+    legacy filename-only entries.
 
     Current grammar: one ``v{N}.commit`` file per version — the FILENAME
     is the version slot (so two concurrent writers of version N collide
@@ -220,6 +224,7 @@ def _log_versions(
                     rec["kind"],
                     rec["data"],
                     rec.get("writer"),
+                    rec.get("ts"),
                 )
                 for rec in recs
             ]
@@ -263,6 +268,7 @@ def _log_versions(
                     rec["kind"],
                     rec.get("data") or f"v{int(core[1:])}",
                     rec.get("writer"),
+                    rec.get("ts"),
                 )
             )
         elif kind in _KINDS:  # legacy filename-only entries
@@ -277,6 +283,7 @@ def _log_versions(
                     int(btag) if btag else None,
                     kind,
                     f"v{int(vpart)}",
+                    None,
                     None,
                 )
             )
@@ -314,8 +321,9 @@ def checkpoint_log(spark: SparkSession, root: str) -> int | None:
                 "kind": k,
                 "data": d,
                 "writer": w,
+                "ts": ts,
             }
-            for v, b, k, d, w in entries
+            for v, b, k, d, w, ts in entries
         ]
     )
     # Losing the rename means a same-N checkpoint (identical content by
@@ -431,6 +439,11 @@ def _commit(
             "kind": kind,
             "data": data_name,
             "writer": writer,
+            # wall-clock commit time: powers vacuum(older_than_s=…);
+            # nothing CORRECTNESS-bearing reads it (snapshots/CDF/replay
+            # are version-ordered), so clock skew costs only retention
+            # precision — the same contract Delta's timestamps carry.
+            "ts": time.time(),
         }
         if backend.put_if_absent(
             spark,
@@ -562,6 +575,7 @@ def vacuum(
     root: str,
     sweep_orphans: bool = False,
     retain_last: int | None = None,
+    older_than_s: float | None = None,
 ) -> list[int]:
     """Physically delete data versions BELOW the latest compaction — the
     snapshot never reads them (the compaction carries their net effect),
@@ -570,17 +584,23 @@ def vacuum(
     stay (cheap, and they document history); ``snapshot(as_of=
     <vacuumed>)`` fails at scan time thereafter, same as Delta.
 
-    ``retain_last=N`` is the retention policy (Delta's RETAIN clause,
-    counted in commits rather than hours — commit records carry no
-    wall clock): time travel to any of the N newest versions must keep
-    working. A snapshot as-of version v reads every data version from
-    its compaction floor up, so the deletable set is everything below
-    the newest compaction that is itself ≤ the retention horizon —
-    deleting anything above that compaction would break an as-of INSIDE
-    the retained window, not just below it. With no compaction at or
-    below the horizon nothing is deletable, exactly like Delta when no
-    checkpoint predates the retention boundary. Default (None) retains
-    nothing below the newest compaction — the pre-r8 behavior.
+    ``retain_last=N`` is the retention policy counted in commits;
+    ``older_than_s=S`` is Delta's RETAIN clause proper — only data
+    whose commit wall-clock ts is older than S seconds ago is
+    deletable. Both mean "time travel inside the retained window must
+    keep working": a snapshot as-of version v reads every data version
+    from its compaction floor up, so the deletable set is everything
+    below the newest compaction that is itself ≤ the retention horizon
+    — deleting anything above that compaction would break an as-of
+    INSIDE the retained window, not just below it. With no compaction
+    at or below the horizon nothing is deletable, exactly like Delta
+    when no checkpoint predates the retention boundary. When both
+    policies are given, a version is retained if EITHER retains it
+    (the stricter horizon wins). Commits with no ts (pre-r8 tables,
+    legacy entries) are never dated and therefore never deletable by
+    the clock policy — never delete what you can't date. Default
+    (None, None) retains nothing below the newest compaction — the
+    pre-r8 behavior.
 
     ``sweep_orphans=True`` additionally deletes data dirs no committed
     log entry references — the residue of attempts that crashed between
@@ -598,13 +618,22 @@ def vacuum(
     entries = _log_versions(spark, root)
     compactions = [e[0] for e in entries if e[2] == "compact"]
     removed = []
+    horizons = []
     if retain_last is not None:
         # Horizon = oldest version inside the retained window.
-        horizon = (
+        horizons.append(
             entries[-retain_last][0]
             if len(entries) >= retain_last
             else (entries[0][0] if entries else 0)
         )
+    if older_than_s is not None:
+        cutoff = time.time() - older_than_s
+        young = [e[0] for e in entries if e[5] is None or e[5] >= cutoff]
+        horizons.append(
+            min(young) if young else (entries[-1][0] + 1 if entries else 0)
+        )
+    if horizons:
+        horizon = min(horizons)  # stricter policy wins
         compactions = [c for c in compactions if c <= horizon]
     if compactions:
         floor = max(compactions)

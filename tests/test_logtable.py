@@ -962,3 +962,63 @@ def test_merge_batch_all_deletes_and_all_upserts(spark, tmp_path):
     )
     assert merge_batch(all_dels, 1, root, "k", "is_delete")
     assert snapshot(spark, root, "k").count() == 0
+
+
+def test_vacuum_older_than_clock_retention(spark, tmp_path):
+    """vacuum(older_than_s=S): only data whose commit wall clock is
+    older than S is deletable (Delta's RETAIN proper), bounded as ever
+    by the newest compaction at or below the horizon; ts-less commits
+    (pre-r8 tables) are undatable and therefore never clock-deletable."""
+    import json
+
+    from hdfs_mapreduce_spark.streaming.logtable import vacuum
+
+    root = str(tmp_path / "t")
+    for i in range(3):
+        upsert_batch(_batch(spark, [(i, f"v{i}")]), i, root, "k")
+    assert compact(spark, root, "k") == 3
+    upsert_batch(_batch(spark, [(9, "v9")]), 9, root, "k")
+    # everything is seconds old: a 1-hour retention deletes nothing
+    assert vacuum(spark, root, older_than_s=3600) == []
+    assert snapshot(spark, root, "k", as_of=0).count() == 1
+    def _age(rt, v, delta=10_000, drop_ts=False):
+        # rewrite a commit's ts; drop the Hadoop LocalFS .crc sidecar,
+        # which the plain-Python rewrite invalidates
+        p = os.path.join(rt, "_log", f"v{v}.commit")
+        rec = json.loads(open(p).read())
+        if drop_ts:
+            del rec["ts"]
+        else:
+            rec["ts"] = rec["ts"] - delta
+        open(p, "w").write(json.dumps(rec))
+        crc = os.path.join(rt, "_log", f".v{v}.commit.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # age versions 0-1 by rewriting their ts into the past
+    for v in (0, 1):
+        _age(root, v)
+    # horizon = v2 (youngest non-aged); no compaction <= 2 -> nothing
+    # deletable (the compaction-bound rule protects as_of=2)
+    assert vacuum(spark, root, older_than_s=5000) == []
+    # age v2 as well: horizon = v3 = the compaction -> 0-2 go
+    _age(root, 2)
+    assert vacuum(spark, root, older_than_s=5000) == [0, 1, 2]
+    assert {r["k"] for r in snapshot(spark, root, "k").collect()} == {
+        0, 1, 2, 9
+    }
+    # a ts-less (pre-r8) commit is never clock-deletable — and because
+    # the retained horizon is the MINIMUM retained version, an
+    # undatable old commit conservatively pins the horizon for every
+    # later version too: the clock policy deletes nothing here
+    root2 = str(tmp_path / "t2")
+    for i in range(2):
+        upsert_batch(_batch(spark, [(i, "x")]), i, root2, "k")
+    _age(root2, 0, drop_ts=True)
+    _age(root2, 1)  # v1 is genuinely old
+    compact(spark, root2, "k")
+    assert vacuum(spark, root2, older_than_s=5000) == []
+    assert snapshot(spark, root2, "k", as_of=0).count() == 1
+    # the count policy is indifferent to missing clocks: retain_last
+    # still prunes the same table
+    assert vacuum(spark, root2, retain_last=1) == [0, 1]

@@ -319,3 +319,41 @@ def test_deleted_index_reloads_tombstones_from_disk(spark, tmp_path):
     got = _rows(ann_probe_ivfpq(reopened, queries, k=10, nprobe=4))
     assert got == want
     assert not ({r[1] for r in got} & set(victims))
+
+
+def test_streaming_deletes_are_replay_safe(spark, tmp_path):
+    """Deletes arriving as a STREAM (right-to-erasure feeds, dedup
+    kill-lists): each micro-batch routes through
+    delete_from_ivfpq_index inside a foreachBatch-shaped sink keyed by
+    batch id — the tombstone logtable makes at-least-once delivery
+    idempotent, two batches compose, and the probe reads through the
+    accumulated tombstones."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        delete_from_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    index = build_ivfpq_index(emb, name="ivfpq_stream_del")
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    before = _rows(ann_probe_ivfpq(index, queries, k=30, nprobe=4))
+    victims_a = sorted({r[1] for r in before if r[1] % 4 == 1})[:5]
+    victims_b = sorted({r[1] for r in before if r[1] % 4 == 2})[:5]
+    assert victims_a and victims_b
+
+    state = {"index": index}
+
+    def sink(batch_df, batch_id):  # the foreachBatch shape
+        state["index"] = delete_from_ivfpq_index(
+            state["index"], batch_df, batch_id, writer="del_stream"
+        )
+
+    mk = lambda ids: spark.createDataFrame([(v,) for v in ids], "vec_id long")
+    sink(mk(victims_a), 0)
+    sink(mk(victims_a), 0)  # at-least-once replay: must be a no-op
+    sink(mk(victims_b), 1)
+    got = _rows(ann_probe_ivfpq(state["index"], queries, k=30, nprobe=4))
+    gone = set(victims_a) | set(victims_b)
+    assert not ({r[1] for r in got} & gone)
+    assert sorted(
+        r["id"] for r in state["index"]["tombstones"].collect()
+    ) == sorted(gone)

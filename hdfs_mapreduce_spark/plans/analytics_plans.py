@@ -783,7 +783,42 @@ def events_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frames (§2.7's value-based frame kind —
+    q18/q23 cover only ROWS frames): per user, the count and value-sum
+    of everything in the PRECEDING HOUR of event time, per event. ROWS
+    frames can't express this (a frame of "the last N rows" is wrong
+    whenever event density varies); RANGE BETWEEN is how running
+    time-windowed features (rate limits, rolling spend, burst scores)
+    are computed without a self-join. The frame runs on microsecond
+    epoch ticks — the fixture's timestamps are sub-second, so
+    second-truncated bounds would disagree with the oracle's INTERVAL
+    arithmetic at the frame edges; the NTZ→LTZ cast offset cancels in
+    the bound DIFFERENCES (streaming/events.py _epoch_sec note). The
+    count column makes frame inclusion EXACT (integers), so the hash
+    proves boundary semantics, not just sums. One user-keyed shuffle;
+    whole-stage window, no join."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            F.sum("value").over(w).alias("sum_last_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
 QUERIES = {
+    "events_range_frame": events_range_frame,
     "tpch_q3_shipping": tpch_q3_shipping,
     "dq_checks": dq_checks,
     "dataset_time_split": dataset_time_split,
@@ -910,6 +945,20 @@ def _dq_sql() -> str:
 
 
 ORACLE_SQL = {
+    # RANGE frame in microsecond epoch ticks, the engine's exact frame:
+    # [ts - 1h, ts] inclusive both ends, all peers included.
+    "events_range_frame": """
+        SELECT event_id, user_id, value,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+               SUM(value) OVER w AS sum_last_hour
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_id
+    """,
     "dq_checks": _dq_sql(),
     "events_join_cardinality": f"""
         WITH ca AS (

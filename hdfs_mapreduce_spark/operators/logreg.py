@@ -232,3 +232,45 @@ def logreg_confusion(
         )
     finally:
         base.unpersist()
+
+
+def logreg_calibration(
+    docs: DataFrame,
+    label: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = LOGREG_DIM,
+    rounds: int = LOGREG_ROUNDS,
+    lr: float = LOGREG_LR,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for the fitted classifier: bin predicted
+    probability into ``n_bins`` equal-width bins and report per bin the
+    count, mean predicted probability, and observed positive fraction —
+    the calibration readout that decides whether a quality gate's
+    threshold means what it says (a filter keeping p ≥ 0.9 docs is only
+    as selective as bin 9 is pure). Same persist scope discipline as
+    logreg_confusion: features built once, ≤ n_bins rows collected."""
+    base = _base_relation(docs, label, id_col, text_col, dim).persist()
+    try:
+        w = _gd(base, dim, rounds, lr)
+        p = _prob(_margin(w, dim))
+        bin_ = F.least(
+            F.floor(p * n_bins).cast("long"), F.lit(n_bins - 1)
+        )
+        rows = (
+            base.select(F.col("y"), p.alias("p"), bin_.alias("bin"))
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("p").alias("mean_p"),
+                F.avg("y").alias("frac_pos"),
+            )
+            .orderBy("bin")
+            .collect()
+        )
+        return docs.sparkSession.createDataFrame(
+            rows, "bin long, n long, mean_p double, frac_pos double"
+        )
+    finally:
+        base.unpersist()

@@ -209,6 +209,22 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_confusion(docs, F.col("lang") == "en")
 
 
+def quality_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit, then the reliability diagram (operators/logreg.py
+    logreg_calibration): per probability bin, count / mean predicted
+    probability / observed positive fraction — whether the gate's
+    threshold means what it says. The oracle reuses the unrolled-fit
+    CTEs' per-doc sigmoid and bins with the same floor/cap rule; the
+    probabilities are bit-identical by the fit oracle's discipline, so
+    bin membership is too."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.logreg import logreg_calibration
+
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return logreg_calibration(docs, F.col("lang") == "en")
+
+
 def _logreg_ctes() -> str:
     """The fit unrolled: feats (integer cells -> one exact division),
     labels, then per round r: margins (bias-seeded ordered fold), resid
@@ -324,6 +340,37 @@ def _logreg_score_sql() -> str:
     """
 
 
+def _logreg_calibration_sql(n_bins: int = 10) -> str:
+    from hdfs_mapreduce_spark.operators.logreg import (
+        LOGREG_DIM,
+        LOGREG_ROUNDS,
+    )
+
+    t, d = LOGREG_ROUNDS, LOGREG_DIM
+    return f"""
+        WITH {_logreg_ctes()},
+        mT AS MATERIALIZED (
+            SELECT f.doc,
+                   list_reduce(list_prepend(
+                       (SELECT w FROM w{t} WHERE idx = {d}),
+                       list(wr.w * f.x ORDER BY f.idx)),
+                       (a, v) -> a + v) AS margin
+            FROM feats f JOIN w{t} wr ON wr.idx = f.idx
+            GROUP BY f.doc
+        ),
+        scored AS MATERIALIZED (
+            SELECT l.y,
+                   1.0 / (1.0 + exp(-COALESCE(m.margin,
+                       (SELECT w FROM w{t} WHERE idx = {d})))) AS p
+            FROM labels l LEFT JOIN mT m ON m.doc = l.doc
+        )
+        SELECT LEAST(CAST(floor(p * {n_bins}) AS BIGINT),
+                     {n_bins - 1}) AS bin,
+               COUNT(*) AS n, AVG(p) AS mean_p, AVG(y) AS frac_pos
+        FROM scored GROUP BY bin ORDER BY bin
+    """
+
+
 QUERIES = {
     "text_bm25": text_bm25,
     "text_tfidf": text_tfidf,
@@ -331,6 +378,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "quality_logreg_fit": quality_logreg_fit,
     "quality_logreg_score": quality_logreg_score,
+    "quality_logreg_calibration": quality_logreg_calibration,
 }
 
 ORACLE_SQL = {
@@ -340,4 +388,5 @@ ORACLE_SQL = {
     "vocab_coverage": _vocab_sql(),
     "quality_logreg_fit": _logreg_fit_sql(),
     "quality_logreg_score": _logreg_score_sql(),
+    "quality_logreg_calibration": _logreg_calibration_sql(),
 }

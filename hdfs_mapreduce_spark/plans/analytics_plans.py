@@ -817,8 +817,55 @@ def events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STATS_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+
+def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column statistics over lineitem's measure
+    columns in ONE corpus scan: per column the row count, null count,
+    exact NDV, min/max, and mean — the inputs a cost-based optimizer
+    (and a data-quality baseline) wants. All aggregates land in a
+    single ``agg`` call, so Spark plans one pass with an Expand for the
+    multiple count-distincts instead of one scan per column — the shape
+    that matters when the table is 100 TB. The 1×(6·k) stats row is
+    collected (driver-bounded by construction — it IS the statistics)
+    and unpivoted to the (col, …) relation. Mean is the only
+    order-sensitive double (6dp canon absorbs the association error);
+    everything else is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS:
+        cd = F.col(c).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(cd).alias(f"{c}__min"),
+            F.max(cd).alias(f"{c}__max"),
+            F.avg(cd).alias(f"{c}__avg"),
+        ]
+    row = li.agg(*aggs).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                c,
+                row[f"{c}__n"],
+                row[f"{c}__nulls"],
+                row[f"{c}__ndv"],
+                row[f"{c}__min"],
+                row[f"{c}__max"],
+                row[f"{c}__avg"],
+            )
+            for c in _STATS_COLS
+        ],
+        "col string, n_rows long, n_nulls long, ndv long, "
+        "min_v double, max_v double, avg_v double",
+    ).orderBy("col")
+
+
 QUERIES = {
     "events_range_frame": events_range_frame,
+    "profile_column_stats": profile_column_stats,
     "tpch_q3_shipping": tpch_q3_shipping,
     "dq_checks": dq_checks,
     "dataset_time_split": dataset_time_split,
@@ -960,6 +1007,18 @@ ORACLE_SQL = {
         ORDER BY event_id
     """,
     "dq_checks": _dq_sql(),
+    "profile_column_stats": " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS ndv,
+               MIN(CAST({c} AS DOUBLE)) AS min_v,
+               MAX(CAST({c} AS DOUBLE)) AS max_v,
+               AVG(CAST({c} AS DOUBLE)) AS avg_v
+        FROM lineitem"""
+        for c in _STATS_COLS
+    )
+    + " ORDER BY col",
     "events_join_cardinality": f"""
         WITH ca AS (
             SELECT row, bucket, COUNT(*) AS cnt

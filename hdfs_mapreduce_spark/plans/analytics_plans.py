@@ -820,6 +820,23 @@ def events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STATS_COLS = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
 
 
+def _stats_agg(li: DataFrame) -> DataFrame:
+    """The one-pass stats aggregate (1 row × 6·k columns) — separate so
+    the plan test can pin the single-scan shape before the collect."""
+    aggs = []
+    for c in _STATS_COLS:
+        cd = F.col(c).cast("double")
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__ndv"),
+            F.min(cd).alias(f"{c}__min"),
+            F.max(cd).alias(f"{c}__max"),
+            F.avg(cd).alias(f"{c}__avg"),
+        ]
+    return li.agg(*aggs)
+
+
 def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE TABLE-style column statistics over lineitem's measure
     columns in ONE corpus scan: per column the row count, null count,
@@ -833,18 +850,7 @@ def profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-sensitive double (6dp canon absorbs the association error);
     everything else is exact."""
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in _STATS_COLS:
-        cd = F.col(c).cast("double")
-        aggs += [
-            F.count(F.lit(1)).alias(f"{c}__n"),
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
-            F.countDistinct(F.col(c)).alias(f"{c}__ndv"),
-            F.min(cd).alias(f"{c}__min"),
-            F.max(cd).alias(f"{c}__max"),
-            F.avg(cd).alias(f"{c}__avg"),
-        ]
-    row = li.agg(*aggs).collect()[0]
+    row = _stats_agg(li).collect()[0]
     return spark.createDataFrame(
         [
             (

@@ -597,3 +597,17 @@ def test_mmr_base_scan_is_single_kernel(spark):
     assert out.count() == 2  # driver loop ran; per-round plan is the
     # TakeOrdered top-1 the operator builds (asserted by its docstring
     # contract and the trajectory test in test_similarity.py)
+
+
+def test_profile_column_stats_single_scan(spark):
+    """ANALYZE-style stats must compute every column's aggregates in ONE
+    corpus pass: exactly one parquet FileScan, with the multiple
+    count-distincts planned through Expand — one scan per column would
+    read a 100 TB table four times."""
+    from hdfs_mapreduce_spark.plans.analytics_plans import _stats_agg
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    plan = plan_of(_stats_agg(li), mode="simple")
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Expand" in plan

@@ -953,6 +953,77 @@ def _bpe_encode_sql(k: int) -> str:
     """
 
 
+# Drift-monitor binning: fixed-width token-count bins (data-independent
+# edges keep both engines' bin membership exactly integer-determined;
+# reference-quantile edges would demand engine-exact percentiles).
+PSI_BINS = 10
+PSI_BIN_WIDTH = 16
+
+
+def corpus_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus snapshots — THE
+    standard drift monitor a production data pipeline runs before
+    admitting a new crawl batch (PSI < 0.1 stable / < 0.25 drifting /
+    else act). Snapshots here are the deterministic doc_id-parity
+    halves standing in for day-1 vs day-2; the monitored feature is the
+    per-doc token count in fixed-width bins. Per bin: both counts, the
+    Laplace-smoothed densities ((n + 0.5) / (N + 0.5·B) — empty bins
+    must not produce ln(0)), the PSI term (p_cur − p_ref)·ln(p_cur /
+    p_ref), and the grand total. One map pass + a B-row aggregate; the
+    empty-bin densify joins against a literal B-row range, so nothing
+    here scales with the corpus except the scan."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    from hdfs_mapreduce_spark.functions.text import tokens as _tok
+
+    ntok = F.size(_tok(F.col("text")))
+    bin_ = F.least(
+        F.floor(ntok / PSI_BIN_WIDTH).cast("long"),
+        F.lit(PSI_BINS - 1),
+    )
+    counts = (
+        docs.select(
+            bin_.alias("bin"), (F.col("doc_id") % 2 == 1).alias("is_cur")
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(~F.col("is_cur"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("is_cur"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    bins = spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+    full = bins.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_cur", F.lit(0)).cast("long").alias("n_cur"),
+    )
+    tot = full.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    eps = 0.5 * PSI_BINS
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + eps)
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + eps)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    from pyspark.sql.window import Window as _W
+
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            p_ref.alias("p_ref"),
+            p_cur.alias("p_cur"),
+            term.alias("psi_term"),
+        )
+        .withColumn("psi_total", F.sum("psi_term").over(_W.partitionBy()))
+        .orderBy("bin")
+    )
+
+
 def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confusion matrix of the corpus-trained Naive Bayes language
     classifier (operators/relevance.py nb_classify): (lang, pred, n) over
@@ -1018,6 +1089,7 @@ QUERIES = {
     "bpe_pair_stats": bpe_pair_stats,
     "bpe_train": bpe_train,
     "bpe_encode": bpe_encode,
+    "corpus_drift_psi": corpus_drift_psi,
     "pii_scrub": pii_scrub,
     "corpus_mix": corpus_mix,
     "corpus_reweight": corpus_reweight,
@@ -1114,6 +1186,44 @@ ORACLE_SQL = {
     "nb_lang_confusion": _nb_sql(),
     "bpe_train": _bpe_train_sql(BPE_TRAIN_MERGES),
     "bpe_encode": _bpe_encode_sql(BPE_ENCODE_MERGES),
+    "corpus_drift_psi": f"""
+        WITH d AS (
+            SELECT LEAST(CAST(floor(CAST({_NTOK} AS DOUBLE)
+                                    / {PSI_BIN_WIDTH}) AS BIGINT),
+                         {PSI_BINS - 1}) AS bin,
+                   doc_id % 2 = 1 AS is_cur
+            FROM documents
+        ),
+        counts AS (
+            SELECT bin,
+                   SUM(CASE WHEN is_cur THEN 0 ELSE 1 END) AS n_ref,
+                   SUM(CASE WHEN is_cur THEN 1 ELSE 0 END) AS n_cur
+            FROM d GROUP BY bin
+        ),
+        bins AS (
+            SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS bin
+        ),
+        filled AS (
+            SELECT b.bin,
+                   CAST(COALESCE(c.n_ref, 0) AS BIGINT) AS n_ref,
+                   CAST(COALESCE(c.n_cur, 0) AS BIGINT) AS n_cur
+            FROM bins b LEFT JOIN counts c USING (bin)
+        ),
+        tot AS (
+            SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM filled
+        ),
+        terms AS (
+            SELECT bin, n_ref, n_cur,
+                   (n_ref + 0.5) / (t_ref + {0.5 * PSI_BINS}) AS p_ref,
+                   (n_cur + 0.5) / (t_cur + {0.5 * PSI_BINS}) AS p_cur
+            FROM filled, tot
+        )
+        SELECT bin, n_ref, n_cur, p_ref, p_cur,
+               (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_term,
+               SUM((p_cur - p_ref) * ln(p_cur / p_ref)) OVER ()
+                   AS psi_total
+        FROM terms ORDER BY bin
+    """,
     "bpe_pair_stats": f"""
         WITH tok AS (
             SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),

@@ -215,6 +215,31 @@ def _canonical_over_minhash(
     )
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram over the near-dup graph: (cluster_size,
+    n_clusters, n_docs) — the one-page observability readout a dedup
+    owner actually watches. A healthy crawl batch is overwhelmingly
+    size-1 with a thin tail; a sudden mass at high sizes means template
+    spam or a broken upstream join, and total kept docs after keep-one
+    dedup is Σ n_clusters — this histogram answers "how much will dedup
+    remove" BEFORE committing to the scrub. Cost beyond the component
+    labeling itself: one canonical-keyed aggregate of integers."""
+    assign = _canonical_over_minhash(spark, sf_dir, "dedup_hist")
+    sizes = assign.groupBy("canonical").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → dedup groups: connected components over the MinHash
     pair graph, every document mapped to its component's min doc_id (itself
@@ -680,6 +705,7 @@ QUERIES = {
     "dedup_lsh_recall": dedup_lsh_recall,
     "dedup_ngram_jaccard_capped": dedup_ngram_jaccard_capped,
     "dedup_components": dedup_components,
+    "dedup_cluster_sizes": dedup_cluster_sizes,
     "graph_pagerank": graph_pagerank,
     "dedup_edit_pairs": dedup_edit_pairs,
     "dedup_components_logrounds": dedup_components_logrounds,
@@ -1136,11 +1162,31 @@ ORACLE_SQL["dataset_split_safe"] = f"""
 # logrounds variant reuses the recursive-CTE oracle verbatim.
 ORACLE_SQL["dedup_components_logrounds"] = ORACLE_SQL["dedup_components"]
 
+# Histogram over the same labeling: the size-per-canonical aggregate of
+# the components oracle's assign relation.
+ORACLE_SQL["dedup_cluster_sizes"] = f"""
+    WITH RECURSIVE {_BASE_CTE},
+    {_BANDS_CTE},
+    {{component_ctes}},
+    assign AS (
+        SELECT d.doc_id,
+               LEAST(d.doc_id, COALESCE(l.mn, d.doc_id)) AS canonical
+        FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+    ),
+    sizes AS (
+        SELECT canonical, COUNT(*) AS cluster_size FROM assign GROUP BY 1
+    )
+    SELECT cluster_size, COUNT(*) AS n_clusters,
+           cluster_size * COUNT(*) AS n_docs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
 for _k in (
     "dedup_components",
     "dedup_components_logrounds",
     "dedup_keep_best",
     "dataset_split_safe",
+    "dedup_cluster_sizes",
 ):
     ORACLE_SQL[_k] = ORACLE_SQL[_k].replace("{component_ctes}", _COMPONENT_CTES)
 

@@ -214,42 +214,62 @@ def connected_components_logrounds(
     social graphs). Near-dup graphs are tiny cliques, so the default
     ``connected_components`` keeps min-label + the union-find gate;
     this variant exists for the long-chain regime and is property-tested
-    to produce the identical labeling. Same execution contract: the
-    probe loop runs on eagerly-checkpointed iterates, everything is
-    freed before return, and the result is re-derived as a pure plan
-    when small enough — here the converged star edges ARE the labeling,
-    so the final checkpointed relation is returned directly (one live
-    checkpoint, freed with the session)."""
+    to produce the identical labeling. Same no-cache-outlives-the-call
+    contract as ``connected_components``, met differently: min-label can
+    re-derive its result as a pure unrolled plan because each round
+    references the shared edge relation once, but a star round
+    references ITS OWN previous output twice (the small-star input is
+    big ∪ swap(big)), so an unrolled star plan doubles per round —
+    2^rounds analysis blowup, measured as a driver OOM on long-chain
+    graphs. Instead the converged relation lands in session scratch via
+    the materialize-then-probe API and the returned plan reads the
+    parquet: O(1) plan depth at any round count, every checkpoint freed
+    before return (the r8 ordering-sensitive pytest caught the old
+    returned-live-checkpoint form leaking one persistent RDD into every
+    later workload in the session)."""
+    import uuid
+
     from hdfs_mapreduce_spark.functions.checkpoints import CheckpointJanitor
+    from hdfs_mapreduce_spark.operators.materialize import materialize
 
     janitor = CheckpointJanitor(edges.sparkSession)
-    cur = _symmetric(edges, src, dst).distinct().localCheckpoint(eager=True)
-    prev_sig = None
-    for _ in range(max_iter):
-        big = _star_round(cur, large=True)
-        small = _star_round(
-            big.unionByName(big.select(F.col("dst").alias("src"), F.col("src").alias("dst"))),
-            large=False,
+    try:
+        cur = (
+            _symmetric(edges, src, dst).distinct().localCheckpoint(eager=True)
         )
-        cur = _symmetric(small, "src", "dst").distinct().localCheckpoint(
-            eager=True
-        )
-        janitor.free_all_but_latest()
-        # type-agnostic fixpoint signature: row count + an order-free sum
-        # of per-edge hashes (xxhash64 takes any column type — a sum over
-        # src+dst would ANSI-throw on string/binary node ids; the pmod
-        # bounds each term so the sum can't ANSI-overflow a long before
-        # 2^31 edges)
-        sig = cur.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.pmod(F.xxhash64("src", "dst"), F.lit(1 << 31))
-            ).alias("h"),
-        ).collect()[0]
-        sig = (sig["n"], sig["h"])
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+        prev_sig = None
+        for _ in range(max_iter):
+            big = _star_round(cur, large=True)
+            small = _star_round(
+                big.unionByName(
+                    big.select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                ),
+                large=False,
+            )
+            cur = _symmetric(small, "src", "dst").distinct().localCheckpoint(
+                eager=True
+            )
+            janitor.free_all_but_latest()
+            # type-agnostic fixpoint signature: row count + an order-free
+            # sum of per-edge hashes (xxhash64 takes any column type — a
+            # sum over src+dst would ANSI-throw on string/binary node ids;
+            # the pmod bounds each term so the sum can't ANSI-overflow a
+            # long before 2^31 edges)
+            sig = cur.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.pmod(F.xxhash64("src", "dst"), F.lit(1 << 31))
+                ).alias("h"),
+            ).collect()[0]
+            sig = (sig["n"], sig["h"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        cur = materialize(cur, f"logrounds_{uuid.uuid4().hex[:12]}")
+    finally:
+        janitor.free_all()
     # converged: every edge points a node at its component min — the
     # symmetric closure contains both directions, keep node > label, and
     # re-attach each component's root as (root, root) so the output

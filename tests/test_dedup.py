@@ -688,3 +688,31 @@ def test_minhash_wider_bands_cut_candidates_keep_high_j_pairs(spark):
 
     with pytest.raises(ValueError, match="not divisible"):
         minhash_pairs(docs, "doc_id", "text", 0.5, n_perm=16, n_bands=5)
+
+
+def test_logrounds_leaves_no_persistent_rdds(spark):
+    """The execution contract the min-label variant always had, now
+    pinned for star contraction too: the probe loop's checkpoints are
+    all freed and the returned relation is a PURE unrolled plan — the
+    old returned-live-checkpoint form leaked one persistent RDD into
+    every later workload in the session (caught only when tests ran
+    after the query sweep; file ordering had masked it)."""
+    from hdfs_mapreduce_spark.operators.components import (
+        connected_components,
+        connected_components_logrounds,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (7, 9), (10, 11), (11, 12), (12, 13)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in connected_components_logrounds(edges, "src", "dst").collect()
+    }
+    want = {
+        r["node"]: r["label"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == want
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0

@@ -29,6 +29,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hdfs_mapreduce_spark.operators.guards import (
+    VOCAB_BROADCAST_MAX_ROWS,
+    gated_broadcast,
+)
+
 
 def word_frequencies(df: DataFrame, text_col: str) -> DataFrame:
     """(word, n): lowercased whitespace word types with corpus counts —
@@ -87,6 +92,7 @@ def bpe_encode(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    broadcast_max_rows: int | None = VOCAB_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Encode a corpus with a learned merge list: (id, tokens, n_tokens)
     where tokens is each document's subword sequence in document order.
@@ -94,21 +100,26 @@ def bpe_encode(
     Scale shape (the standard trainer/encoder split): merges apply to the
     DISTINCT word types (vocabulary-sized), never to the corpus — each
     merge is one array fold over the word table, and the finished
-    word -> subwords dictionary **broadcasts** back onto the corpus token
-    stream (corpora repeat words; vocabularies don't). Word order inside
-    each document survives via posexplode position + an array_sort on
-    (pos, subwords) structs before the flatten — no window, one doc-keyed
-    shuffle. For vocab-scale merge lists (10k+), checkpoint the word
-    table every ~100 merges (operators/materialize) to bound the nested
-    expression depth; the dataflow is unchanged."""
-    words = (
+    word -> subwords dictionary joins back onto the corpus token stream,
+    **broadcast only under a probed bound**: curated corpora keep the
+    word-type relation in the millions, but Heaps' law puts a raw
+    crawl's in the billions, where a forced hint is an executor OOM.
+    The probe counts the PRE-merge word table (folds preserve row
+    count, so the probe plan skips the merge chain); over the bound the
+    plain join runs and AQE picks the strategy (guards.gated_broadcast).
+    Word order inside each document survives via posexplode position +
+    an array_sort on (pos, subwords) structs before the flatten — no
+    window, one doc-keyed shuffle. For vocab-scale merge lists (10k+),
+    checkpoint the word table every ~100 merges (operators/materialize)
+    to bound the nested expression depth; the dataflow is unchanged."""
+    base = (
         df.select(
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("word")
         )
         .filter(F.col("word") != "")
         .distinct()
-        .select("word", _chars(F.col("word")).alias("sym"))
     )
+    words = base.select("word", _chars(F.col("word")).alias("sym"))
     for a, b in merges:
         words = words.select("word", _apply_merge(F.col("sym"), a, b).alias("sym"))
     tok = (
@@ -121,7 +132,7 @@ def bpe_encode(
                 )
             ).alias("pos", "word"),
         )
-        .join(F.broadcast(words), "word")
+        .join(gated_broadcast(words, probe=base, max_rows=broadcast_max_rows), "word")
         .groupBy("doc")
         .agg(
             F.flatten(

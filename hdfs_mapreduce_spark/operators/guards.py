@@ -40,10 +40,48 @@ NGRAM_UNCAPPED_MAX_ROWS = 50_000
 # FLOP ceiling as the pair bound above).
 ANN_BRUTE_MAX_PAIRS = 500_000_000
 
+# Corpus-derived vocabulary relations (BPE word dictionary, unigram-LM
+# vocab, TF-IDF df table) are Heaps-law-unbounded: curated corpora keep
+# them in the millions, but a raw web crawl's whitespace-token types
+# (URLs, typos, hex blobs) grow into the billions, where a forced
+# ``F.broadcast`` hint is an executor OOM rather than a slow path. 2M
+# rows ≈ low-hundreds of MB for a word→subwords row — comfortably
+# inside an executor's broadcast budget; above it the plain join runs
+# and AQE picks the physical strategy at runtime.
+VOCAB_BROADCAST_MAX_ROWS = 2_000_000
+
 
 class ExactScaleError(ValueError):
     """An exact-contrast operator was asked to run over an input too
     large for its by-construction quadratic plan."""
+
+
+def gated_broadcast(
+    df: DataFrame,
+    probe: DataFrame | None = None,
+    max_rows: int | None = VOCAB_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Probe-then-decide broadcast for corpus-derived relations: count
+    ``probe`` (default ``df`` itself — pass a cheaper same-cardinality
+    plan when one exists, e.g. the pre-merge word table whose row count
+    a per-row fold chain preserves) and attach the ``F.broadcast`` hint
+    only when the relation is under ``max_rows``; otherwise return the
+    plain relation and let AQE choose the join strategy at runtime.
+
+    This is the ``hot_keys`` probe discipline applied to the broadcast
+    decision: one count job at plan-build time buys freedom from the
+    Heaps-law OOM an unconditional hint commits to. ``max_rows=None``
+    forces the broadcast unconditionally (the pre-round-9 behavior) for
+    callers that know their vocabulary is bounded.
+    """
+    from pyspark.sql import functions as F
+
+    if max_rows is None:
+        return F.broadcast(df)
+    n = (probe if probe is not None else df).count()
+    if n <= max_rows:
+        return F.broadcast(df)
+    return df
 
 
 def guard_exact_input(

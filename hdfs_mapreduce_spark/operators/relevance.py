@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from hdfs_mapreduce_spark.functions.text import tokens
+from hdfs_mapreduce_spark.operators.guards import (
+    VOCAB_BROADCAST_MAX_ROWS,
+    gated_broadcast,
+)
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -103,17 +107,26 @@ def bm25_scores(
     )
 
 
-def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    broadcast_max_rows: int | None = VOCAB_BROADCAST_MAX_ROWS,
+) -> DataFrame:
     """Per-document mean token log-probability under the corpus's own
     unigram model, plus the perplexity proxy exp(−mean) — the classic
     cheap quality signal for corpus curation (low-probability token soup
     scores high perplexity and gets dropped or down-weighted).
 
-    Two aggregates and a broadcast: token explode → (token, count)
-    vocabulary aggregate (vocabularies are millions of rows where corpora
-    are trillions of tokens, so the fitted model broadcasts) → map-side
-    probability lookup → per-doc partial-agg mean. The corpus total is a
-    1-row broadcast. No smoothing: scoring the fitting corpus has no OOV.
+    Two aggregates and a size-gated broadcast: token explode → (token,
+    count) vocabulary aggregate → map-side probability lookup → per-doc
+    partial-agg mean. Curated vocabularies are millions of rows where
+    corpora are trillions of tokens, so the fitted model usually
+    broadcasts — but a raw crawl's token types are Heaps-unbounded, so
+    the hint applies only under a probed bound (guards.gated_broadcast);
+    above it the token-keyed shuffle join runs instead of an executor
+    OOM. The corpus total is a 1-row broadcast. No smoothing: scoring
+    the fitting corpus has no OOV.
 
     Output: (id, n_tokens, logprob_mean, ppl) ordered by id.
     """
@@ -128,7 +141,7 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(tokens(F.lower(F.col(text_col)))).alias("n")
     ).agg(F.sum("n").alias("total"))
     lp = (
-        tok.join(F.broadcast(vocab), "token")
+        tok.join(gated_broadcast(vocab, max_rows=broadcast_max_rows), "token")
         .crossJoin(F.broadcast(total))
         .select(
             "doc",
@@ -149,13 +162,21 @@ def unigram_lm_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def tfidf_top_terms(
-    df: DataFrame, id_col: str, text_col: str, top_n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int = 3,
+    broadcast_max_rows: int | None = VOCAB_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Top-``top_n`` TF-IDF terms per document: tf(d,t) · ln(N / df(t)).
 
     The characteristic-keyword extraction pass (feature terms per doc for
     clustering/labeling). Output: (doc_id, token, tf, tfidf, rnk) with
-    rnk ≤ top_n, ties broken by token, ordered by (doc_id, rnk).
+    rnk ≤ top_n, ties broken by token, ordered by (doc_id, rnk). The
+    vocab-sized df(t) table broadcasts only under a probed bound
+    (guards.gated_broadcast — Heaps' law makes a raw crawl's token types
+    billions of rows); above it the token-keyed join shuffles and AQE
+    picks the strategy.
     """
     tok = df.select(
         F.col(id_col).alias("doc"),
@@ -185,7 +206,7 @@ def tfidf_top_terms(
     )
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(dfr), "token")
+        tf.join(gated_broadcast(dfr, max_rows=broadcast_max_rows), "token")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc",

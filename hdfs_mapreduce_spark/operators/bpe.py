@@ -26,6 +26,8 @@ operators.materialize; the loop shape is unchanged.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -156,11 +158,25 @@ def save_bpe_model(spark, merges: list[tuple[str, str]], path: str) -> None:
     a production pipeline trains on one corpus snapshot and applies the
     FROZEN merges to every later batch, exactly like the ANN index's
     frozen-model contract. The artifact is merge-count-sized (KBs for a
-    32k vocab), so one coalesced file."""
-    spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "step long, a string, b string",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    32k vocab), so one coalesced file.
+
+    Writes via the materialize write-temp-then-swap discipline, not
+    mode=overwrite in place: refreshing a model at its own path from
+    lineage that reads that path (a retrain seeded from the old
+    artifact via load_bpe_model) must not delete the input before the
+    write executes. Here ``merges`` is a driver-side list so the input
+    is already materialized, but the artifact path should be safe to
+    hand to any refresh loop."""
+    df = (
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "step long, a string, b string",
+        ).coalesce(1)
+    )
+    from hdfs_mapreduce_spark.operators.materialize import materialize
+
+    base, name = os.path.split(path.rstrip("/"))
+    materialize(df, name, base=base or ".")
 
 
 def load_bpe_model(spark, path: str) -> list[tuple[str, str]]:

@@ -1820,22 +1820,40 @@ def ann_topk_ivfpq_residual(
                     res[:, s * dsub : (s + 1) * dsub], cbs[s]
                 ).argmin(axis=0)
             ids = pdf[id_col].values
+            # Group rows by cell ONCE per batch (one stable argsort) and
+            # serve every (query, probed cell) by fancy-indexing its
+            # cell's slice — the raw kernels' r8 vectorization; the only
+            # residual-specific part left in the loop is the per-(q, c)
+            # LUT the ADC math genuinely requires. The stable sort keeps
+            # rows in batch order within each cell, so distances and
+            # row sets are bit-identical to the masked form.
+            order = np.argsort(cells, kind="stable")
+            sorted_cells = cells[order]
+            uniq, starts = np.unique(sorted_cells, return_index=True)
+            bounds = np.append(starts, len(sorted_cells))
+            cell_rows = {
+                int(c): order[bounds[i] : bounds[i + 1]]
+                for i, c in enumerate(uniq)
+            }
             frames = []
             for qi, qid in enumerate(qids):
                 for c in probe_lists[qi]:
-                    keep = (cells == c) & (ids != qid)
-                    if not keep.any():
+                    rows_c = cell_rows.get(c)
+                    if rows_c is None:
+                        continue
+                    rows = rows_c[ids[rows_c] != qid]
+                    if not len(rows):
                         continue
                     lut = luts[(qi, c)]
-                    kcodes = codes[keep]
-                    acc = np.zeros(int(keep.sum()))
+                    kcodes = codes[rows]
+                    acc = np.zeros(len(rows))
                     for s in range(m_sub):  # s-ascending fold
                         acc = acc + lut[s, kcodes[:, s]]
                     frames.append(
                         pd.DataFrame(
                             {
                                 "query_id": qid,
-                                "neighbor_id": ids[keep],
+                                "neighbor_id": ids[rows],
                                 "approx_dist": acc,
                             }
                         )

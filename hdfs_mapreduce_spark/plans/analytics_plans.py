@@ -793,13 +793,20 @@ def events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     are computed without a self-join. The frame runs on microsecond
     epoch ticks — the fixture's timestamps are sub-second, so
     second-truncated bounds would disagree with the oracle's INTERVAL
-    arithmetic at the frame edges; the NTZ→LTZ cast offset cancels in
-    the bound DIFFERENCES (streaming/events.py _epoch_sec note). The
-    count column makes frame inclusion EXACT (integers), so the hash
-    proves boundary semantics, not just sums. One user-keyed shuffle;
-    whole-stage window, no join."""
+    arithmetic at the frame edges. The ticks come from timestamp_diff
+    against the NTZ epoch — pure wall-clock arithmetic that never
+    consults the session timezone, so it equals DuckDB's epoch_us(ts)
+    exactly even for a partition spanning a DST transition (the old
+    NTZ→LTZ cast's offset only cancelled in bound differences while
+    the offset stayed constant). The count column makes frame inclusion
+    EXACT (integers), so the hash proves boundary semantics, not just
+    sums. One user-keyed shuffle; whole-stage window, no join."""
     events = load_table(spark, sf_dir, "events")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    us = F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col("ts").cast("timestamp_ntz"),
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy(us)

@@ -482,10 +482,15 @@ def stream_ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tmp = os.path.join(root, f"tmp{i}")
         part.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(stage, f"b{i}.parquet")
         _shutil.move(
-            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
-            os.path.join(stage, f"b{i}.parquet"),
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst
         )
+        # Disjoint-key upserts make the final snapshot order-independent,
+        # but stamp strictly increasing mtimes anyway so the batch_id ↔
+        # content mapping (and any future order-sensitive assertion) is
+        # guaranteed rather than mtime-incidental.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     table_root = os.path.join(root, "codes_table")
 
     def _sink(batch_df, batch_id):
@@ -573,10 +578,17 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, b in enumerate(batches):
         tmp = os.path.join(root, f"tmp{i}")
         b.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(stage, f"b{i}.parquet")
         _shutil.move(
-            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
-            os.path.join(stage, f"b{i}.parquet"),
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst
         )
+        # FileStreamSource orders staged files by mtime; shutil.move
+        # preserves the temp part-files' timestamps, so an ms-tie
+        # between b0/b1/b2 could reorder micro-batches and make this
+        # order-dependent CDC state diverge from the closed-form
+        # oracle. Stamp strictly increasing mtimes so batch order is
+        # guaranteed, not incidental.
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     table_root = os.path.join(root, "table")
 
     def _sink(batch_df, batch_id):

@@ -232,3 +232,20 @@ def test_bpe_model_save_load_roundtrip_and_frozen_encode(spark, tmp_path):
     assert [(r["doc_id"], r["tokens"]) for r in fresh] == [
         (r["doc_id"], r["tokens"]) for r in frozen
     ]
+
+
+def test_bpe_model_resave_same_path_is_safe(spark, tmp_path):
+    """save_bpe_model routes through materialize's write-temp-then-swap
+    (r8 ADVICE): re-saving at the same path — the retrain-in-place
+    refresh loop — must never leave a moment with the artifact deleted
+    or half-written, and the reloaded list must be the new one."""
+    from hdfs_mapreduce_spark.operators.bpe import (
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    path = str(tmp_path / "model")
+    save_bpe_model(spark, [("a", "b"), ("ab", "c")], path)
+    assert load_bpe_model(spark, path) == [("a", "b"), ("ab", "c")]
+    save_bpe_model(spark, [("x", "y")], path)
+    assert load_bpe_model(spark, path) == [("x", "y")]

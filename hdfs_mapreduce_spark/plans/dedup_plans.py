@@ -98,6 +98,58 @@ _BANDS_CTE = "bands AS (" + " UNION ALL ".join(
     for b in range(N_BANDS)
 ) + ")"
 
+# ---- wide-band (production r=4) configuration --------------------------------
+# The default sketch (16 perms × 8 bands → r=2 rows/band) has a CONSTANT
+# per-pair chance-collision rate between dissimilar docs, so false candidates
+# grow ~N² — the r8 sf1→sf10 octave measured that term directly. The
+# billion-doc production configuration is wider bands: 32 perms × 8 bands →
+# r=4 squares the per-band false-positive rate (the verify keeps results
+# exact either way; what changes is candidate volume). Recall at the 0.5
+# threshold follows 1-(1-s^r)^b — lower at the threshold edge, steep above
+# it — which dedup_lsh_recall audits for the default and this twin makes
+# oracle-certifiable for the wide form.
+WIDE_PERM = 32
+WIDE_BANDS = 8
+WIDE_ROWS_PER_BAND = WIDE_PERM // WIDE_BANDS
+# perm_params is a deterministic sequence: the first 16 (a, b) pairs equal
+# PERMS, the next 16 extend it — same seed as the operator side.
+from hdfs_mapreduce_spark.functions.hashing import perm_params  # noqa: E402
+
+WIDE_PERMS = perm_params(WIDE_PERM, seed=42)
+
+
+def _mh_sql_wide(i: int) -> str:
+    a, b = WIDE_PERMS[i]
+    return (
+        f"list_min(list_transform(sh, x -> "
+        f"({a} * (x % {MERSENNE_31}) + {b}) % {MERSENNE_31}))"
+    )
+
+
+_WBASE_CTE = f"""
+    wbase AS (
+        SELECT doc, sh,
+               {', '.join(f'{_mh_sql_wide(i)} AS mh{i}' for i in range(WIDE_PERM))}
+        FROM (SELECT doc_id AS doc, {_SH} AS sh
+              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+              WHERE len(toks) >= 1) s
+    )
+"""
+
+
+def _wband_key_sql(b: int) -> str:
+    cols = [
+        f"CAST(mh{b * WIDE_ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(WIDE_ROWS_PER_BAND)
+    ]
+    return " || ':' || ".join(cols)
+
+
+_WBANDS_CTE = "wbands AS (" + " UNION ALL ".join(
+    f"SELECT doc, {b} AS band_idx, {_wband_key_sql(b)} AS band_key FROM wbase"
+    for b in range(WIDE_BANDS)
+) + ")"
+
 
 # ---- queries -------------------------------------------------------------------
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,6 +165,22 @@ def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
+
+
+def dedup_minhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs under the PRODUCTION wide-band sketch (32 perms ×
+    8 bands → r=4 rows/band). Same operator, same exact-Jaccard verify,
+    same threshold as dedup_minhash_pairs — only the b/r point moves: at
+    r=4 the chance band-collision rate between dissimilar docs is the
+    default config's rate SQUARED, killing the ~N² false-candidate term
+    the r8 sf1→sf10 octave measured at r=2. This is the configuration a
+    billion-doc corpus runs; the r=2 default stays declared as the
+    recall-favouring small-corpus form."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return minhash_pairs(
+        docs, "doc_id", "text", MINHASH_THRESHOLD,
+        n_perm=WIDE_PERM, n_bands=WIDE_BANDS,
+    )
 
 
 def dedup_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,6 +767,7 @@ QUERIES = {
     "boilerplate_ngrams": boilerplate_ngrams,
     "dedup_minhash_sigs": dedup_minhash_sigs,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_pairs_wide": dedup_minhash_pairs_wide,
     "dedup_simhash_sigs": dedup_simhash_sigs,
     "dedup_simhash_pairs": dedup_simhash_pairs,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -974,6 +1043,25 @@ ORACLE_SQL = {
         SELECT doc AS doc_id,
                {', '.join(f'mh{i}' for i in range(N_PERM))}
         FROM base ORDER BY doc_id
+    """,
+    "dedup_minhash_pairs_wide": f"""
+        WITH {_WBASE_CTE},
+        {_WBANDS_CTE},
+        cand AS (
+            SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+            FROM wbands l JOIN wbands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc < r.doc
+        )
+        SELECT doc_a, doc_b, jaccard FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(a.sh || b.sh)) AS jaccard
+            FROM cand c
+            JOIN wbase a ON a.doc = c.doc_a
+            JOIN wbase b ON b.doc = c.doc_b
+        ) WHERE jaccard >= {MINHASH_THRESHOLD}
+        ORDER BY doc_a, doc_b
     """,
     "dedup_minhash_pairs": f"""
         WITH {_BASE_CTE},

@@ -444,3 +444,230 @@ def ann_probe_ivfpq(
         .select("query_id", "neighbor_id", "rank", "approx_dist")
         .orderBy("query_id", "rank")
     )
+
+
+# ---- managed index: generations, rebuild, atomic swap ----------------------
+#
+# build/append/delete above serve a FROZEN day-1 model; as the corpus
+# drifts, centroids go stale and probe pruning (then recall) decays with
+# no recovery path short of a manual rebuild that would yank parquet
+# files out from under concurrent probes. The managed layer adds the
+# missing verb — rebuild — with the lake-format publication discipline
+# the logtable already uses (streaming/logtable.py RenameCommitBackend):
+#
+#     {root}/_manifest/v{K}     one rename-committed record per version,
+#                               content = the generation dir it points at
+#     {root}/gen-{K:06d}/...    a full immutable index (centroids,
+#                               codewords, codes, tombstone logtable)
+#
+# Readers resolve the HIGHEST manifest version once at open; their
+# DataFrames pin that generation's file listing, so a rebuild — which
+# only ever ADDS a new gen dir and a new manifest record — is invisible
+# to in-flight probes (old files are never touched). Writers race on the
+# manifest slot with put-if-absent rename semantics: the flip either
+# happens entirely or not at all, and a concurrent rebuild loses the
+# slot and raises instead of half-publishing. This is the same
+# swap-by-pointer pattern FAISS deployments hand-roll around index files
+# and Delta/Iceberg formalize as the table manifest.
+
+_GEN_FMT = "gen-{:06d}"
+
+
+def _manifest_dir(root: str) -> str:
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    return hfs.join(root, "_manifest")
+
+
+def current_index_version(spark: SparkSession, root: str):
+    """(version, generation-dir-name) of the newest published index, or
+    None when no manifest record exists yet. One directory listing plus
+    one small-file read — the only metadata a reader consults."""
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    names = hfs.list_child_names(spark, _manifest_dir(root))
+    versions = sorted(
+        int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()
+    )
+    if not versions:
+        return None
+    v = versions[-1]
+    gen = hfs.read_text(spark, hfs.join(_manifest_dir(root), f"v{v}")).strip()
+    return v, gen
+
+
+def open_managed_ivfpq(spark: SparkSession, root: str) -> dict:
+    """Open the CURRENT generation of a managed index: resolve the
+    manifest pointer, then load that generation's tables. The returned
+    handle carries (root, version, generation) so rebuilds can do
+    optimistic concurrency on the version they saw."""
+    cur = current_index_version(spark, root)
+    if cur is None:
+        raise ValueError(f"no published index generation under {root}")
+    v, gen = cur
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    index = load_ivfpq_index(spark, hfs.join(root, gen), "ivfpq")
+    return {**index, "root": root, "version": v, "generation": gen}
+
+
+def create_managed_ivfpq(
+    embeddings: DataFrame,
+    root: str | None = None,
+    nlist: int = 16,
+    m_sub: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Build generation 1 of a managed index under ``root`` (default: a
+    'managed_ivfpq' tree in session scratch, auto-cleaned at exit) and
+    publish it as manifest v1. Returns the opened handle."""
+    from hdfs_mapreduce_spark.operators.materialize import (
+        purge_scratch,
+        session_scratch_dir,
+    )
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    spark = embeddings.sparkSession
+    if root is None:
+        import atexit
+
+        root = hfs.join(session_scratch_dir(spark), "managed_ivfpq")
+        atexit.register(purge_scratch, spark)
+    if current_index_version(spark, root) is not None:
+        raise ValueError(f"index already exists under {root} — open it")
+    gen = _GEN_FMT.format(1)
+    build_ivfpq_index(
+        embeddings, nlist, m_sub, ksub, id_col, vec_col,
+        name="ivfpq", base=hfs.join(root, gen),
+    )
+    if not hfs.write_text_atomic(
+        spark, hfs.join(_manifest_dir(root), "v1"), gen
+    ):
+        raise RuntimeError(
+            f"lost the v1 manifest race under {root}: another writer "
+            "created this index concurrently"
+        )
+    return open_managed_ivfpq(spark, root)
+
+
+def rebuild_ivfpq_index(
+    index: dict,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int | None = None,
+    m_sub: int | None = None,
+    ksub: int | None = None,
+) -> dict:
+    """Retrain the index on CURRENT data and publish atomically — the
+    drift-recovery verb the frozen-model lifecycle lacks. ``corpus`` is
+    the caller's current embedding relation (the index stores codes,
+    not vectors, so the owner supplies the data — same as a FAISS
+    retrain); ids tombstoned in the OPEN generation are excluded
+    (broadcast anti-join — deletes are compacted away, the rebuild half
+    of the delete contract), model parameters default to the open
+    generation's, and the new model + cell-clustered codes land in a
+    fresh ``gen-{v+1}`` directory that no reader can see until the
+    single rename-commit of manifest ``v{v+1}`` publishes it.
+
+    Concurrency contract: in-flight probes of ANY open handle keep
+    their generation's files (never touched, never deleted here) and
+    finish with pre-rebuild results; handles opened after the flip see
+    the new model. Two concurrent rebuilds of the same version race on
+    the manifest slot — the loser raises and retries against the
+    winner's generation (optimistic concurrency, the logtable's rule).
+
+    When to call: the signals already shipped — ann_ivfpq_recall below
+    target, corpus_drift_psi above threshold, or rebuild_recommended()'s
+    tombstone-fraction bound. Returns the opened post-flip handle."""
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    spark = corpus.sparkSession
+    root = index.get("root")
+    if root is None:
+        raise ValueError(
+            "rebuild requires a managed index handle "
+            "(create_managed_ivfpq / open_managed_ivfpq)"
+        )
+    meta = index["meta"]
+    live = corpus
+    tombstones = index.get("tombstones")
+    if tombstones is not None:
+        live = live.join(
+            F.broadcast(tombstones.select(F.col("id").alias(id_col))),
+            id_col,
+            "left_anti",
+        )
+    v_next = index["version"] + 1
+    gen = _GEN_FMT.format(v_next)
+    build_ivfpq_index(
+        live,
+        nlist if nlist is not None else meta["nlist"],
+        m_sub if m_sub is not None else meta["m_sub"],
+        ksub if ksub is not None else meta["ksub"],
+        id_col,
+        vec_col,
+        name="ivfpq",
+        base=hfs.join(root, gen),
+    )
+    if not hfs.write_text_atomic(
+        spark, hfs.join(_manifest_dir(root), f"v{v_next}"), gen
+    ):
+        raise RuntimeError(
+            f"lost the v{v_next} manifest race under {root}: a concurrent "
+            "rebuild published first — reopen and re-evaluate"
+        )
+    return open_managed_ivfpq(spark, root)
+
+
+def rebuild_recommended(index: dict, max_tombstone_frac: float = 0.2) -> bool:
+    """The cheap structural rebuild trigger: tombstoned rows as a
+    fraction of the codes table. Deletes never rewrite the clustered
+    codes files, so every probe pays the tombstone anti-join and scans
+    dead rows; past ~20% the rebuild (which compacts deletes away) is
+    the standard FAISS-operator response. Drift-based triggers compose
+    from the declared signals (ann_ivfpq_recall, corpus_drift_psi) —
+    thresholds there are corpus-policy, not index-structural, so they
+    stay with the owner."""
+    tombstones = index.get("tombstones")
+    if tombstones is None:
+        return False
+    n_dead = tombstones.count()
+    if n_dead == 0:
+        return False
+    return n_dead / max(index["codes"].count(), 1) >= max_tombstone_frac
+
+
+def vacuum_index_generations(
+    spark: SparkSession, root: str, retain_last: int = 2
+) -> list[str]:
+    """Delete generation directories no longer referenced by the newest
+    ``retain_last`` manifest versions (and their stale manifest
+    records). Same retention contract as logtable.vacuum: handles still
+    open on a vacuumed generation break — retain enough versions to
+    cover the longest-running probe."""
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    names = hfs.list_child_names(spark, _manifest_dir(root))
+    versions = sorted(
+        int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()
+    )
+    if len(versions) <= retain_last:
+        return []
+    keep = set(versions[-retain_last:])
+    removed: list[str] = []
+    fs, _ = hfs.fs_and_path(spark, root)
+    for v in versions:
+        if v in keep:
+            continue
+        gen = hfs.read_text(
+            spark, hfs.join(_manifest_dir(root), f"v{v}")
+        ).strip()
+        for victim in (hfs.join(root, gen), hfs.join(_manifest_dir(root), f"v{v}")):
+            _, p = hfs.fs_and_path(spark, victim)
+            if fs.exists(p):
+                fs.delete(p, True)
+        removed.append(gen)
+    return removed

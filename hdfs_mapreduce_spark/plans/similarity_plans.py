@@ -459,6 +459,55 @@ def ann_probe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
 
 
+def ann_probe_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index REBUILD with atomic swap (operators/ann_index.py
+    rebuild_ivfpq_index — VERDICT r8 item 4, the drift-recovery verb
+    the frozen-model lifecycle lacked): run the full day-2 story —
+    create the managed index on the day-1 corpus (manifest v1), append
+    the day-2 fifth encode-only, tombstone the vec_id % 7 == 0 seventh
+    — then REBUILD: retrain centroids + codewords on the live corpus
+    (tombstones compacted away), write a fresh cell-clustered gen-2,
+    and publish it with one rename-committed manifest flip. The probe
+    goes through the post-flip handle, so the oracle is a fresh
+    fit+encode of the live corpus (model_rel = corpus_rel = survivors):
+    rebuild ≡ build of current data, the invariant that makes the swap
+    safe to automate off ann_ivfpq_recall / corpus_drift_psi /
+    rebuild_recommended. Probe continuity (old handles keep pre-flip
+    results; the flip is all-or-nothing) is pinned in
+    tests/test_ann_index.py."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        ann_probe_ivfpq,
+        append_to_ivfpq_index,
+        create_managed_ivfpq,
+        delete_from_ivfpq_index,
+        rebuild_ivfpq_index,
+    )
+    from hdfs_mapreduce_spark.operators.materialize import (
+        session_scratch_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = (
+        f"{session_scratch_dir(spark)}/managed_ivfpq_"
+        f"{_os.path.basename(sf_dir.rstrip('/'))}_{next(_INVOCATION)}"
+    )
+    index = create_managed_ivfpq(
+        emb.filter(F.col("vec_id") % APPEND_MOD != 0), root, nlist=IVF_NLIST
+    )
+    index = append_to_ivfpq_index(
+        index, emb.filter(F.col("vec_id") % APPEND_MOD == 0)
+    )
+    dels = emb.filter(F.col("vec_id") % DELETE_MOD == 0).select("vec_id")
+    index = delete_from_ivfpq_index(index, dels, batch_id=0)
+    index = rebuild_ivfpq_index(index, emb)
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
+
+
 def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC proper (operators/similarity.py ann_topk_ivfpq_residual):
     PQ codes quantize residuals x − centroid(cell(x)) — the form FAISS's
@@ -785,6 +834,7 @@ QUERIES = {
     "ann_probe_persisted": ann_probe_persisted,
     "ann_probe_appended": ann_probe_appended,
     "ann_probe_deleted": ann_probe_deleted,
+    "ann_probe_rebuilt": ann_probe_rebuilt,
     "ann_ivfpq_recall": ann_ivfpq_recall,
     "ann_ivfpq_residual": ann_ivfpq_residual,
     "dedup_pq_buckets": dedup_pq_buckets,
@@ -810,14 +860,16 @@ _SQDIST = (
 _IDS = ", ".join(str(i) for i in QUERY_IDS)
 
 
-def _pq_ctes(model_rel: str = "embeddings") -> str:
+def _pq_ctes(model_rel: str = "embeddings", corpus_rel: str = "embeddings") -> str:
     """Shared PQ CTEs: codeword sources by Knuth-scramble ORDER BY (the
     IVF centroid rule), codeword (s, j) = source j's s-th subvector
     slice, and the per-(vector, subspace) argmin encode with the same
     (dist, j) tie order as the kernel's first-min argmin.
     ``model_rel`` is the relation the MODEL fits from — the full corpus
     by default; the appended-index oracle passes the day-1 subset while
-    codes still encode every vector (the frozen-model contract)."""
+    codes still encode every vector (the frozen-model contract).
+    ``corpus_rel`` is the relation that gets ENCODED — the rebuilt-index
+    oracle passes the live (post-delete) corpus for both."""
     from hdfs_mapreduce_spark.operators.similarity import PQ_KSUB, PQ_M
 
     dsub = EMB_DIM // PQ_M
@@ -850,7 +902,7 @@ def _pq_ctes(model_rel: str = "embeddings") -> str:
                            PARTITION BY e.vec_id, c.s
                            ORDER BY {_SQDIST.format(a=a, b="c.cvec")}, c.j
                        ) AS rn
-                FROM embeddings e, cw c)
+                FROM {corpus_rel} e, cw c)
             WHERE rn = 1
         )"""
 
@@ -1163,25 +1215,30 @@ def _ann_ivfpq_residual_sql() -> str:
 
 
 def _ann_ivfpq_sql(
-    model_rel: str = "embeddings", survivor_pred: str | None = None
+    model_rel: str = "embeddings",
+    survivor_pred: str | None = None,
+    corpus_rel: str = "embeddings",
 ) -> str:
     """IVF cell CTEs (the ann_ivf oracle's) composed with the PQ code
     CTEs: candidates are the cell equi-join, ranked by the s-ascending
     list_reduce ADC fold. ``model_rel`` scopes the MODEL sample only
     (centroids + codewords); cell assignment, codes, and candidates
-    always cover the whole corpus — with the default, this is exactly
-    ann_ivfpq's oracle; with a subset, the appended-index one.
-    ``survivor_pred`` (a predicate over ``co.vid``) restricts the
-    CANDIDATE set only — model and cell assignment still see every
+    cover ``corpus_rel`` (the whole corpus by default) — with the
+    defaults, this is exactly ann_ivfpq's oracle; with a model subset,
+    the appended-index one; with BOTH restricted to the live corpus,
+    the rebuilt-index one (a rebuild ≡ a fresh fit+encode of current
+    data). ``survivor_pred`` (a predicate over ``co.vid``) restricts
+    the CANDIDATE set only — model and cell assignment still see every
     vector — which is exactly the tombstone-read-through semantics of
     the deleted-index probe (FAISS remove_ids: the model never refits
-    on delete)."""
+    on delete). Query vectors always come from the full table: a
+    deleted/day-2 id may still PROBE."""
     from hdfs_mapreduce_spark.operators.similarity import PQ_M
 
     dsub = EMB_DIM // PQ_M
     qslice = f"list_slice(q.embedding, c.s * {dsub} + 1, (c.s + 1) * {dsub})"
     return f"""
-        WITH {_pq_ctes(model_rel)},
+        WITH {_pq_ctes(model_rel, corpus_rel)},
         cents AS (
             SELECT ROW_NUMBER() OVER (
                        ORDER BY (vec_id * 2654435761) % 4294967296, vec_id
@@ -1199,14 +1256,22 @@ def _ann_ivfpq_sql(
                        PARTITION BY e.vec_id
                        ORDER BY {_cos('e.embedding', 'c.cvec')} DESC, c.cell
                    ) AS rn
-            FROM embeddings e, cents c
+            FROM {corpus_rel} e, cents c
         ),
         cellof AS (
             SELECT vec_id AS vid, cell FROM scored_cells WHERE rn = 1
         ),
+        {'''qcells AS (
+            SELECT q.vec_id, c.cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ''' + _cos("q.embedding", "c.cvec") + ''' DESC, c.cell
+                   ) AS rn
+            FROM embeddings q, cents c WHERE q.vec_id IN (''' + _IDS + ''')
+        ),''' if corpus_rel != "embeddings" else ""}
         probes AS (
             SELECT vec_id AS query_id, cell
-            FROM scored_cells
+            FROM {"qcells" if corpus_rel != "embeddings" else "scored_cells"}
             WHERE rn <= {IVF_NPROBE} AND vec_id IN ({_IDS})
         ),
         luts AS (
@@ -1430,6 +1495,16 @@ ORACLE_SQL = {
     # to surviving ids — the tombstone read-through contract.
     "ann_probe_deleted": _ann_ivfpq_sql(
         survivor_pred=f"co.vid % {DELETE_MOD} <> 0"
+    ),
+    # Rebuilt index: model AND corpus restricted to the live (post-
+    # delete) survivors — rebuild ≡ fresh fit+encode of current data;
+    # query probe assignment comes from the full table (a deleted id
+    # may still probe).
+    "ann_probe_rebuilt": _ann_ivfpq_sql(
+        model_rel=f"(SELECT * FROM embeddings"
+        f" WHERE vec_id % {DELETE_MOD} <> 0)",
+        corpus_rel=f"(SELECT * FROM embeddings"
+        f" WHERE vec_id % {DELETE_MOD} <> 0)",
     ),
     "ann_ivfpq_recall": _ivfpq_recall_sql(),
     "ann_ivfpq_residual": _ann_ivfpq_residual_sql(),

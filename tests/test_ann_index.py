@@ -357,3 +357,116 @@ def test_streaming_deletes_are_replay_safe(spark, tmp_path):
     assert sorted(
         r["id"] for r in state["index"]["tombstones"].collect()
     ) == sorted(gone)
+
+
+# ---- managed index: rebuild + atomic swap ----------------------------------
+
+
+def test_rebuild_probe_continuity_and_atomic_flip(spark, tmp_path):
+    """The rebuild contract end-to-end: (a) a handle opened BEFORE the
+    rebuild keeps serving its generation's results after the flip (its
+    files are never touched); (b) the rebuilt index equals a fresh
+    build over the live corpus; (c) the manifest advances exactly one
+    version per publish, and a reader opening at any moment sees a
+    COMPLETE generation (the pointer flips after all tables exist)."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        create_managed_ivfpq,
+        current_index_version,
+        delete_from_ivfpq_index,
+        open_managed_ivfpq,
+        rebuild_ivfpq_index,
+    )
+
+    root = str(tmp_path / "managed")
+    emb = load_table(spark, SF, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 5 != 0)
+    index = create_managed_ivfpq(day1, root)
+    assert current_index_version(spark, root) == (1, "gen-000001")
+
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    old_handle = open_managed_ivfpq(spark, root)
+    before = _rows(ann_probe_ivfpq(old_handle, queries, k=5, nprobe=4))
+
+    dels = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    index = delete_from_ivfpq_index(index, dels, batch_id=0)
+    rebuilt = rebuild_ivfpq_index(index, emb)
+    assert rebuilt["version"] == 2
+    assert current_index_version(spark, root) == (2, "gen-000002")
+
+    # (a) the pre-flip handle still serves pre-rebuild results
+    assert _rows(ann_probe_ivfpq(old_handle, queries, k=5, nprobe=4)) == before
+
+    # (b) rebuild == fresh build over the live (post-delete) corpus
+    live = emb.join(dels, "vec_id", "left_anti")
+    fresh = build_ivfpq_index(live, name="ivfpq_rebuild_ref")
+    want = _rows(ann_probe_ivfpq(fresh, queries, k=5, nprobe=4))
+    assert _rows(ann_probe_ivfpq(rebuilt, queries, k=5, nprobe=4)) == want
+
+    # (c) tombstones were compacted away: gen-2 has no tombstone table
+    assert rebuilt.get("tombstones") is None
+    reopened = open_managed_ivfpq(spark, root)
+    assert _rows(ann_probe_ivfpq(reopened, queries, k=5, nprobe=4)) == want
+
+
+def test_rebuild_loses_manifest_race_atomically(spark, tmp_path):
+    """Optimistic concurrency on the version slot: when another writer
+    published v2 first, the late rebuild must raise — not overwrite,
+    not half-publish — and the winner's generation stays current."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        create_managed_ivfpq,
+        current_index_version,
+        rebuild_ivfpq_index,
+    )
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    root = str(tmp_path / "raced")
+    emb = load_table(spark, SF, "embeddings")
+    index = create_managed_ivfpq(emb.filter(F.col("vec_id") % 5 != 0), root)
+    # A competing rebuild wins slot v2 between our open and our flip.
+    assert hfs.write_text_atomic(
+        spark, hfs.join(root, "_manifest", "v2"), "gen-000002"
+    )
+    with pytest.raises(RuntimeError, match="manifest race"):
+        rebuild_ivfpq_index(index, emb)
+    assert current_index_version(spark, root) == (2, "gen-000002")
+
+
+def test_rebuild_recommended_tombstone_fraction(spark, tmp_path):
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        create_managed_ivfpq,
+        delete_from_ivfpq_index,
+        rebuild_recommended,
+    )
+
+    root = str(tmp_path / "reco")
+    emb = load_table(spark, SF, "embeddings")
+    index = create_managed_ivfpq(emb, root)
+    assert not rebuild_recommended(index)  # no tombstone table at all
+    index = delete_from_ivfpq_index(
+        index, emb.filter(F.col("vec_id") % 3 == 0).select("vec_id"), 0
+    )
+    assert rebuild_recommended(index, max_tombstone_frac=0.2)
+    assert not rebuild_recommended(index, max_tombstone_frac=0.5)
+
+
+def test_vacuum_generations_keeps_current_readable(spark, tmp_path):
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        create_managed_ivfpq,
+        open_managed_ivfpq,
+        rebuild_ivfpq_index,
+        vacuum_index_generations,
+    )
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    root = str(tmp_path / "vac")
+    emb = load_table(spark, SF, "embeddings")
+    index = create_managed_ivfpq(emb.filter(F.col("vec_id") % 5 != 0), root)
+    index = rebuild_ivfpq_index(index, emb)
+    index = rebuild_ivfpq_index(index, emb)
+    removed = vacuum_index_generations(spark, root, retain_last=2)
+    assert removed == ["gen-000001"]
+    assert not hfs.exists(spark, hfs.join(root, "gen-000001"))
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    assert len(_rows(ann_probe_ivfpq(
+        open_managed_ivfpq(spark, root), queries, k=5, nprobe=4
+    ))) > 0

@@ -231,3 +231,80 @@ def bpe_learn(
             words = words.localCheckpoint(eager=True)
             janitor.free_all_but_latest()
     return merges, words
+
+
+def bpe_learn_batched(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    batch_k: int = 16,
+    checkpoint_every: int = 100,
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """``bpe_learn`` with BATCHED merge selection — the production-scale
+    trainer: a 32k-merge vocabulary under the strict loop is 32k
+    sequential Spark jobs (one pair-count collect per merge; the r8
+    octave showed the aggregate itself is vocabulary-bound and cheap —
+    DRIVER ROUND-TRIPS are the cost), so each round here collects ONE
+    pair-count snapshot and greedily takes up to ``batch_k``
+    NON-CONFLICTING merges from it, cutting job count ~batch_k×.
+
+    Conflict rule: a candidate (a, b) is skipped if any of
+    {a, b, a+b} intersects the symbols or products already selected
+    this round. Symbol-disjointness makes the batch's fold
+    applications commute (no occurrence of one pair overlaps
+    another's); excluding PRODUCTS keeps the batch snapshot-faithful —
+    if (a, b) and (ab, c) were co-selected, applying (a, b) first
+    would manufacture new "ab" symbols for (ab, c) to consume, a
+    result no order of single merges over the snapshot produces.
+
+    Documented divergence from strict sequential BPE (Sennrich '16):
+    merges 2..k of a round are chosen from the snapshot's counts, not
+    from counts refreshed after each preceding merge — the standard
+    batched-trainer trade (fastBPE/tokenizers make it implicitly via
+    priority queues). ``batch_k=1`` is EXACTLY the sequential
+    algorithm (pinned in tests/test_bpe.py); ranks within a round are
+    recorded in selection (count desc, then (a, b)) order, so the
+    merge list stays a valid, deterministic encode-time priority
+    list."""
+    from hdfs_mapreduce_spark.functions.checkpoints import CheckpointJanitor
+
+    janitor = CheckpointJanitor(df.sparkSession)
+    words = word_frequencies(df, text_col).select(
+        "word", "n", _chars(F.col("word")).alias("sym")
+    )
+    merges: list[tuple[str, str]] = []
+    last_checkpointed = 0
+    while len(merges) < n_merges:
+        want = min(batch_k, n_merges - len(merges))
+        # Over-fetch so greedy selection survives skipped conflicts:
+        # each selected pair blocks at most 3 symbols, so 4x covers the
+        # worst realistic clash density; a short batch just means the
+        # next round re-counts — correctness never depends on the size.
+        top = (
+            _pair_counts(words)
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(max(4 * want, 8))
+            .collect()
+        )
+        if not top:
+            break
+        used: set[str] = set()
+        batch: list[tuple[str, str]] = []
+        for r in top:
+            if len(batch) >= want:
+                break
+            a, b = r["a"], r["b"]
+            if {a, b, a + b} & used:
+                continue
+            batch.append((a, b))
+            used.update((a, b, a + b))
+        merges.extend(batch)
+        for a, b in batch:
+            words = words.select(
+                "word", "n", _apply_merge(F.col("sym"), a, b).alias("sym")
+            )
+        if checkpoint_every and len(merges) - last_checkpointed >= checkpoint_every:
+            words = words.localCheckpoint(eager=True)
+            janitor.free_all_but_latest()
+            last_checkpointed = len(merges)
+    return merges, words

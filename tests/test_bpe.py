@@ -249,3 +249,87 @@ def test_bpe_model_resave_same_path_is_safe(spark, tmp_path):
     assert load_bpe_model(spark, path) == [("a", "b"), ("ab", "c")]
     save_bpe_model(spark, [("x", "y")], path)
     assert load_bpe_model(spark, path) == [("x", "y")]
+
+
+# ---- batched merge selection (production-scale trainer) --------------------
+
+
+def test_bpe_batched_k1_is_exactly_sequential(spark):
+    """batch_k=1 degenerates to the strict Sennrich loop: identical
+    merge sequence AND identical final symbol table."""
+    from hdfs_mapreduce_spark.operators.bpe import bpe_learn_batched
+
+    rows = [(" ".join([w] * n),) for w, n in SENNRICH_CORPUS.items()]
+    df = spark.createDataFrame(rows, "text string")
+    got, words_b = bpe_learn_batched(df, "text", n_merges=8, batch_k=1)
+    want, want_vocab = _reference_bpe(SENNRICH_CORPUS, 8)
+    assert got == want
+    assert {
+        tuple(r["sym"]): r["n"] for r in words_b.select("sym", "n").collect()
+    } == want_vocab
+
+
+def test_bpe_batched_respects_conflict_rule_and_stays_valid(spark):
+    """Batched selection must (a) never co-select pairs sharing a
+    symbol or colliding with a product, (b) produce a symbol table
+    identical to applying its own merge list strictly sequentially
+    (the batch's folds commute — snapshot-faithful application), and
+    (c) lead every batch with the snapshot's TRUE argmax, so the first
+    merge overall is exactly the sequential algorithm's."""
+    import random
+
+    from hdfs_mapreduce_spark.operators.bpe import (
+        _apply_merge,
+        bpe_learn_batched,
+    )
+
+    rng = random.Random(11)
+    counts = {
+        "".join(
+            rng.choice("abcdef") for _ in range(rng.randint(2, 8))
+        ): rng.randint(1, 9)
+        for _ in range(40)
+    }
+    rows = [(" ".join([w] * n),) for w, n in counts.items()]
+    df = spark.createDataFrame(rows, "text string")
+    merges, words = bpe_learn_batched(df, "text", n_merges=10, batch_k=4)
+    assert len(merges) == len(set(merges))
+
+    # (b) replay the recorded list strictly one-at-a-time from scratch
+    base = word_frequencies(df, "text").select(
+        "word",
+        "n",
+        F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit("")).alias(
+            "sym"
+        ),
+    )
+    for a, b in merges:
+        base = base.select(
+            "word", "n", _apply_merge(F.col("sym"), a, b).alias("sym")
+        )
+    assert sorted(
+        (tuple(r["sym"]), r["n"]) for r in words.select("sym", "n").collect()
+    ) == sorted(
+        (tuple(r["sym"]), r["n"]) for r in base.select("sym", "n").collect()
+    )
+
+    # (c) the first merge is the snapshot argmax == sequential's first
+    want, _ = _reference_bpe(counts, 1)
+    assert merges[0] == want[0]
+
+
+def test_bpe_batched_encode_roundtrip(spark):
+    """A batched-trained model is a valid frozen tokenizer: encoding
+    with it reproduces each word's final symbol sequence."""
+    from hdfs_mapreduce_spark.operators.bpe import bpe_encode, bpe_learn_batched
+
+    rows = [(i, " ".join([w] * n)) for i, (w, n) in
+            enumerate(SENNRICH_CORPUS.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges, words = bpe_learn_batched(df, "text", n_merges=6, batch_k=3)
+    want = {r["word"]: list(r["sym"]) for r in words.collect()}
+    enc = bpe_encode(df, "doc_id", "text", merges)
+    for r in enc.join(df, "doc_id").select("text", "tokens").collect():
+        w = r["text"].split()[0]
+        n = len(r["text"].split())
+        assert r["tokens"] == want[w] * n

@@ -78,7 +78,17 @@ def _replica_cipher(k: int) -> dict[int, str]:
     within-replica discrimination is untouched; and unlike a Caesar
     rotation it composes safely when scale dirs are built from already
     scaled dirs (random permutations don't collide under composition
-    the way additive rotations do)."""
+    the way additive rotations do).
+
+    NESTING CAVEAT (measured round 9): the CIPHERS compose safely, but
+    replica 0 being the IDENTITY does not — scaling an already-scaled
+    dir makes outer-replica-j(inner-replica-0(doc)) byte-identical to
+    outer-replica-0(inner-replica-j(doc)), i.e. every base doc gains
+    K-1 exact twins ACROSS outer replicas (45,944 dup pairs at nested
+    k=10-of-k=10), quadratically inflating pair-producing queries with
+    TRUE duplicates the fixture never meant to contain. For honest
+    pair-growth octaves, always build the larger SF DIRECTLY from the
+    unscaled base (k=100 from sf0.1, not k=10 from sf1)."""
     rng = np.random.default_rng(987654 + k)
     lower = "abcdefghijklmnopqrstuvwxyz"
     digits = "0123456789"

@@ -240,6 +240,8 @@ def incremental_minhash_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Incremental near-dup check: which documents of an incoming batch
     (``new_df``) near-duplicate something already in ``corpus_df``?
@@ -260,11 +262,13 @@ def incremental_minhash_pairs(
     (first-band-wins, no distinct shuffle).
     """
     return incremental_pairs_against_sketch(
-        _banded_sketch(corpus_df, id_col, text_col),
+        _banded_sketch(corpus_df, id_col, text_col, n_perm, n_bands),
         new_df,
         id_col,
         text_col,
         threshold,
+        n_perm=n_perm,
+        n_bands=n_bands,
     )
 
 
@@ -274,6 +278,8 @@ def incremental_pairs_against_sketch(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """The production form of ``incremental_minhash_pairs``: probe a
     PRE-BUILT corpus sketch (the relation ``_banded_sketch`` computes —
@@ -283,7 +289,7 @@ def incremental_pairs_against_sketch(
     of the sketch parquet joined against the broadcast batch sketch.
     Returns the same (new_doc, dup_of, jaccard) relation as the
     self-contained variant (tested equal)."""
-    nb = _banded_sketch(new_df, id_col, text_col).alias("n")
+    nb = _banded_sketch(new_df, id_col, text_col, n_perm, n_bands).alias("n")
     cb = corpus_sketch.alias("c")
     return (
         cb.join(

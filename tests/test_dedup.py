@@ -716,3 +716,38 @@ def test_logrounds_leaves_no_persistent_rdds(spark):
     }
     assert got == want
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
+
+def test_incremental_minhash_wide_config_matches_full_relation(spark):
+    """The wide-band (r=4) lever flows through the incremental-ingest
+    path: a batch probed against the corpus under the wide config must
+    return exactly the (new, old) restriction of the full wide pair
+    relation — same permutations, same first-band-wins dedup, same
+    exact-Jaccard verify."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_pairs,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    got = {
+        (r["new_doc"], r["dup_of"], round(r["jaccard"], 9))
+        for r in incremental_minhash_pairs(
+            corpus, batch, "doc_id", "text", 0.5, n_perm=32, n_bands=8
+        ).collect()
+    }
+    full = minhash_pairs(docs, "doc_id", "text", 0.5, n_perm=32, n_bands=8)
+    want = {
+        (n, o, round(j, 9))
+        for a, b, j in (
+            (r["doc_a"], r["doc_b"], r["jaccard"]) for r in full.collect()
+        )
+        for n, o in (((a, b) if a % 5 == 0 else (b, a)),)
+        if (n % 5 == 0) != (o % 5 == 0)
+    }
+    assert got == want and got

@@ -455,10 +455,11 @@ def ann_probe_ivfpq(
 # missing verb — rebuild — with the lake-format publication discipline
 # the logtable already uses (streaming/logtable.py RenameCommitBackend):
 #
-#     {root}/_manifest/v{K}     one rename-committed record per version,
-#                               content = the generation dir it points at
-#     {root}/gen-{K:06d}/...    a full immutable index (centroids,
-#                               codewords, codes, tombstone logtable)
+#     {root}/_manifest/v{K}          one rename-committed record per
+#                                    version, content = the generation
+#                                    dir it points at
+#     {root}/gen-{K:06d}-{token}/... a full immutable index (centroids,
+#                                    codewords, codes, tombstone logtable)
 #
 # Readers resolve the HIGHEST manifest version once at open; their
 # DataFrames pin that generation's file listing, so a rebuild — which
@@ -466,11 +467,20 @@ def ann_probe_ivfpq(
 # to in-flight probes (old files are never touched). Writers race on the
 # manifest slot with put-if-absent rename semantics: the flip either
 # happens entirely or not at all, and a concurrent rebuild loses the
-# slot and raises instead of half-publishing. This is the same
-# swap-by-pointer pattern FAISS deployments hand-roll around index files
-# and Delta/Iceberg formalize as the table manifest.
+# slot and raises instead of half-publishing. Generation dir names
+# carry a UNIQUE token (the logtable's attempt-dir rule): were they
+# derived from the version alone, a stale-handle rebuild racing toward
+# the same v+1 would build INTO the directory the winner already
+# published — clobbering live tables before ever reaching the manifest
+# race it is about to lose. This is the same swap-by-pointer pattern
+# FAISS deployments hand-roll around index files and Delta/Iceberg
+# formalize as the table manifest.
 
-_GEN_FMT = "gen-{:06d}"
+
+def _gen_name(version: int) -> str:
+    import uuid
+
+    return f"gen-{version:06d}-{uuid.uuid4().hex[:8]}"
 
 
 def _manifest_dir(root: str) -> str:
@@ -537,7 +547,7 @@ def create_managed_ivfpq(
         atexit.register(purge_scratch, spark)
     if current_index_version(spark, root) is not None:
         raise ValueError(f"index already exists under {root} — open it")
-    gen = _GEN_FMT.format(1)
+    gen = _gen_name(1)
     build_ivfpq_index(
         embeddings, nlist, m_sub, ksub, id_col, vec_col,
         name="ivfpq", base=hfs.join(root, gen),
@@ -545,11 +555,25 @@ def create_managed_ivfpq(
     if not hfs.write_text_atomic(
         spark, hfs.join(_manifest_dir(root), "v1"), gen
     ):
+        _remove_dir(spark, hfs.join(root, gen))
         raise RuntimeError(
             f"lost the v1 manifest race under {root}: another writer "
             "created this index concurrently"
         )
     return open_managed_ivfpq(spark, root)
+
+
+def _remove_dir(spark: SparkSession, path: str) -> None:
+    """Best-effort orphan cleanup (a LOST race's unpublished gen dir —
+    nothing references it, so failure to delete costs only disk)."""
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    try:
+        fs, p = hfs.fs_and_path(spark, path)
+        if fs.exists(p):
+            fs.delete(p, True)
+    except Exception:
+        pass
 
 
 def rebuild_ivfpq_index(
@@ -569,8 +593,10 @@ def rebuild_ivfpq_index(
     (broadcast anti-join — deletes are compacted away, the rebuild half
     of the delete contract), model parameters default to the open
     generation's, and the new model + cell-clustered codes land in a
-    fresh ``gen-{v+1}`` directory that no reader can see until the
-    single rename-commit of manifest ``v{v+1}`` publishes it.
+    fresh uniquely-named ``gen-{v+1}-{token}`` directory that no reader
+    can see until the single rename-commit of manifest ``v{v+1}``
+    publishes it (the unique token keeps a racing rebuild's build-side
+    writes out of any directory another writer could publish).
 
     Concurrency contract: in-flight probes of ANY open handle keep
     their generation's files (never touched, never deleted here) and
@@ -601,7 +627,7 @@ def rebuild_ivfpq_index(
             "left_anti",
         )
     v_next = index["version"] + 1
-    gen = _GEN_FMT.format(v_next)
+    gen = _gen_name(v_next)
     build_ivfpq_index(
         live,
         nlist if nlist is not None else meta["nlist"],
@@ -615,6 +641,7 @@ def rebuild_ivfpq_index(
     if not hfs.write_text_atomic(
         spark, hfs.join(_manifest_dir(root), f"v{v_next}"), gen
     ):
+        _remove_dir(spark, hfs.join(root, gen))
         raise RuntimeError(
             f"lost the v{v_next} manifest race under {root}: a concurrent "
             "rebuild published first — reopen and re-evaluate"

@@ -198,39 +198,16 @@ def bpe_learn(
     merge list and the final (word, n, sym) symbol table. Stops early
     when no adjacent pair remains (every word fused to one symbol).
 
-    Every ``checkpoint_every`` merges the symbol table is eagerly
-    localCheckpoint'ed: each merge nests one more fold expression, and an
-    unbounded chain makes round k re-evaluate all k folds AND grows the
-    analyzed plan superlinearly — the checkpoint truncates lineage so a
-    10k-merge vocabulary run stays O(checkpoint_every) deep. Checkpoints
-    are freed as soon as the next one lands (and on every exit path), so
-    no cache outlives the call beyond the final table's one live
-    checkpoint, which Spark frees with the session."""
-    from hdfs_mapreduce_spark.functions.checkpoints import CheckpointJanitor
-
-    janitor = CheckpointJanitor(df.sparkSession)
-    words = word_frequencies(df, text_col).select(
-        "word", "n", _chars(F.col("word")).alias("sym")
+    This IS the strict sequential Sennrich algorithm: ``batch_k=1``
+    makes every round's batch exactly the snapshot argmax, counts
+    refreshed after every merge (the batched trainer's docstring proves
+    the degeneration; tests/test_bpe.py pins the equality against the
+    pure-Python reference). One trainer loop serves both entry points,
+    so checkpoint-cadence or argmax fixes can never drift between
+    them."""
+    return bpe_learn_batched(
+        df, text_col, n_merges, batch_k=1, checkpoint_every=checkpoint_every
     )
-    merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
-        top = (
-            _pair_counts(words)
-            .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not top:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        words = words.select(
-            "word", "n", _apply_merge(F.col("sym"), a, b).alias("sym")
-        )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            words = words.localCheckpoint(eager=True)
-            janitor.free_all_but_latest()
-    return merges, words
 
 
 def bpe_learn_batched(

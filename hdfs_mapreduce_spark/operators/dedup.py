@@ -288,7 +288,25 @@ def incremental_pairs_against_sketch(
     nightly batch check never touches corpus text: the probe is a scan
     of the sketch parquet joined against the broadcast batch sketch.
     Returns the same (new_doc, dup_of, jaccard) relation as the
-    self-contained variant (tested equal)."""
+    self-contained variant (tested equal).
+
+    ``n_perm``/``n_bands`` MUST match the values the corpus sketch was
+    built with: band keys are r-part strings joined on band_idx, so a
+    mismatched probe (a 4-row key against a stored 2-row key) would
+    join NOTHING and silently report zero duplicates — the worst
+    failure mode an ingest gate can have. The stored shape is validated
+    from one sampled sketch row (one tiny job) and a mismatch raises."""
+    sample = corpus_sketch.select("bkeys").limit(1).collect()
+    if sample:
+        bkeys = sample[0]["bkeys"]
+        stored_rows = len(bkeys[0].split(":")) if bkeys else 0
+        if len(bkeys) != n_bands or stored_rows != n_perm // n_bands:
+            raise ValueError(
+                f"corpus sketch shape mismatch: stored {len(bkeys)} bands x "
+                f"{stored_rows} rows/band, probe asked n_perm={n_perm} "
+                f"n_bands={n_bands} ({n_perm // n_bands} rows/band) — "
+                "rebuild the sketch or probe with its configuration"
+            )
     nb = _banded_sketch(new_df, id_col, text_col, n_perm, n_bands).alias("n")
     cb = corpus_sketch.alias("c")
     return (

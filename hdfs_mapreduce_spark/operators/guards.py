@@ -73,12 +73,21 @@ def gated_broadcast(
     Heaps-law OOM an unconditional hint commits to. ``max_rows=None``
     forces the broadcast unconditionally (the pre-round-9 behavior) for
     callers that know their vocabulary is bounded.
+
+    The probe counts ``limit(max_rows + 1)`` rather than the full
+    relation — only the threshold comparison is needed, and the limit
+    lets the probe job stop as soon as the bound is exceeded instead of
+    finishing a corpus-scale aggregate it is about to discard. The
+    probe's input scan is still one extra pass over the probed lineage
+    (the join re-derives the relation lazily); production callers
+    amortize it to a metadata read by probing a materialized vocabulary
+    table (the materialize-then-probe pattern).
     """
     from pyspark.sql import functions as F
 
     if max_rows is None:
         return F.broadcast(df)
-    n = (probe if probe is not None else df).count()
+    n = (probe if probe is not None else df).limit(max_rows + 1).count()
     if n <= max_rows:
         return F.broadcast(df)
     return df

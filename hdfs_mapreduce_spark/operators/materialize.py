@@ -122,15 +122,30 @@ def materialize_banded_sketch(
     text_col: str,
     name: str = "banded_sketch",
     base: str | None = None,
+    n_perm: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """The banded MinHash sketch (band rows + shingle sets), materialized —
     the probe table for incremental dedup: a nightly batch checks itself
     against this parquet via ``operators.dedup
     .incremental_pairs_against_sketch`` without ever re-reading corpus
-    text. Rebuild (or append-merge) when the corpus grows."""
-    from hdfs_mapreduce_spark.operators.dedup import _banded_sketch
+    text. Rebuild (or append-merge) when the corpus grows.
+    ``n_perm``/``n_bands`` select the b/r point (e.g. the 32×8 wide
+    production config); the probe call MUST pass the same values —
+    incremental_pairs_against_sketch validates the stored shape and
+    raises on a mismatch rather than silently joining nothing."""
+    from hdfs_mapreduce_spark.operators.dedup import (
+        N_BANDS,
+        N_PERM,
+        _banded_sketch,
+    )
 
-    return materialize(_banded_sketch(docs, id_col, text_col), name, base)
+    sketch = _banded_sketch(
+        docs, id_col, text_col,
+        n_perm if n_perm is not None else N_PERM,
+        n_bands if n_bands is not None else N_BANDS,
+    )
+    return materialize(sketch, name, base)
 
 
 def materialize_minhash_signatures(

@@ -120,6 +120,11 @@ REVERIFY = {
     "logtable_cdf": 7,
     "logtable_ivm": 7,
     "dq_checks": 7,
+    # r9: bpe_learn now delegates to bpe_learn_batched(batch_k=1) —
+    #     identical algorithm (pinned against the pure-Python reference)
+    #     but the executed trainer loop moved, so the driver should
+    #     re-certify bpe_train through the new machinery.
+    "bpe_train": 9,
 }
 
 

@@ -69,18 +69,22 @@ _SHINGLES = (
 _SH = f"list_distinct(list_transform({_SHINGLES}, s -> {h56_sql('s')}))"
 
 
-def _mh_sql(i: int) -> str:
-    a, b = PERMS[i]
+def _mh_sql(a: int, b: int) -> str:
     return (
         f"list_min(list_transform(sh, x -> "
         f"({a} * (x % {MERSENNE_31}) + {b}) % {MERSENNE_31}))"
     )
 
 
-_BASE_CTE = f"""
-    base AS (
+def _base_cte(name: str, perms: list[tuple[int, int]]) -> str:
+    """Signature CTE for one b/r configuration: per-doc shingle set plus
+    one MIN-permutation column per (a, b) pair. Both the default (r=2)
+    and wide (r=4) oracles generate from this one builder, so the
+    shingle/minhash formula can never silently diverge between them."""
+    return f"""
+    {name} AS (
         SELECT doc, sh,
-               {', '.join(f'{_mh_sql(i)} AS mh{i}' for i in range(N_PERM))}
+               {', '.join(f'{_mh_sql(a, b)} AS mh{i}' for i, (a, b) in enumerate(perms))}
         FROM (SELECT doc_id AS doc, {_SH} AS sh
               FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
               WHERE len(toks) >= 1) s
@@ -88,15 +92,22 @@ _BASE_CTE = f"""
 """
 
 
-def _band_key_sql(b: int) -> str:
-    cols = [f"CAST(mh{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)]
-    return " || ':' || ".join(cols)
+def _bands_cte(name: str, src: str, n_bands: int, rows_per_band: int) -> str:
+    def key(b: int) -> str:
+        cols = [
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        ]
+        return " || ':' || ".join(cols)
+
+    return f"{name} AS (" + " UNION ALL ".join(
+        f"SELECT doc, {b} AS band_idx, {key(b)} AS band_key FROM {src}"
+        for b in range(n_bands)
+    ) + ")"
 
 
-_BANDS_CTE = "bands AS (" + " UNION ALL ".join(
-    f"SELECT doc, {b} AS band_idx, {_band_key_sql(b)} AS band_key FROM base"
-    for b in range(N_BANDS)
-) + ")"
+_BASE_CTE = _base_cte("base", PERMS)
+_BANDS_CTE = _bands_cte("bands", "base", N_BANDS, ROWS_PER_BAND)
 
 # ---- wide-band (production r=4) configuration --------------------------------
 # The default sketch (16 perms × 8 bands → r=2 rows/band) has a CONSTANT
@@ -118,37 +129,8 @@ from hdfs_mapreduce_spark.functions.hashing import perm_params  # noqa: E402
 WIDE_PERMS = perm_params(WIDE_PERM, seed=42)
 
 
-def _mh_sql_wide(i: int) -> str:
-    a, b = WIDE_PERMS[i]
-    return (
-        f"list_min(list_transform(sh, x -> "
-        f"({a} * (x % {MERSENNE_31}) + {b}) % {MERSENNE_31}))"
-    )
-
-
-_WBASE_CTE = f"""
-    wbase AS (
-        SELECT doc, sh,
-               {', '.join(f'{_mh_sql_wide(i)} AS mh{i}' for i in range(WIDE_PERM))}
-        FROM (SELECT doc_id AS doc, {_SH} AS sh
-              FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-              WHERE len(toks) >= 1) s
-    )
-"""
-
-
-def _wband_key_sql(b: int) -> str:
-    cols = [
-        f"CAST(mh{b * WIDE_ROWS_PER_BAND + r} AS VARCHAR)"
-        for r in range(WIDE_ROWS_PER_BAND)
-    ]
-    return " || ':' || ".join(cols)
-
-
-_WBANDS_CTE = "wbands AS (" + " UNION ALL ".join(
-    f"SELECT doc, {b} AS band_idx, {_wband_key_sql(b)} AS band_key FROM wbase"
-    for b in range(WIDE_BANDS)
-) + ")"
+_WBASE_CTE = _base_cte("wbase", WIDE_PERMS)
+_WBANDS_CTE = _bands_cte("wbands", "wbase", WIDE_BANDS, WIDE_ROWS_PER_BAND)
 
 
 # ---- queries -------------------------------------------------------------------

@@ -381,7 +381,8 @@ def test_rebuild_probe_continuity_and_atomic_flip(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     day1 = emb.filter(F.col("vec_id") % 5 != 0)
     index = create_managed_ivfpq(day1, root)
-    assert current_index_version(spark, root) == (1, "gen-000001")
+    v1, gen1 = current_index_version(spark, root)
+    assert v1 == 1 and gen1.startswith("gen-000001-")
 
     queries = emb.filter(F.col("vec_id").isin([0, 1]))
     old_handle = open_managed_ivfpq(spark, root)
@@ -391,7 +392,9 @@ def test_rebuild_probe_continuity_and_atomic_flip(spark, tmp_path):
     index = delete_from_ivfpq_index(index, dels, batch_id=0)
     rebuilt = rebuild_ivfpq_index(index, emb)
     assert rebuilt["version"] == 2
-    assert current_index_version(spark, root) == (2, "gen-000002")
+    v2, gen2 = current_index_version(spark, root)
+    # unique tokens: a racing rebuild can never build into a published dir
+    assert v2 == 2 and gen2.startswith("gen-000002-") and gen2 != gen1
 
     # (a) the pre-flip handle still serves pre-rebuild results
     assert _rows(ann_probe_ivfpq(old_handle, queries, k=5, nprobe=4)) == before
@@ -411,7 +414,11 @@ def test_rebuild_probe_continuity_and_atomic_flip(spark, tmp_path):
 def test_rebuild_loses_manifest_race_atomically(spark, tmp_path):
     """Optimistic concurrency on the version slot: when another writer
     published v2 first, the late rebuild must raise — not overwrite,
-    not half-publish — and the winner's generation stays current."""
+    not half-publish — the winner's generation stays current, the
+    winner's DIRECTORY is never written into (the loser builds under
+    its own unique token), and the loser's orphan dir is cleaned up."""
+    import os
+
     from hdfs_mapreduce_spark.operators.ann_index import (
         create_managed_ivfpq,
         current_index_version,
@@ -422,13 +429,22 @@ def test_rebuild_loses_manifest_race_atomically(spark, tmp_path):
     root = str(tmp_path / "raced")
     emb = load_table(spark, SF, "embeddings")
     index = create_managed_ivfpq(emb.filter(F.col("vec_id") % 5 != 0), root)
-    # A competing rebuild wins slot v2 between our open and our flip.
+    gen1 = index["generation"]
+    # A competing rebuild wins slot v2 between our open and our flip
+    # (its gen dir content doesn't matter for the race semantics).
     assert hfs.write_text_atomic(
-        spark, hfs.join(root, "_manifest", "v2"), "gen-000002"
+        spark, hfs.join(root, "_manifest", "v2"), "gen-000002-winner"
     )
     with pytest.raises(RuntimeError, match="manifest race"):
         rebuild_ivfpq_index(index, emb)
-    assert current_index_version(spark, root) == (2, "gen-000002")
+    assert current_index_version(spark, root) == (2, "gen-000002-winner")
+    # the winner's published dir name was never created or touched by
+    # the loser, and the loser's orphan build dir is gone
+    leftovers = [
+        n for n in os.listdir(root)
+        if n.startswith("gen-") and n != gen1
+    ]
+    assert leftovers == []
 
 
 def test_rebuild_recommended_tombstone_fraction(spark, tmp_path):
@@ -461,11 +477,12 @@ def test_vacuum_generations_keeps_current_readable(spark, tmp_path):
     root = str(tmp_path / "vac")
     emb = load_table(spark, SF, "embeddings")
     index = create_managed_ivfpq(emb.filter(F.col("vec_id") % 5 != 0), root)
+    gen1 = index["generation"]
     index = rebuild_ivfpq_index(index, emb)
     index = rebuild_ivfpq_index(index, emb)
     removed = vacuum_index_generations(spark, root, retain_last=2)
-    assert removed == ["gen-000001"]
-    assert not hfs.exists(spark, hfs.join(root, "gen-000001"))
+    assert removed == [gen1]
+    assert not hfs.exists(spark, hfs.join(root, gen1))
     queries = emb.filter(F.col("vec_id").isin([0, 1]))
     assert len(_rows(ann_probe_ivfpq(
         open_managed_ivfpq(spark, root), queries, k=5, nprobe=4

@@ -240,3 +240,50 @@ def test_materialize_refresh_from_itself_is_safe(spark, tmp_path):
     )
     got = {r["id"]: r["v"] for r in refreshed.collect()}
     assert got == {i: i * 2 + 1 for i in range(10)}
+
+
+def test_incremental_probe_validates_sketch_band_shape(spark):
+    """A wide-config probe against a default-config sketch must RAISE,
+    not silently join nothing (band keys are r-part strings — a shape
+    mismatch matches zero rows, the worst failure for an ingest gate);
+    and the wide sketch built via materialize_banded_sketch round-trips
+    with a wide probe."""
+    import pytest as _pytest
+
+    from hdfs_mapreduce_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        incremental_pairs_against_sketch,
+    )
+    from hdfs_mapreduce_spark.operators.materialize import (
+        materialize_banded_sketch,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    default_sketch = materialize_banded_sketch(
+        corpus, "doc_id", "text", name="inc_sketch_r2"
+    )
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        incremental_pairs_against_sketch(
+            default_sketch, batch, "doc_id", "text", 0.5,
+            n_perm=32, n_bands=8,
+        )
+    wide_sketch = materialize_banded_sketch(
+        corpus, "doc_id", "text", name="inc_sketch_r4",
+        n_perm=32, n_bands=8,
+    )
+    got = {
+        (r["new_doc"], r["dup_of"])
+        for r in incremental_pairs_against_sketch(
+            wide_sketch, batch, "doc_id", "text", 0.5,
+            n_perm=32, n_bands=8,
+        ).collect()
+    }
+    want = {
+        (r["new_doc"], r["dup_of"])
+        for r in incremental_minhash_pairs(
+            corpus, batch, "doc_id", "text", 0.5, n_perm=32, n_bands=8
+        ).collect()
+    }
+    assert got == want

@@ -607,7 +607,21 @@ def rebuild_ivfpq_index(
 
     When to call: the signals already shipped — ann_ivfpq_recall below
     target, corpus_drift_psi above threshold, or rebuild_recommended()'s
-    tombstone-fraction bound. Returns the opened post-flip handle."""
+    tombstone-fraction bound. Returns the opened post-flip handle.
+
+    Concurrent INGEST contract (appends / streaming encode): PQ codes
+    are lossy, so a rebuild can never reconstruct vectors from the old
+    generation — ``corpus`` MUST include every vector the owner wants
+    in the new index, INCLUDING ones appended or stream-ingested since
+    the build (the declared ann_probe_rebuilt query demonstrates this:
+    day-2 appends are covered because the full current relation is
+    passed). Replay/commit state (codes logtables, tombstones) is
+    per-generation: a streaming ingest writing beside the OLD
+    generation keeps committing there harmlessly (old files are
+    immutable but its table is its own) and should be drained, then
+    resumed against the new generation with a fresh epoch — the same
+    stop-the-writer discipline every swap-by-pointer index deployment
+    uses."""
     from hdfs_mapreduce_spark.sources import fs as hfs
 
     spark = corpus.sparkSession

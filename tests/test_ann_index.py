@@ -487,3 +487,49 @@ def test_vacuum_generations_keeps_current_readable(spark, tmp_path):
     assert len(_rows(ann_probe_ivfpq(
         open_managed_ivfpq(spark, root), queries, k=5, nprobe=4
     ))) > 0
+
+
+def test_rebuild_covers_stream_ingested_vectors(spark, tmp_path):
+    """The documented rebuild-vs-ingest contract, executed end-to-end:
+    day-2 vectors arrive via the streaming-encode path (frozen-model
+    encode + codes-logtable commit against the OPEN generation), the
+    probe serves {gen codes ∪ streamed codes}, then the owner rebuilds
+    with a corpus that INCLUDES the streamed vectors — the post-flip
+    index must equal a fresh build over the full corpus (streamed rows
+    retrained in, not dropped), while the pre-flip handle still serves
+    the old composition."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        create_managed_ivfpq,
+        encode_with_model,
+        open_managed_ivfpq,
+        rebuild_ivfpq_index,
+    )
+    from hdfs_mapreduce_spark.streaming.logtable import snapshot, upsert_batch
+
+    emb = load_table(spark, SF, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 5 != 0)
+    day2 = emb.filter(F.col("vec_id") % 5 == 0)
+    root = str(tmp_path / "managed_stream")
+    index = create_managed_ivfpq(day1, root)
+    codes_root = str(tmp_path / "stream_codes")
+    upsert_batch(
+        encode_with_model(index, day2), 0, codes_root, "id",
+        writer="ann_codes_stream",
+    )
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    combined = {
+        **index,
+        "codes": index["codes"].unionByName(snapshot(spark, codes_root, "id")),
+    }
+    pre = _rows(ann_probe_ivfpq(combined, queries, k=5, nprobe=4))
+
+    rebuilt = rebuild_ivfpq_index(index, emb)  # corpus includes day-2
+    fresh = build_ivfpq_index(emb, name="ivfpq_stream_rebuild_ref")
+    want = _rows(ann_probe_ivfpq(fresh, queries, k=5, nprobe=4))
+    assert _rows(ann_probe_ivfpq(rebuilt, queries, k=5, nprobe=4)) == want
+    # day-2 rows were retrained into the new generation's codes table
+    day2_ids = {r["vec_id"] for r in day2.select("vec_id").collect()}
+    new_ids = {r["id"] for r in rebuilt["codes"].select("id").collect()}
+    assert day2_ids <= new_ids
+    # the pre-flip composition still serves unchanged
+    assert _rows(ann_probe_ivfpq(combined, queries, k=5, nprobe=4)) == pre

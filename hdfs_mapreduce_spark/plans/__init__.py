@@ -125,6 +125,16 @@ REVERIFY = {
     #     but the executed trainer loop moved, so the driver should
     #     re-certify bpe_train through the new machinery.
     "bpe_train": 9,
+    # r9: two scale-fragile claims found by the full-registry sf0.1
+    #     sweep (green at the sf0.01 gate, false at 10x) and made
+    #     scale-invariant: ann_pca_audit's candidate budget is now a
+    #     corpus FRACTION (a fixed 100 had shrunk to 5% of the corpus,
+    #     recall 0.82 -> 0.50), and events_hll_mergeable certifies the
+    #     merged estimate's ERROR BOUND instead of merged==direct
+    #     (bit-equality breaks at the Datasketches sparse->dense
+    #     promotion boundary, hit at exactly 1,500 distinct users).
+    "ann_pca_audit": 9,
+    "events_hll_mergeable": 9,
 }
 
 

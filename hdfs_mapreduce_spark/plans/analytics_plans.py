@@ -231,11 +231,18 @@ def events_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary slices: materialize per-partition sketches once, answer any
     rollup by register-wise union — never rescan. The estimates are
     engine-specific, so the emitted relation carries the exact facts plus
-    two booleans the oracle pins with literal TRUEs: HLL union is exact
-    over registers, so merged == direct bit-for-bit, and both sit inside
-    the sketch's error bound of the exact distinct count. A hash match
-    therefore certifies BOTH sketch guarantees (promoted from rows-only
-    in round 4)."""
+    two booleans the oracle pins with literal TRUEs: the MERGED estimate
+    sits inside the sketch's error bound of the exact distinct count, and
+    so does the direct one. The merged claim was originally
+    ``merged == direct bit-for-bit`` — true register-for-register, but
+    Datasketches promotes sparse→dense at a coupon threshold and the
+    union path can promote when the direct path hasn't, so the ESTIMATES
+    diverge exactly at the mode boundary (the round-9 sf0.1 sweep caught
+    it: 1,500 distinct users sits at the lgK=12 promotion edge — green at
+    sf0.01, false at sf0.1). The guarantee a rollup consumer actually
+    relies on is the estimator's error bound, which is mode-independent
+    and scale-invariant — that is what the hash now certifies (promoted
+    from rows-only in round 4; claim made scale-invariant in round 9)."""
     events = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).alias("day")
     per_day = events.select(day, "user_id").groupBy("day").agg(
@@ -252,9 +259,11 @@ def events_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.crossJoin(direct).select(
         "n_days",
         "exact_users",
-        (F.col("users_merged") == F.col("users_direct")).alias(
-            "merged_eq_direct"
-        ),
+        (
+            F.abs(F.col("users_merged") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= F.lit(HLL_BOUND)
+        ).alias("merged_within_bound"),
         (
             F.abs(F.col("users_direct") - F.col("exact_users"))
             / F.col("exact_users")
@@ -1105,7 +1114,7 @@ ORACLE_SQL = {
     "events_hll_mergeable": """
         SELECT COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
                COUNT(DISTINCT user_id) AS exact_users,
-               TRUE AS merged_eq_direct, TRUE AS within_bound
+               TRUE AS merged_within_bound, TRUE AS within_bound
         FROM events
     """,
     # The oracle is the UNSALTED join: the check proves salting is purely

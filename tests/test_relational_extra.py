@@ -91,12 +91,16 @@ def test_events_gapfill_fills_empty_hours(spark):
 
 
 def test_hll_mergeable_union_equals_direct(spark, ddb):
-    """Register-wise HLL union must reproduce the direct single-pass
-    sketch exactly, and both sit within the sketch error of exact."""
+    """The merged (register-wise union of per-day sketches) estimate and
+    the direct single-pass estimate must BOTH sit within the sketch
+    error of the exact distinct count — the mode-independent guarantee
+    (merged == direct bit-for-bit held only while both sketches were in
+    the same sparse/dense mode; the sf0.1 sweep caught the promotion
+    boundary, see events_hll_mergeable's docstring)."""
     from hdfs_mapreduce_spark.plans.analytics_plans import events_hll_mergeable
 
     row = events_hll_mergeable(spark, SF_CORRECTNESS).collect()[0]
-    assert row["merged_eq_direct"] is True
+    assert row["merged_within_bound"] is True
     assert row["within_bound"] is True
     exact = ddb.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
     assert row["exact_users"] == exact

@@ -134,7 +134,10 @@ def test_reverify_entries_self_expire():
     # Synthetic check of both directions on a scratch history.
     assert {"dedup_lsh_recall", "dedup_simhash_pairs",
             "dedup_crosscheck"} <= set(plans_mod.REVERIFY)
-    assert green.get("dedup_lsh_recall") == 5  # r5 row counts (changed r5)
+    # r5 row counts (changed r5); later rounds may re-green it, so only the
+    # lower bound is history-stable (round-9 verdict: the == 5 literal broke
+    # the moment the driver's post-close-out CORRECTNESS_r09 re-greened it).
+    assert green.get("dedup_lsh_recall", 0) >= 5
 
 
 def test_reverify_discards_only_stale_rows(tmp_path, monkeypatch):

@@ -7,6 +7,7 @@ from hdfs_mapreduce_spark.operators.components import (
     connected_components_logrounds,
 )
 from hdfs_mapreduce_spark.operators.dedup import (
+    auto_band_config,
     exact_dedup,
     incremental_minhash_pairs,
     incremental_pairs_against_sketch,
@@ -71,6 +72,7 @@ __all__ = [
     "connected_components",
     "connected_components_logrounds",
     "exact_dedup",
+    "auto_band_config",
     "incremental_minhash_pairs",
     "incremental_pairs_against_sketch",
     "minhash_signatures",

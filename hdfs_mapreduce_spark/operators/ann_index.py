@@ -506,18 +506,51 @@ def current_index_version(spark: SparkSession, root: str):
     return v, gen
 
 
-def open_managed_ivfpq(spark: SparkSession, root: str) -> dict:
-    """Open the CURRENT generation of a managed index: resolve the
-    manifest pointer, then load that generation's tables. The returned
-    handle carries (root, version, generation) so rebuilds can do
-    optimistic concurrency on the version they saw."""
-    cur = current_index_version(spark, root)
-    if cur is None:
-        raise ValueError(f"no published index generation under {root}")
-    v, gen = cur
+class IndexRetentionError(RuntimeError):
+    """An as-of open asked for a version whose generation was vacuumed
+    below the retention horizon (the manifest record survives as a
+    tombstone marker, the data does not) — the logtable
+    read-below-vacuum-horizon contract, mirrored."""
+
+
+def open_managed_ivfpq(
+    spark: SparkSession, root: str, version: int | None = None
+) -> dict:
+    """Open a generation of a managed index: resolve the manifest
+    pointer (newest by default, a specific ``version`` for as-of
+    reads), then load that generation's tables. The returned handle
+    carries (root, version, generation) so rebuilds can do optimistic
+    concurrency on the version they saw.
+
+    As-of semantics mirror logtable retention: an unknown version
+    raises ValueError; a version whose manifest record survives but
+    whose generation directory was vacuumed raises
+    :class:`IndexRetentionError` AT OPEN — never a half-readable
+    handle that fails mid-probe."""
     from hdfs_mapreduce_spark.sources import fs as hfs
 
-    index = load_ivfpq_index(spark, hfs.join(root, gen), "ivfpq")
+    if version is None:
+        cur = current_index_version(spark, root)
+        if cur is None:
+            raise ValueError(f"no published index generation under {root}")
+        v, gen = cur
+    else:
+        record = hfs.join(_manifest_dir(root), f"v{version}")
+        if not hfs.exists(spark, record):
+            raise ValueError(
+                f"no manifest record v{version} under {root} — versions "
+                "are dense from v1 to the current pointer"
+            )
+        v, gen = version, hfs.read_text(spark, record).strip()
+    gen_dir = hfs.join(root, gen)
+    if not hfs.exists(spark, gen_dir):
+        raise IndexRetentionError(
+            f"generation v{v} ({gen}) of {root} was vacuumed below the "
+            "retention horizon — its manifest record remains as a "
+            "tombstone marker but the data is gone; open a retained "
+            "version or raise retain_last on the vacuum"
+        )
+    index = load_ivfpq_index(spark, gen_dir, "ivfpq")
     return {**index, "root": root, "version": v, "generation": gen}
 
 
@@ -631,6 +664,21 @@ def rebuild_ivfpq_index(
             "rebuild requires a managed index handle "
             "(create_managed_ivfpq / open_managed_ivfpq)"
         )
+    # Cheap staleness check BEFORE the expensive retrain: the manifest
+    # write is the real arbiter, but a handle that is already behind the
+    # published version can only lose, so fail it now instead of after a
+    # full corpus scan. Because vacuum retains manifest records as
+    # tombstone markers (see vacuum_index_generations), version slots
+    # never reopen — a stale handle's v_next write collides with the
+    # retained record and raises, never resurrecting a below-current
+    # version (round-9 ADVICE: rebuild-after-vacuum slot reuse).
+    cur = current_index_version(spark, root)
+    if cur is None or cur[0] != index["version"]:
+        raise RuntimeError(
+            f"stale index handle: opened v{index['version']} but the "
+            f"manifest is at v{cur[0] if cur else '<empty>'} — reopen "
+            "the index and re-evaluate the rebuild trigger"
+        )
     meta = index["meta"]
     live = corpus
     tombstones = index.get("tombstones")
@@ -681,14 +729,94 @@ def rebuild_recommended(index: dict, max_tombstone_frac: float = 0.2) -> bool:
     return n_dead / max(index["codes"].count(), 1) >= max_tombstone_frac
 
 
+class IndexEpochError(RuntimeError):
+    """A streaming codes writer observed a manifest version different
+    from the generation it opened — the index was rebuilt under it."""
+
+
+def fenced_codes_sink(
+    index: dict,
+    table_root: str,
+    id_col: str = "id",
+    writer: str = "ann_codes_stream",
+):
+    """foreachBatch sink for streaming-encode ingest against a MANAGED
+    index generation, with an EPOCH FENCE enforcing the documented
+    drain-before-flip contract mechanically (round-9 verdict item 4:
+    by convention, a writer forgotten across a rebuild flip keeps
+    committing frozen-model codes beside a dead generation silently).
+
+    The fence: capture the handle's manifest version at sink creation;
+    before every batch commit, re-read ``current_index_version`` (one
+    small-file read against the manifest dir — O(1), no table scan) and
+    raise :class:`IndexEpochError` on mismatch instead of committing.
+    The failure message carries the resume protocol: drain/stop this
+    stream, re-open the index (``open_managed_ivfpq``), re-encode from
+    the source cursor with the NEW generation's model into a codes
+    table beside the new generation. Re-encoding is mandatory, not an
+    optimization — PQ codes are generation-specific (new centroids and
+    codebooks), so old-generation codes can never be carried over.
+
+    A flip landing between the fence read and the commit still commits
+    one batch beside the old generation — harmless by the rebuild
+    contract (the rebuild's corpus snapshot must include streamed rows,
+    and rows newer than that snapshot are re-encoded on resume); the
+    fence bounds silent staleness to that single in-flight batch and
+    fails the writer loudly at its next commit."""
+    root = index.get("root")
+    if root is None:
+        raise ValueError(
+            "epoch fencing requires a managed index handle "
+            "(create_managed_ivfpq / open_managed_ivfpq)"
+        )
+    epoch = index["version"]
+    from hdfs_mapreduce_spark.streaming.logtable import upsert_batch
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cur = current_index_version(spark, root)
+        if cur is None or cur[0] != epoch:
+            raise IndexEpochError(
+                f"index epoch fence: this stream ingests against "
+                f"generation v{epoch} of {root} but the manifest is at "
+                f"v{cur[0] if cur else '<empty>'} — the index was rebuilt "
+                "under this writer. Drain the stream, re-open the index "
+                "(open_managed_ivfpq), and resume by re-encoding from the "
+                "source cursor against the new generation (old-generation "
+                "PQ codes are not portable across rebuilds)."
+            )
+        upsert_batch(
+            encode_with_model(index, batch_df),
+            batch_id,
+            table_root,
+            id_col,
+            writer=writer,
+        )
+
+    return _sink
+
+
 def vacuum_index_generations(
     spark: SparkSession, root: str, retain_last: int = 2
 ) -> list[str]:
     """Delete generation directories no longer referenced by the newest
-    ``retain_last`` manifest versions (and their stale manifest
-    records). Same retention contract as logtable.vacuum: handles still
-    open on a vacuumed generation break — retain enough versions to
-    cover the longest-running probe."""
+    ``retain_last`` manifest versions. Same retention contract as
+    logtable.vacuum: handles still open on a vacuumed generation break —
+    retain enough versions to cover the longest-running probe.
+
+    Manifest records of vacuumed versions are RETAINED as tombstone
+    markers (the gen dir goes, the ``v{N}`` pointer stays). Two reasons
+    (both round-9 ADVICE findings): (1) deleting records reopens version
+    slots, letting a stale handle's rebuild resurrect a below-current
+    version by winning a freed slot — with the record retained, that
+    write collides and raises per the documented loser-raises contract;
+    (2) records are what concurrent/crashed vacuums coordinate on — every
+    step here is an exists-checked delete of a dir no reader can reach
+    (only below the retained horizon), so re-running or racing vacuums
+    is idempotent and a crash mid-vacuum leaves only un-reclaimed disk,
+    never a referenced-but-missing CURRENT generation. Opening a
+    vacuumed version fails at load (its tables are gone) — the as-of
+    analogue of logtable reads below the vacuum horizon."""
     from hdfs_mapreduce_spark.sources import fs as hfs
 
     names = hfs.list_child_names(spark, _manifest_dir(root))
@@ -703,12 +831,16 @@ def vacuum_index_generations(
     for v in versions:
         if v in keep:
             continue
-        gen = hfs.read_text(
-            spark, hfs.join(_manifest_dir(root), f"v{v}")
-        ).strip()
-        for victim in (hfs.join(root, gen), hfs.join(_manifest_dir(root), f"v{v}")):
-            _, p = hfs.fs_and_path(spark, victim)
-            if fs.exists(p):
-                fs.delete(p, True)
-        removed.append(gen)
+        try:
+            gen = hfs.read_text(
+                spark, hfs.join(_manifest_dir(root), f"v{v}")
+            ).strip()
+        except Exception:
+            # Record vanished mid-iteration (legacy layout where vacuums
+            # deleted records, or external cleanup) — nothing to reclaim.
+            continue
+        _, p = hfs.fs_and_path(spark, hfs.join(root, gen))
+        if fs.exists(p):
+            fs.delete(p, True)
+            removed.append(gen)
     return removed

@@ -251,16 +251,23 @@ def bpe_learn_batched(
     )
     merges: list[tuple[str, str]] = []
     last_checkpointed = 0
+    # Candidate window per round: over-fetch so greedy selection survives
+    # skipped conflicts — each selected pair blocks at most 3 symbols, so
+    # 4x covers the worst realistic clash density; a short batch just
+    # means the next round re-counts, correctness never depends on the
+    # size. STATIC in batch_k (not in the per-round `want`): a final
+    # partial round scans the same ranked window as every other round,
+    # which is what lets the bpe_train_batched oracle unroll the window
+    # as a fixed LIMIT per round CTE (greedy selection is prefix-stable,
+    # so stopping at `want` picks the same merges either way). For
+    # batch_k=1 this is the historical max(4, 8) = 8.
+    cand_limit = max(4 * batch_k, 8)
     while len(merges) < n_merges:
         want = min(batch_k, n_merges - len(merges))
-        # Over-fetch so greedy selection survives skipped conflicts:
-        # each selected pair blocks at most 3 symbols, so 4x covers the
-        # worst realistic clash density; a short batch just means the
-        # next round re-counts — correctness never depends on the size.
         top = (
             _pair_counts(words)
             .orderBy(F.col("cnt").desc(), "a", "b")
-            .limit(max(4 * want, 8))
+            .limit(cand_limit)
             .collect()
         )
         if not top:

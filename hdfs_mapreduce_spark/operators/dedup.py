@@ -38,6 +38,56 @@ ROWS_PER_BAND = N_PERM // N_BANDS
 PERMS = perm_params(N_PERM, seed=42)
 SHINGLE_K = 3
 
+# The wide (production) b/r point: 32 permutations × 8 bands → r = 4
+# rows/band squares the per-band chance-collision rate, killing the ~N²
+# false-candidate term the default r = 2 carries into billion-doc
+# corpora (measured exactly linear on the clean sf1→sf10 octave,
+# BENCH_SF3 round 9). Same seed family; the verify keeps results exact
+# at either point — only candidate economics change.
+WIDE_PERM = 32
+WIDE_BANDS = 8
+
+# Auto b/r switchover (the dedup_semantic count-probe discipline applied
+# to banding): below this doc count the default sketch's constant
+# per-pair collision rate contributes a handful of junk candidates per
+# million pairs — immaterial; above it the quadratic coefficient starts
+# to dominate the band exchange, so the wide point is the right default
+# rather than an expert override. 1M docs ≈ where the r9 octave first
+# measured the junk term clearly (120k candidates at 79% junk under
+# r=2 at 500k docs×10); every shipped fixture is far below it.
+AUTO_WIDE_MIN_DOCS = 1_000_000
+
+
+def auto_band_config(
+    df: DataFrame, wide_min_docs: int | None = None
+) -> tuple[int, int]:
+    """(n_perm, n_bands) from a corpus count probe: the default
+    16×8 (r=2) sketch at up to ``wide_min_docs`` documents, the wide
+    32×8 (r=4) production sketch above it. The probe counts
+    ``limit(bound + 1)`` — only the threshold comparison is needed, so
+    the job stops as soon as the bound is exceeded (guards.py's
+    gated_broadcast probe shape). Explicit n_perm/n_bands on any
+    operator remain the override; this is what their ``None`` default
+    resolves to."""
+    bound = AUTO_WIDE_MIN_DOCS if wide_min_docs is None else wide_min_docs
+    n = df.select(F.lit(1).alias("one")).limit(bound + 1).count()
+    if n > bound:
+        return WIDE_PERM, WIDE_BANDS
+    return N_PERM, N_BANDS
+
+
+def _resolve_band_config(
+    df: DataFrame, n_perm: int | None, n_bands: int | None
+) -> tuple[int, int]:
+    if (n_perm is None) != (n_bands is None):
+        raise ValueError(
+            "pass BOTH n_perm and n_bands (explicit b/r override) or "
+            "NEITHER (auto-selected from the corpus count probe)"
+        )
+    if n_perm is None:
+        return auto_band_config(df)
+    return n_perm, n_bands
+
 
 # --- exact dedup ---------------------------------------------------------------
 def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
@@ -132,7 +182,20 @@ def _banded_sketch(
     billion-doc corpus. The production response is wider bands: r = 4
     (e.g. 32 perms × 8 bands) squares the per-band false-positive rate
     while the verify threshold keeps results exact — recall at the
-    threshold is the (1/b)^(1/r) curve, audited by dedup_lsh_recall."""
+    threshold is the (1/b)^(1/r) curve, audited by dedup_lsh_recall.
+
+    Band keys are FIXED-WIDTH: one xxhash64 BIGINT over (band_idx, the
+    band's r MinHash rows), not the r-part colon-joined string of earlier
+    rounds. The string form shuffled ~10·r bytes per key through the
+    band exchange — the round-9 sf10 addendum measured that width as the
+    wide (r=4) config's remaining wall-clock penalty. Hashing preserves
+    the candidate partition exactly (equal r-tuples ⇔ equal keys, modulo
+    a 2⁻⁶⁴ chance collision that the exact-Jaccard verify renders
+    output-invisible), so declared pair outputs and their oracles —
+    whose CTEs join on the injective string image of the same tuple —
+    are unchanged. ``rpb`` (rows/band) rides along as a 1-int column so
+    a probe can still validate a stored sketch's shape (the hashed key
+    no longer reveals it)."""
     if n_perm % n_bands:
         raise ValueError(f"n_perm={n_perm} not divisible by n_bands={n_bands}")
     rows_per_band = n_perm // n_bands
@@ -148,8 +211,8 @@ def _banded_sketch(
     )
     band_keys = F.array(
         *[
-            F.concat_ws(
-                ":",
+            F.xxhash64(
+                F.lit(b),
                 *[
                     F.col(f"mh{b * rows_per_band + r}")
                     for r in range(rows_per_band)
@@ -158,8 +221,14 @@ def _banded_sketch(
             for b in range(n_bands)
         ]
     )
-    return per_doc.select("doc", "sh", band_keys.alias("bkeys")).select(
-        "doc", "sh", "bkeys", F.posexplode("bkeys").alias("band_idx", "band_key")
+    return per_doc.select(
+        "doc", "sh", F.lit(rows_per_band).alias("rpb"), band_keys.alias("bkeys")
+    ).select(
+        "doc",
+        "sh",
+        "rpb",
+        "bkeys",
+        F.posexplode("bkeys").alias("band_idx", "band_key"),
     )
 
 
@@ -181,10 +250,15 @@ def minhash_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    n_perm: int = N_PERM,
-    n_bands: int = N_BANDS,
+    n_perm: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH + exact-Jaccard verification.
+
+    ``n_perm``/``n_bands`` default to the ``auto_band_config`` count
+    probe (r=2 up to AUTO_WIDE_MIN_DOCS docs, the wide r=4 point above
+    — the billion-doc configuration becomes the automatic one, not an
+    expert parameter); pass both explicitly to override.
 
     Plan shape (scale-critical):
       1. map: signature + shingle-hash set per doc (ONE groupBy — the single
@@ -210,6 +284,7 @@ def minhash_pairs(
     table (minhash_signatures + a parquet write) and banding from that;
     for the one-shot query this single-pass shape is the honest optimum.
     """
+    n_perm, n_bands = _resolve_band_config(df, n_perm, n_bands)
     bands = _banded_sketch(df, id_col, text_col, n_perm, n_bands)
     left = bands.alias("l")
     right = bands.alias("r")
@@ -240,8 +315,8 @@ def incremental_minhash_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    n_perm: int = N_PERM,
-    n_bands: int = N_BANDS,
+    n_perm: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup check: which documents of an incoming batch
     (``new_df``) near-duplicate something already in ``corpus_df``?
@@ -259,8 +334,11 @@ def incremental_minhash_pairs(
 
     Returns (new_doc, dup_of, jaccard) with exact Jaccard ≥ threshold,
     candidates from shared LSH bands, each pair emitted once
-    (first-band-wins, no distinct shuffle).
+    (first-band-wins, no distinct shuffle). ``n_perm``/``n_bands``
+    auto-select from the CORPUS side's count probe when omitted (the
+    corpus, not the batch, is what sets the candidate economics).
     """
+    n_perm, n_bands = _resolve_band_config(corpus_df, n_perm, n_bands)
     return incremental_pairs_against_sketch(
         _banded_sketch(corpus_df, id_col, text_col, n_perm, n_bands),
         new_df,
@@ -278,8 +356,8 @@ def incremental_pairs_against_sketch(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
-    n_perm: int = N_PERM,
-    n_bands: int = N_BANDS,
+    n_perm: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """The production form of ``incremental_minhash_pairs``: probe a
     PRE-BUILT corpus sketch (the relation ``_banded_sketch`` computes —
@@ -291,22 +369,50 @@ def incremental_pairs_against_sketch(
     self-contained variant (tested equal).
 
     ``n_perm``/``n_bands`` MUST match the values the corpus sketch was
-    built with: band keys are r-part strings joined on band_idx, so a
-    mismatched probe (a 4-row key against a stored 2-row key) would
+    built with: band keys hash (band_idx, the band's r MinHash rows), so
+    a mismatched probe (a 4-row key against a stored 2-row key) would
     join NOTHING and silently report zero duplicates — the worst
-    failure mode an ingest gate can have. The stored shape is validated
-    from one sampled sketch row (one tiny job) and a mismatch raises."""
-    sample = corpus_sketch.select("bkeys").limit(1).collect()
+    failure mode an ingest gate can have. The stored shape (``rpb``
+    rows/band + the bkeys array length) is validated from one sampled
+    sketch row and a mismatch raises. The sample is an EAGER limit(1)
+    job at plan-construction time (round-9 ADVICE note): pass the
+    MATERIALIZED sketch (the documented production form) and the probe
+    costs one parquet row; an unmaterialized ``_banded_sketch`` lineage
+    pays part of its corpus groupBy here even if the returned plan is
+    never evaluated. Shape is the only thing checkable — a sketch built
+    with the same b/r but a different hash family/seed would pass and
+    join nothing; sketches and probes must come from this module's
+    PERMS/perm_params(seed=42) lineage.
+
+    Omitting ``n_perm``/``n_bands`` ADOPTS the stored sketch's shape
+    from the same sampled row — the sketch is the source of truth for
+    its own configuration, so an auto-built (count-probed) sketch never
+    needs its chosen b/r point re-communicated to the probe side. An
+    empty sketch with no explicit shape raises (nothing to adopt)."""
+    if (n_perm is None) != (n_bands is None):
+        raise ValueError(
+            "pass BOTH n_perm and n_bands (explicit b/r override) or "
+            "NEITHER (adopt the stored sketch's shape)"
+        )
+    sample = corpus_sketch.select("rpb", "bkeys").limit(1).collect()
     if sample:
         bkeys = sample[0]["bkeys"]
-        stored_rows = len(bkeys[0].split(":")) if bkeys else 0
-        if len(bkeys) != n_bands or stored_rows != n_perm // n_bands:
+        stored_rows = sample[0]["rpb"]
+        if n_perm is None:
+            n_bands = len(bkeys)
+            n_perm = stored_rows * n_bands
+        elif len(bkeys) != n_bands or stored_rows != n_perm // n_bands:
             raise ValueError(
                 f"corpus sketch shape mismatch: stored {len(bkeys)} bands x "
                 f"{stored_rows} rows/band, probe asked n_perm={n_perm} "
                 f"n_bands={n_bands} ({n_perm // n_bands} rows/band) — "
                 "rebuild the sketch or probe with its configuration"
             )
+    elif n_perm is None:
+        raise ValueError(
+            "cannot adopt a b/r shape from an EMPTY corpus sketch — pass "
+            "n_perm/n_bands explicitly (they are recorded with the sketch)"
+        )
     nb = _banded_sketch(new_df, id_col, text_col, n_perm, n_bands).alias("n")
     cb = corpus_sketch.alias("c")
     return (

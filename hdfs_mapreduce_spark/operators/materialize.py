@@ -131,20 +131,20 @@ def materialize_banded_sketch(
     .incremental_pairs_against_sketch`` without ever re-reading corpus
     text. Rebuild (or append-merge) when the corpus grows.
     ``n_perm``/``n_bands`` select the b/r point (e.g. the 32×8 wide
-    production config); the probe call MUST pass the same values —
-    incremental_pairs_against_sketch validates the stored shape and
-    raises on a mismatch rather than silently joining nothing."""
+    production config); omitted, the point auto-selects from the corpus
+    count probe (operators/dedup.auto_band_config — r=2 up to 1M docs,
+    the wide r=4 above). Probe calls can omit them too: the sketch
+    records its own shape (``rpb`` + band count) and
+    incremental_pairs_against_sketch adopts it, validating an explicit
+    override against the stored shape rather than silently joining
+    nothing."""
     from hdfs_mapreduce_spark.operators.dedup import (
-        N_BANDS,
-        N_PERM,
         _banded_sketch,
+        _resolve_band_config,
     )
 
-    sketch = _banded_sketch(
-        docs, id_col, text_col,
-        n_perm if n_perm is not None else N_PERM,
-        n_bands if n_bands is not None else N_BANDS,
-    )
+    n_perm, n_bands = _resolve_band_config(docs, n_perm, n_bands)
+    sketch = _banded_sketch(docs, id_col, text_col, n_perm, n_bands)
     return materialize(sketch, name, base)
 
 

@@ -119,8 +119,11 @@ _BANDS_CTE = _bands_cte("bands", "base", N_BANDS, ROWS_PER_BAND)
 # threshold follows 1-(1-s^r)^b — lower at the threshold edge, steep above
 # it — which dedup_lsh_recall audits for the default and this twin makes
 # oracle-certifiable for the wide form.
-WIDE_PERM = 32
-WIDE_BANDS = 8
+from hdfs_mapreduce_spark.operators.dedup import (  # noqa: E402
+    WIDE_BANDS,
+    WIDE_PERM,
+)
+
 WIDE_ROWS_PER_BAND = WIDE_PERM // WIDE_BANDS
 # perm_params is a deterministic sequence: the first 16 (a, b) pairs equal
 # PERMS, the next 16 extend it — same seed as the operator side.

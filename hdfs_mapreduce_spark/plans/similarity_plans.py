@@ -306,12 +306,11 @@ def ann_pca_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hits = approx.join(exact, ["query_id", "neighbor_id"]).count()
     total = len(QUERY_IDS) * TOP_K
-    n_corpus = emb.count()
     return spark.createDataFrame(
         [
             (
                 len(QUERY_IDS),
-                n_corpus,
+                n_corpus_pre,
                 PCA_ANN_DIM,
                 TOP_K,
                 n_cand,
@@ -521,6 +520,71 @@ def ann_probe_rebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = rebuild_ivfpq_index(index, emb)
     queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
     return ann_probe_ivfpq(index, queries, TOP_K, nprobe=IVF_NPROBE)
+
+
+def ann_probe_vacuumed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation retention — the lifecycle verb after rebuild
+    (operators/ann_index.py vacuum_index_generations, round-9 verdict
+    stretch): create the managed index on the day-1 corpus (manifest
+    v1), REBUILD on the full corpus (v2), then vacuum with
+    retain_last=1. The declared relation is the post-vacuum probe
+    through the current pointer — hash-identical to a fresh build over
+    the full corpus, proving vacuum touches only dead generations. The
+    retention CONTRACT is enforced at plan build and raises on
+    violation (driver marks the query red): exactly the v1 generation
+    is reclaimed, its manifest record survives as a tombstone marker
+    (version slots never reopen — the rebuild-after-vacuum resurrection
+    guard), and an as-of open below the horizon fails AT OPEN with
+    IndexRetentionError, the logtable read-below-vacuum-horizon
+    semantics mirrored."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        IndexRetentionError,
+        ann_probe_ivfpq,
+        create_managed_ivfpq,
+        open_managed_ivfpq,
+        rebuild_ivfpq_index,
+        vacuum_index_generations,
+    )
+    from hdfs_mapreduce_spark.operators.materialize import (
+        session_scratch_dir,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = (
+        f"{session_scratch_dir(spark)}/managed_ivfpq_vac_"
+        f"{_os.path.basename(sf_dir.rstrip('/'))}_{next(_INVOCATION)}"
+    )
+    index = create_managed_ivfpq(
+        emb.filter(F.col("vec_id") % APPEND_MOD != 0), root, nlist=IVF_NLIST
+    )
+    gen1 = index["generation"]
+    index = rebuild_ivfpq_index(index, emb)
+    removed = vacuum_index_generations(spark, root, retain_last=1)
+    if removed != [gen1]:
+        raise RuntimeError(
+            f"vacuum retention violated: expected exactly [{gen1}] "
+            f"reclaimed, got {removed}"
+        )
+    try:
+        open_managed_ivfpq(spark, root, version=1)
+    except IndexRetentionError:
+        pass
+    else:
+        raise RuntimeError(
+            "as-of open below the vacuum horizon did NOT raise "
+            "IndexRetentionError — retention semantics violated"
+        )
+    handle = open_managed_ivfpq(spark, root)
+    if handle["version"] != 2:
+        raise RuntimeError(
+            f"vacuum moved the current pointer: v{handle['version']}"
+        )
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    return ann_probe_ivfpq(handle, queries, TOP_K, nprobe=IVF_NPROBE)
 
 
 def ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,6 +914,7 @@ QUERIES = {
     "ann_probe_appended": ann_probe_appended,
     "ann_probe_deleted": ann_probe_deleted,
     "ann_probe_rebuilt": ann_probe_rebuilt,
+    "ann_probe_vacuumed": ann_probe_vacuumed,
     "ann_ivfpq_recall": ann_ivfpq_recall,
     "ann_ivfpq_residual": ann_ivfpq_residual,
     "dedup_pq_buckets": dedup_pq_buckets,
@@ -1528,6 +1593,12 @@ ORACLE_SQL = {
         corpus_rel=f"(SELECT * FROM embeddings"
         f" WHERE vec_id % {DELETE_MOD} <> 0)",
     ),
+    # Post-vacuum probe: v1 was built on the day-1 subset but v2 — the
+    # only generation left — was rebuilt on the FULL corpus, so the
+    # probe is exactly the fresh-build relation; vacuum only reclaims
+    # dead data (the retention contract itself is enforced by raises
+    # inside the query builder).
+    "ann_probe_vacuumed": _ann_ivfpq_sql(),
     "ann_ivfpq_recall": _ivfpq_recall_sql(),
     "ann_ivfpq_residual": _ann_ivfpq_residual_sql(),
     "dedup_pq_buckets": f"""

@@ -797,6 +797,15 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ('jo','in') built on round 2's ('o','w')-class outputs).
 BPE_TRAIN_MERGES = 12
 BPE_ENCODE_MERGES = 8
+# Batched trainer (the production path — r9 VERDICT item 3): same total
+# merge count as bpe_train but selected batch_k=4 per snapshot round, so
+# the oracle certifies the greedy non-conflicting selection rule itself,
+# not just its batch_k=1 degeneration. 12/4 = 3 snapshot rounds when
+# every round fills; spare unrolled rounds + the global LIMIT cover
+# conflict-caused under-fill (greedy selection is prefix-stable).
+BPE_BATCHED_MERGES = 12
+BPE_BATCH_K = 4
+BPE_BATCHED_ROUNDS = 5  # 3 full rounds + 2 spare for under-filled batches
 
 
 def _bpe_alpha_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -834,6 +843,37 @@ def bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corpus = _bpe_alpha_corpus(spark, sf_dir)
     merges, _ = bpe_learn(corpus, "text", BPE_TRAIN_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "step long, a string, b string",
+    ).orderBy("step")
+
+
+def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCHED BPE trainer (operators/bpe.py bpe_learn_batched — the
+    production path: one pair-count snapshot per round, up to BPE_BATCH_K
+    greedily-selected NON-CONFLICTING merges from it, ~batch_k× fewer
+    driver round-trips) as a declared, hash-oracled query. This certifies
+    the selection rule itself — rank by (count desc, a, b), skip a
+    candidate when {a, b, a+b} intersects the symbols/products already
+    taken this round, scan only the top max(4·batch_k, 8) candidates —
+    which bpe_train's batch_k=1 degeneration never exercises. The oracle
+    unrolls each round as: a ranked LIMIT-16 candidate CTE over the
+    snapshot, batch_k chained greedy-selection CTEs (each takes the
+    lowest-rank candidate disjoint from the accumulated used-symbol set),
+    then ONE symbol-table update applying the round's merges as nested
+    replaces (selection order; symbol- AND product-disjointness makes
+    them equal any order of single-merge folds over the snapshot).
+    Output is (step, a, b) with step = global selection order — with no
+    conflicts in the first 12 candidates this would equal bpe_train's
+    first rounds only by accident; at every shipped SF the batches
+    genuinely reorder and skip (asserted in tests/test_bpe.py)."""
+    from hdfs_mapreduce_spark.operators.bpe import bpe_learn_batched
+
+    corpus = _bpe_alpha_corpus(spark, sf_dir)
+    merges, _ = bpe_learn_batched(
+        corpus, "text", BPE_BATCHED_MERGES, batch_k=BPE_BATCH_K
+    )
     return spark.createDataFrame(
         [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
         "step long, a string, b string",
@@ -918,6 +958,111 @@ def _bpe_train_sql(k: int) -> str:
         WITH {_bpe_train_ctes(k)}
         SELECT CAST(step AS BIGINT) AS step, a, b FROM ({union})
         ORDER BY step
+    """
+
+
+def _bpe_train_batched_sql(n_merges: int, batch_k: int, n_rounds: int) -> str:
+    """Oracle for the batched trainer: unrolls ``n_rounds`` snapshot
+    rounds. Per round i over symbol table w{i-1}:
+
+      c{i}    — the engine's exact candidate window: adjacent-pair counts
+                ranked (cnt desc, a, b), LIMIT max(4·batch_k, 8) with a
+                row_number rank (the engine's collect order);
+      s{i}_j  — greedy selection j: the lowest-rank candidate whose
+                {a, b, a||b} is disjoint from u{i}_{j-1}, the used-symbol
+                set accumulated from selections 1..j-1 (selection 1 is
+                unconditionally rank 1 — the used set resets per round);
+      u{i}_j  — u{i}_{j-1} ∪ {a, b, a||b} of s{i}_j;
+      w{i}    — ONE pass applying the round's ≤ batch_k merges as nested
+                '|a||b|' → '|ab|' replaces in selection order over the
+                wrapped encoding. An empty s{i}_j (under-filled round /
+                corpus exhausted) degrades its replace to the chr(1)
+                no-op via COALESCE, and contributes no output row.
+
+    Equivalence argument: within a round the selected pairs are symbol-
+    and product-disjoint, so no replace creates or consumes another's
+    pattern — the nested replaces equal the engine's sequential folds
+    over the same snapshot (the per-merge replace≡fold identity is the
+    sequential oracle's, pinned in tests/test_bpe.py). Rounds beyond
+    what ``n_merges`` needs select merges the engine never took; the
+    final ORDER BY (rnd, sel) LIMIT keeps exactly the engine's prefix —
+    valid because greedy selection is prefix-stable (stopping at `want`
+    never changes which merges were picked first) and the engine scans
+    the same static candidate window every round."""
+    cand_limit = max(4 * batch_k, 8)
+    noop = "chr(1)"
+    parts = [_bpe_train_ctes(0)]  # tok + w0 only
+    sel_rows: list[str] = []
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+            SELECT a, b, row_number() OVER (ORDER BY cnt DESC, a, b) AS rnk
+            FROM (
+                SELECT z[1] AS a, z[2] AS b, SUM(n) AS cnt
+                FROM (
+                    SELECT n, unnest(list_zip(sym[1:len(sym)-1],
+                                              sym[2:len(sym)])) AS z
+                    FROM (SELECT n, str_split(trim(s, '|'), '||') AS sym
+                          FROM w{i - 1})
+                ) GROUP BY 1, 2
+                ORDER BY cnt DESC, a, b LIMIT {cand_limit}
+            )
+        )"""
+        )
+        for j in range(1, batch_k + 1):
+            if j == 1:
+                cond = ""
+            else:
+                u = f"(SELECT u FROM u{i}_{j - 1})"
+                cond = (
+                    f"WHERE a NOT IN {u} AND b NOT IN {u} "
+                    f"AND a || b NOT IN {u}"
+                )
+            parts.append(
+                f"""s{i}_{j} AS MATERIALIZED (
+            SELECT a, b FROM c{i} {cond} ORDER BY rnk LIMIT 1
+        )"""
+            )
+            prev = (
+                f"SELECT u FROM u{i}_{j - 1}"
+                if j > 1
+                else "SELECT NULL AS u WHERE FALSE"
+            )
+            parts.append(
+                f"""u{i}_{j} AS MATERIALIZED (
+            {prev}
+            UNION SELECT a AS u FROM s{i}_{j}
+            UNION SELECT b AS u FROM s{i}_{j}
+            UNION SELECT a || b AS u FROM s{i}_{j}
+        )"""
+            )
+            sel_rows.append(
+                f"SELECT {i} AS rnd, {j} AS sel, a, b FROM s{i}_{j}"
+            )
+        repl = "s"
+        for j in range(1, batch_k + 1):
+            pat = (
+                f"COALESCE((SELECT '|' || a || '||' || b || '|' "
+                f"FROM s{i}_{j}), {noop})"
+            )
+            rep = (
+                f"COALESCE((SELECT '|' || a || b || '|' "
+                f"FROM s{i}_{j}), {noop})"
+            )
+            repl = f"replace({repl}, {pat}, {rep})"
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+            SELECT word, n, {repl} AS s FROM w{i - 1}
+        )"""
+        )
+    union = " UNION ALL ".join(sel_rows)
+    ctes = ",\n".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT CAST(row_number() OVER (ORDER BY rnd, sel) AS BIGINT) AS step,
+               a, b
+        FROM ({union})
+        ORDER BY step LIMIT {n_merges}
     """
 
 
@@ -1088,6 +1233,7 @@ QUERIES = {
     "nb_lang_confusion": nb_lang_confusion,
     "bpe_pair_stats": bpe_pair_stats,
     "bpe_train": bpe_train,
+    "bpe_train_batched": bpe_train_batched,
     "bpe_encode": bpe_encode,
     "corpus_drift_psi": corpus_drift_psi,
     "pii_scrub": pii_scrub,
@@ -1185,6 +1331,9 @@ def _nb_sql() -> str:
 ORACLE_SQL = {
     "nb_lang_confusion": _nb_sql(),
     "bpe_train": _bpe_train_sql(BPE_TRAIN_MERGES),
+    "bpe_train_batched": _bpe_train_batched_sql(
+        BPE_BATCHED_MERGES, BPE_BATCH_K, BPE_BATCHED_ROUNDS
+    ),
     "bpe_encode": _bpe_encode_sql(BPE_ENCODE_MERGES),
     "corpus_drift_psi": f"""
         WITH d AS (

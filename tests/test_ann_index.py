@@ -430,16 +430,61 @@ def test_rebuild_loses_manifest_race_atomically(spark, tmp_path):
     emb = load_table(spark, SF, "embeddings")
     index = create_managed_ivfpq(emb.filter(F.col("vec_id") % 5 != 0), root)
     gen1 = index["generation"]
-    # A competing rebuild wins slot v2 between our open and our flip
-    # (its gen dir content doesn't matter for the race semantics).
+    # A competing rebuild won slot v2 BEFORE ours starts: the staleness
+    # pre-check fails the loser before it wastes the full retrain (and
+    # before any build dir exists).
     assert hfs.write_text_atomic(
         spark, hfs.join(root, "_manifest", "v2"), "gen-000002-winner"
     )
-    with pytest.raises(RuntimeError, match="manifest race"):
+    with pytest.raises(RuntimeError, match="stale index handle"):
         rebuild_ivfpq_index(index, emb)
     assert current_index_version(spark, root) == (2, "gen-000002-winner")
     # the winner's published dir name was never created or touched by
-    # the loser, and the loser's orphan build dir is gone
+    # the loser, and the loser never created a build dir at all
+    leftovers = [
+        n for n in os.listdir(root)
+        if n.startswith("gen-") and n != gen1
+    ]
+    assert leftovers == []
+
+
+def test_rebuild_manifest_race_during_build_cleans_orphan(
+    spark, tmp_path, monkeypatch
+):
+    """The TOCTOU window the staleness pre-check cannot close: a
+    competitor publishes AFTER our pre-check passes but BEFORE our
+    manifest write. The manifest slot write stays the real arbiter —
+    the loser raises, never overwrites the winner's record, and its
+    fully-built orphan generation dir is cleaned up."""
+    import os
+
+    import hdfs_mapreduce_spark.operators.ann_index as ann_mod
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        create_managed_ivfpq,
+        current_index_version,
+        rebuild_ivfpq_index,
+    )
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    root = str(tmp_path / "toctou")
+    emb = load_table(spark, SF, "embeddings")
+    index = create_managed_ivfpq(emb.filter(F.col("vec_id") % 5 != 0), root)
+    gen1 = index["generation"]
+
+    real_build = ann_mod.build_ivfpq_index
+
+    def build_then_lose(*args, **kwargs):
+        out = real_build(*args, **kwargs)
+        # competitor flips v2 while our build is in flight
+        assert hfs.write_text_atomic(
+            spark, hfs.join(root, "_manifest", "v2"), "gen-000002-winner"
+        )
+        return out
+
+    monkeypatch.setattr(ann_mod, "build_ivfpq_index", build_then_lose)
+    with pytest.raises(RuntimeError, match="manifest race"):
+        rebuild_ivfpq_index(index, emb)
+    assert current_index_version(spark, root) == (2, "gen-000002-winner")
     leftovers = [
         n for n in os.listdir(root)
         if n.startswith("gen-") and n != gen1
@@ -533,3 +578,161 @@ def test_rebuild_covers_stream_ingested_vectors(spark, tmp_path):
     assert day2_ids <= new_ids
     # the pre-flip composition still serves unchanged
     assert _rows(ann_probe_ivfpq(combined, queries, k=5, nprobe=4)) == pre
+
+
+def test_epoch_fence_blocks_writer_across_rebuild_flip(spark, tmp_path):
+    """The drain-before-flip contract, enforced mechanically
+    (fenced_codes_sink): a streaming codes writer (1) commits normally
+    while its generation is current, (2) RAISES IndexEpochError on the
+    first commit after a rebuild flips the manifest — never committing
+    beside the dead generation — and (3) after the documented resume
+    (re-open, re-encode from the source cursor) the probe serves the
+    union of the rebuilt generation and the resumed stream's codes."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        IndexEpochError,
+        create_managed_ivfpq,
+        fenced_codes_sink,
+        open_managed_ivfpq,
+        rebuild_ivfpq_index,
+    )
+    from hdfs_mapreduce_spark.streaming.logtable import snapshot
+
+    emb = load_table(spark, SF, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 5 != 0)
+    b1 = emb.filter(F.col("vec_id") % 10 == 0)
+    b2 = emb.filter((F.col("vec_id") % 10 == 5))
+    root = str(tmp_path / "fenced")
+    index = create_managed_ivfpq(day1, root)
+
+    codes_v1 = str(tmp_path / "codes_v1")
+    sink = fenced_codes_sink(index, codes_v1)
+    # (1) no flip: the fence is transparent
+    sink(b1.select("vec_id", "embedding"), 0)
+    got = {r["id"] for r in snapshot(spark, codes_v1, "id").collect()}
+    assert got == {r["vec_id"] for r in b1.select("vec_id").collect()}
+
+    # (2) rebuild flips to v2 (corpus = everything ingested so far);
+    # the forgotten writer's next commit fails loudly and commits nothing
+    rebuilt = rebuild_ivfpq_index(index, day1.unionByName(b1))
+    with pytest.raises(IndexEpochError, match="epoch fence"):
+        sink(b2.select("vec_id", "embedding"), 1)
+    assert {r["id"] for r in snapshot(spark, codes_v1, "id").collect()} == got
+
+    # (3) resume per the fence's instruction: re-open, re-encode the
+    # un-ingested tail against the new generation
+    handle = open_managed_ivfpq(spark, root)
+    assert handle["version"] == rebuilt["version"] == 2
+    codes_v2 = str(tmp_path / "codes_v2")
+    sink2 = fenced_codes_sink(handle, codes_v2)
+    sink2(b2.select("vec_id", "embedding"), 0)
+    combined = {
+        **handle,
+        "codes": handle["codes"].unionByName(
+            snapshot(spark, codes_v2, "id")
+        ),
+    }
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    res = ann_probe_ivfpq(combined, queries, k=5, nprobe=4)
+    assert res.count() == 2 * 5
+    all_ids = {r["id"] for r in combined["codes"].select("id").collect()}
+    want_ids = {
+        r["vec_id"]
+        for r in day1.unionByName(b1).unionByName(b2)
+        .select("vec_id").collect()
+    }
+    assert all_ids == want_ids
+
+
+def test_rebuild_trigger_path_resets_tombstones_and_recovers_recall(
+    spark, tmp_path
+):
+    """The signal → rebuild → verified-recovery story as one walk
+    (round-9 verdict item 6): real deletes drive rebuild_recommended()
+    past its tombstone threshold, the rebuild compacts the tombstones
+    away (fraction resets, trigger goes quiet), and recall@k against
+    the brute-force ground truth over the LIVE corpus is at least the
+    tombstoned index's — the retrained model serves the surviving
+    distribution."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        create_managed_ivfpq,
+        delete_from_ivfpq_index,
+        rebuild_ivfpq_index,
+        rebuild_recommended,
+    )
+    from hdfs_mapreduce_spark.operators.similarity import ann_topk_bruteforce
+
+    emb = load_table(spark, SF, "embeddings")
+    root = str(tmp_path / "trigger")
+    index = create_managed_ivfpq(emb, root)
+    assert not rebuild_recommended(index)
+
+    dels = emb.filter(F.col("vec_id") % 3 == 0).select("vec_id")
+    index = delete_from_ivfpq_index(index, dels, batch_id=0)
+    assert rebuild_recommended(index, max_tombstone_frac=0.2)
+
+    live = emb.join(dels, "vec_id", "left_anti")
+    qids = [1, 2, 4]
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk_bruteforce(live, qids, 5, id_col="vec_id")
+        .select("query_id", "neighbor_id").collect()
+    }
+
+    def recall(handle):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ann_probe_ivfpq(handle, queries, k=5, nprobe=4)
+            .select("query_id", "neighbor_id").collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    before = recall(index)
+    rebuilt = rebuild_ivfpq_index(index, emb)
+    # trigger quiet: tombstones compacted out of the new generation
+    assert rebuilt.get("tombstones") is None
+    assert not rebuild_recommended(rebuilt)
+    assert {r["id"] for r in rebuilt["codes"].select("id").collect()} == {
+        r["vec_id"] for r in live.select("vec_id").collect()
+    }
+    assert recall(rebuilt) >= before
+
+
+def test_as_of_open_and_retention_error_after_vacuum(spark, tmp_path):
+    """open_managed_ivfpq(version=) mirrors logtable as-of + retention:
+    a retained historical version opens and serves ITS generation's
+    model; an unknown version raises ValueError; a vacuumed version
+    fails AT OPEN with IndexRetentionError while its manifest record
+    survives as a tombstone marker (slots never reopen)."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        IndexRetentionError,
+        create_managed_ivfpq,
+        open_managed_ivfpq,
+        rebuild_ivfpq_index,
+        vacuum_index_generations,
+    )
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    root = str(tmp_path / "asof")
+    emb = load_table(spark, SF, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % 5 != 0)
+    index = create_managed_ivfpq(day1, root)
+    gen1 = index["generation"]
+    rebuild_ivfpq_index(index, emb)
+    rebuild_ivfpq_index(open_managed_ivfpq(spark, root), emb)
+
+    # retained as-of: v2 opens and is exactly generation 2
+    h2 = open_managed_ivfpq(spark, root, version=2)
+    assert h2["version"] == 2 and h2["generation"].startswith("gen-000002-")
+    with pytest.raises(ValueError, match="no manifest record v9"):
+        open_managed_ivfpq(spark, root, version=9)
+
+    removed = vacuum_index_generations(spark, root, retain_last=2)
+    assert removed == [gen1]
+    # the record is retained as a tombstone marker...
+    assert hfs.exists(spark, hfs.join(root, "_manifest", "v1"))
+    # ...but opening below the horizon fails loudly at open
+    with pytest.raises(IndexRetentionError, match="vacuumed"):
+        open_managed_ivfpq(spark, root, version=1)
+    # re-running vacuum is idempotent (exists-checked deletes only)
+    assert vacuum_index_generations(spark, root, retain_last=2) == []

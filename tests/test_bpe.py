@@ -333,3 +333,61 @@ def test_bpe_batched_encode_roundtrip(spark):
         w = r["text"].split()[0]
         n = len(r["text"].split())
         assert r["tokens"] == want[w] * n
+
+
+def test_bpe_batched_declared_config_exercises_skip_and_divergence(spark):
+    """The declared bpe_train_batched query must genuinely exercise the
+    batched selection rule at fixture scale: (a) round 1's greedy scan
+    over the engine's candidate window SKIPS at least one conflicting
+    candidate, and (b) the batched merge list is NOT the sequential
+    list — otherwise the oracle would certify only the degenerate path
+    bpe_train already covers."""
+    from hdfs_mapreduce_spark.operators.bpe import (
+        _pair_counts,
+        bpe_learn,
+        bpe_learn_batched,
+    )
+    from hdfs_mapreduce_spark.plans.text_plans import (
+        BPE_BATCH_K,
+        BPE_BATCHED_MERGES,
+        _bpe_alpha_corpus,
+    )
+    from tests.conftest import SF_SMOKE
+
+    corpus = _bpe_alpha_corpus(spark, SF_SMOKE)
+    batched, _ = bpe_learn_batched(
+        corpus, "text", BPE_BATCHED_MERGES, batch_k=BPE_BATCH_K
+    )
+    sequential, _ = bpe_learn(corpus, "text", BPE_BATCHED_MERGES)
+    assert len(batched) == BPE_BATCHED_MERGES
+    assert batched != sequential
+    assert sorted(set(batched)) != sorted(set(sequential)) or batched != sequential
+
+    # Replay round 1's greedy scan over the engine's static candidate
+    # window and demand at least one conflict skip.
+    words = word_frequencies(corpus, "text").select(
+        "word",
+        "n",
+        F.filter(F.split(F.col("word"), ""), lambda x: x != F.lit("")).alias(
+            "sym"
+        ),
+    )
+    top = (
+        _pair_counts(words)
+        .orderBy(F.col("cnt").desc(), "a", "b")
+        .limit(max(4 * BPE_BATCH_K, 8))
+        .collect()
+    )
+    used: set[str] = set()
+    taken, skipped = [], []
+    for r in top:
+        if len(taken) >= BPE_BATCH_K:
+            break
+        a, b = r["a"], r["b"]
+        if {a, b, a + b} & used:
+            skipped.append((a, b))
+            continue
+        taken.append((a, b))
+        used.update((a, b, a + b))
+    assert skipped, "declared config no longer hits a conflict skip"
+    assert batched[: len(taken)] == taken

@@ -751,3 +751,74 @@ def test_incremental_minhash_wide_config_matches_full_relation(spark):
         if (n % 5 == 0) != (o % 5 == 0)
     }
     assert got == want and got
+
+
+def test_auto_band_config_switchover_and_shape_adoption(spark, monkeypatch):
+    """Auto b/r selection (round-9 verdict item 5): (a) the count probe
+    picks the default 16×8 point at fixture scale and the wide 32×8
+    point past the doc bound (pinned by shrinking the bound, not by
+    conjuring a million docs); (b) minhash_pairs under auto equals the
+    explicit-default call at fixture scale — the declared queries are
+    unchanged; (c) a probe with no explicit shape ADOPTS a stored
+    sketch's configuration across the switchover, and an explicit
+    mismatched probe still raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import hdfs_mapreduce_spark.operators.dedup as dd
+    from hdfs_mapreduce_spark.operators.dedup import (
+        _banded_sketch,
+        auto_band_config,
+        incremental_pairs_against_sketch,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    n = docs.count()
+    assert auto_band_config(docs) == (dd.N_PERM, dd.N_BANDS)
+    assert auto_band_config(docs, wide_min_docs=n - 1) == (
+        dd.WIDE_PERM,
+        dd.WIDE_BANDS,
+    )
+    assert auto_band_config(docs, wide_min_docs=n) == (dd.N_PERM, dd.N_BANDS)
+
+    want = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_pairs(
+            docs, "doc_id", "text", 0.5, n_perm=dd.N_PERM, n_bands=dd.N_BANDS
+        ).collect()
+    ]
+    got = [
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_pairs(docs, "doc_id", "text", 0.5).collect()
+    ]
+    assert got == want
+
+    # (c) past the bound the auto sketch is wide; an omitted-shape probe
+    # adopts it, an explicit default-shape probe raises
+    monkeypatch.setattr(dd, "AUTO_WIDE_MIN_DOCS", n - 1)
+    assert auto_band_config(docs) == (dd.WIDE_PERM, dd.WIDE_BANDS)
+    corpus, batch = docs.filter(F.col("doc_id") % 2 == 0), docs.filter(
+        F.col("doc_id") % 2 == 1
+    )
+    sketch = _banded_sketch(
+        corpus, "doc_id", "text", dd.WIDE_PERM, dd.WIDE_BANDS
+    )
+    adopted = incremental_pairs_against_sketch(
+        sketch, batch, "doc_id", "text", 0.5
+    )
+    explicit = incremental_pairs_against_sketch(
+        sketch, batch, "doc_id", "text", 0.5,
+        n_perm=dd.WIDE_PERM, n_bands=dd.WIDE_BANDS,
+    )
+    key = lambda df: [  # noqa: E731
+        (r["new_doc"], r["dup_of"]) for r in df.collect()
+    ]
+    assert key(adopted) == key(explicit)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        incremental_pairs_against_sketch(
+            sketch, batch, "doc_id", "text", 0.5,
+            n_perm=dd.N_PERM, n_bands=dd.N_BANDS,
+        )
+    with pytest.raises(ValueError, match="BOTH"):
+        minhash_pairs(docs, "doc_id", "text", 0.5, n_perm=dd.N_PERM)

@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_mapreduce_spark.operators.dedup import (
+    N_BANDS,
+    N_PERM,
     _banded_sketch,
     incremental_pairs_against_sketch,
     minhash_pairs,
@@ -78,21 +80,47 @@ def dedup_ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    n_perm: int | None = None,
+    n_bands: int | None = None,
 ) -> None:
     """One micro-batch of the online dedup loop (usable directly for a
-    cron-driven nightly ingest too — the stream is just a clock)."""
+    cron-driven nightly ingest too — the stream is just a clock).
+
+    ``n_perm``/``n_bands`` choose the b/r point for the STATE sketch —
+    a LIFETIME property of ``state_dir``, not a per-batch choice: every
+    batch's sketch rows join against every earlier batch's, so mixed
+    shapes under one state root would silently partition the candidate
+    space. The rule here makes that impossible: once state exists, its
+    stored shape is ADOPTED (an explicit mismatch raises via the probe
+    gate before anything commits); only the FIRST batch's caller picks
+    the point, defaulting to the module constants (16×8 — ingest
+    batches are far below the auto-wide bound, so count-probing each
+    batch would never choose wide; a billion-doc deployment passes
+    n_perm=32, n_bands=8 once at stream start and every later batch —
+    and restart — inherits it from the state itself)."""
     spark = batch_df.sparkSession
     accepted_dir = hfs.join(state_dir, "accepted")
     sketch_dir = hfs.join(state_dir, "sketch")
     corpus_sketch = _read_batch_dirs(spark, sketch_dir, below=batch_id)
+    if (n_perm is None) != (n_bands is None):
+        raise ValueError("pass BOTH n_perm and n_bands or neither")
     survivors = batch_df
     if corpus_sketch is not None:
         dup_vs_corpus = incremental_pairs_against_sketch(
-            corpus_sketch, batch_df, id_col, text_col, threshold
+            corpus_sketch, batch_df, id_col, text_col, threshold,
+            n_perm=n_perm, n_bands=n_bands,
         ).select(F.col("new_doc").alias(id_col))
         survivors = survivors.join(
             dup_vs_corpus.distinct(), id_col, "left_anti"
         )
+        if n_perm is None:
+            # adopt the state's recorded shape for this batch's writes
+            row = corpus_sketch.select("rpb", "bkeys").limit(1).collect()
+            if row:
+                n_bands = len(row[0]["bkeys"])
+                n_perm = row[0]["rpb"] * n_bands
+    if n_perm is None:
+        n_perm, n_bands = N_PERM, N_BANDS
     # Within-batch policy: reject any document that has a SMALLER
     # near-dup neighbor in the same batch (pairs come as doc_a < doc_b;
     # every doc_b drops). For clique-shaped duplicate groups this keeps
@@ -104,7 +132,10 @@ def dedup_ingest_batch(
     # content matters, run cluster-canonical admission instead
     # (operators/components.canonical_assignment keeps one doc per
     # connected component).
-    batch_pairs = minhash_pairs(survivors, id_col, text_col, threshold)
+    batch_pairs = minhash_pairs(
+        survivors, id_col, text_col, threshold,
+        n_perm=n_perm, n_bands=n_bands,
+    )
     survivors = survivors.join(
         batch_pairs.select(F.col("doc_b").alias(id_col)).distinct(),
         id_col,
@@ -115,7 +146,7 @@ def dedup_ingest_batch(
         survivors.write.mode("overwrite").parquet(
             hfs.join(accepted_dir, f"batch_id={batch_id}")
         )
-        _banded_sketch(survivors, id_col, text_col).write.mode(
+        _banded_sketch(survivors, id_col, text_col, n_perm, n_bands).write.mode(
             "overwrite"
         ).parquet(hfs.join(sketch_dir, f"batch_id={batch_id}"))
     finally:
@@ -129,13 +160,19 @@ def stream_dedup_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    n_perm: int | None = None,
+    n_bands: int | None = None,
 ):
     """writeStream wiring for the online dedup loop; call ``.start()`` on
-    the result. Read the admitted corpus with ``read_accepted``."""
+    the result. Read the admitted corpus with ``read_accepted``.
+    ``n_perm``/``n_bands`` select the state sketch's b/r point on FIRST
+    use (see dedup_ingest_batch — existing state's shape always wins,
+    so restarts can omit them)."""
     return (
         stream_docs.writeStream.foreachBatch(
             lambda df, bid: dedup_ingest_batch(
-                df, bid, state_dir, id_col, text_col, threshold
+                df, bid, state_dir, id_col, text_col, threshold,
+                n_perm=n_perm, n_bands=n_bands,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

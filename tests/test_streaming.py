@@ -807,3 +807,45 @@ def test_stream_session_window_equals_batch(spark):
     assert {k: stream[k] for k in closed} == closed
     assert all(k in stream for k in closed)
     assert len(closed) > 50
+
+
+def test_dedup_ingest_state_pins_its_band_shape(spark, tmp_path):
+    """The state sketch's b/r point is a LIFETIME property of the state
+    dir: the first batch picks it (wide 32x8 here), later batches that
+    omit the shape ADOPT it from the stored state (so restarts need no
+    config), and a later batch passing a mismatched explicit shape
+    raises through the probe gate instead of silently partitioning the
+    candidate space."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import hdfs_mapreduce_spark.operators.dedup as dd
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        _read_batch_dirs,
+        dedup_ingest_batch,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    state = str(tmp_path / "wide_state")
+    dedup_ingest_batch(
+        halves[0], 0, state, n_perm=dd.WIDE_PERM, n_bands=dd.WIDE_BANDS
+    )
+    sk = _read_batch_dirs(spark, state + "/sketch")
+    row = sk.select("rpb", "bkeys").limit(1).collect()[0]
+    assert (row["rpb"] * len(row["bkeys"]), len(row["bkeys"])) == (
+        dd.WIDE_PERM,
+        dd.WIDE_BANDS,
+    )
+    # omitted shape: adopted from state — batch 1's sketch is wide too
+    dedup_ingest_batch(halves[1], 1, state)
+    sk1 = spark.read.parquet(state + "/sketch/batch_id=1")
+    row1 = sk1.select("rpb", "bkeys").limit(1).collect()[0]
+    assert row1["rpb"] == dd.WIDE_PERM // dd.WIDE_BANDS
+    assert len(row1["bkeys"]) == dd.WIDE_BANDS
+    # mismatched explicit shape on existing state: loud failure
+    with pytest.raises(ValueError, match="shape mismatch"):
+        dedup_ingest_batch(
+            halves[1], 2, state, n_perm=dd.N_PERM, n_bands=dd.N_BANDS
+        )

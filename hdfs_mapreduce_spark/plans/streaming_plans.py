@@ -423,6 +423,33 @@ def logtable_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.where(F.col("n_events") > 0).orderBy("event_type")
 
 
+def _stage_day2_batches(root: str, day2: DataFrame, mod: int) -> str:
+    """Stage the day-2 fifth as three single-file micro-batches under
+    ``root/src`` (driver-local os/shutil on declared-fixture staging
+    only — the state/table dirs all go through the logtable's
+    Hadoop-FS machinery). Disjoint-key upserts make the final snapshot
+    order-independent, but the files get strictly increasing mtimes so
+    the batch_id ↔ content mapping (and any future order-sensitive
+    assertion) is guaranteed rather than mtime-incidental."""
+    import glob as _glob
+    import shutil as _shutil
+
+    stage = os.path.join(root, "src")
+    os.makedirs(stage, exist_ok=True)
+    for i in range(3):
+        part = day2.select("vec_id", "embedding").filter(
+            ((F.col("vec_id") / mod).cast("long") % 3) == i
+        )
+        tmp = os.path.join(root, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(stage, f"b{i}.parquet")
+        _shutil.move(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    return stage
+
+
 def stream_ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming maintenance of the persisted ANN index
     (operators/ann_index.py + streaming/logtable.py composed): the
@@ -467,30 +494,8 @@ def stream_ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"_{next(_INVOCATION)}",
     )
 
-    # Stage day-2 as three single-file micro-batches (driver-local
-    # os/shutil on declared-fixture staging only — the state/table dirs
-    # all go through the logtable's Hadoop-FS machinery).
-    import glob as _glob
-    import shutil as _shutil
-
-    stage = os.path.join(root, "src")
-    os.makedirs(stage, exist_ok=True)
+    stage = _stage_day2_batches(root, day2, APPEND_MOD)
     qsrc = emb.select("vec_id", "embedding")
-    for i in range(3):
-        part = day2.select("vec_id", "embedding").filter(
-            ((F.col("vec_id") / APPEND_MOD).cast("long") % 3) == i
-        )
-        tmp = os.path.join(root, f"tmp{i}")
-        part.coalesce(1).write.parquet(tmp)
-        dst = os.path.join(stage, f"b{i}.parquet")
-        _shutil.move(
-            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst
-        )
-        # Disjoint-key upserts make the final snapshot order-independent,
-        # but stamp strictly increasing mtimes anyway so the batch_id ↔
-        # content mapping (and any future order-sensitive assertion) is
-        # guaranteed rather than mtime-incidental.
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
     table_root = os.path.join(root, "codes_table")
 
     def _sink(batch_df, batch_id):
@@ -514,6 +519,91 @@ def stream_ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(root, "ckpt"),
     )
     streamed_codes = snapshot(spark, table_root, "id")
+    combined = {**index, "codes": index["codes"].unionByName(streamed_codes)}
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+    return ann_probe_ivfpq(combined, queries, TOP_K, nprobe=IVF_NPROBE)
+
+
+def stream_ann_ingest_fenced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_ann_ingest_topk against a MANAGED generation with the
+    EPOCH FENCE live (operators/ann_index.py fenced_codes_sink —
+    round-10's mechanical enforcement of the drain-before-flip
+    contract): day-2 arrives in three micro-batches through the fenced
+    sink beside manifest v1 (the fence reads one manifest record per
+    commit and is transparent while v1 is current), then the owner
+    REBUILDS on the full corpus (flip to v2) and the contract is
+    enforced at plan build: the forgotten writer's next commit must
+    raise IndexEpochError and commit nothing (both checked — a raise
+    of the wrong kind or a silent commit fails the query red). The
+    declared relation probes the PRE-flip composition {v1 codes ∪
+    streamed logtable} through the old handle — generation continuity
+    means the flip cannot disturb it, so the SAME closed-form
+    appended-index oracle hashes it (frozen day-1 model, codes over
+    everything), which is exactly the certification: fence + flip are
+    pure control-plane, invisible to data-plane results."""
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        IndexEpochError,
+        ann_probe_ivfpq,
+        create_managed_ivfpq,
+        fenced_codes_sink,
+        open_managed_ivfpq,
+        rebuild_ivfpq_index,
+    )
+    from hdfs_mapreduce_spark.plans.similarity_plans import (
+        APPEND_MOD,
+        IVF_NLIST,
+        IVF_NPROBE,
+        QUERY_IDS,
+        TOP_K,
+    )
+    from hdfs_mapreduce_spark.streaming.logtable import snapshot
+
+    root = _scratch(spark, "ann_ingest_fenced", sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    day1 = emb.filter(F.col("vec_id") % APPEND_MOD != 0)
+    day2 = emb.filter(F.col("vec_id") % APPEND_MOD == 0)
+    index = create_managed_ivfpq(
+        day1, os.path.join(root, "idx"), nlist=IVF_NLIST
+    )
+
+    stage = _stage_day2_batches(root, day2, APPEND_MOD)
+    qsrc = emb.select("vec_id", "embedding")
+    table_root = os.path.join(root, "codes_table")
+    sink = fenced_codes_sink(index, table_root)
+
+    stream = (
+        spark.readStream.schema(qsrc.schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(stage)
+    )
+    _run(
+        stream.writeStream.foreachBatch(sink),
+        None,
+        os.path.join(root, "ckpt"),
+    )
+    streamed_codes = snapshot(spark, table_root, "id")
+
+    # Flip: rebuild on the full current corpus (streamed rows included —
+    # the rebuild-covers-streamed-ingest contract), then enforce that
+    # the forgotten v1 writer fails loudly and commits nothing.
+    rebuild_ivfpq_index(open_managed_ivfpq(spark, os.path.join(root, "idx")), emb)
+    n_before = streamed_codes.count()
+    try:
+        sink(day2.select("vec_id", "embedding").limit(1), 999)
+    except IndexEpochError:
+        pass
+    else:
+        raise RuntimeError(
+            "epoch fence FAILED to trip: a post-flip commit beside the "
+            "dead generation went through silently"
+        )
+    if snapshot(spark, table_root, "id").count() != n_before:
+        raise RuntimeError(
+            "epoch fence tripped but the batch still committed — the "
+            "fence must run before the upsert, not after"
+        )
+
     combined = {**index, "codes": index["codes"].unionByName(streamed_codes)}
     queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
     return ann_probe_ivfpq(combined, queries, TOP_K, nprobe=IVF_NPROBE)
@@ -804,6 +894,7 @@ QUERIES = {
     "logtable_ivm": logtable_ivm,
     "dq_checks_incremental": dq_checks_incremental,
     "stream_ann_ingest_topk": stream_ann_ingest_topk,
+    "stream_ann_ingest_fenced": stream_ann_ingest_fenced,
     "stream_cdc_apply": stream_cdc_apply,
     "stream_windowed_stats": stream_windowed_stats,
     "stream_sliding_stats": stream_sliding_stats,
@@ -905,6 +996,14 @@ def _oracle_sql() -> dict[str, str]:
         # (frozen model over day-1, codes over everything) — the
         # ann_probe_appended oracle hashes the streamed result too.
         "stream_ann_ingest_topk": _ann_ivfpq_sql(
+            model_rel=f"(SELECT * FROM embeddings"
+            f" WHERE vec_id % {APPEND_MOD} <> 0)"
+        ),
+        # The fenced variant probes the same pre-flip composition (the
+        # rebuild flip is control-plane only; the fence contract is
+        # enforced by raises inside the query builder), so the same
+        # appended-index closed form hashes it.
+        "stream_ann_ingest_fenced": _ann_ivfpq_sql(
             model_rel=f"(SELECT * FROM embeddings"
             f" WHERE vec_id % {APPEND_MOD} <> 0)"
         ),

@@ -736,3 +736,53 @@ def test_as_of_open_and_retention_error_after_vacuum(spark, tmp_path):
         open_managed_ivfpq(spark, root, version=1)
     # re-running vacuum is idempotent (exists-checked deletes only)
     assert vacuum_index_generations(spark, root, retain_last=2) == []
+
+
+def test_stale_rebuild_after_vacuum_cannot_resurrect_a_version(
+    spark, tmp_path, monkeypatch
+):
+    """The round-9 ADVICE medium scenario end-to-end: v1..v3 exist, a
+    handle is opened at v1, vacuum reclaims v1's generation. The stale
+    handle's rebuild must fail — and must STILL fail even with the
+    staleness pre-check disabled, because vacuum retains manifest
+    records as tombstone markers, so the stale writer's v2 slot write
+    collides with the retained record instead of resurrecting a
+    below-current version over a freed slot."""
+    import hdfs_mapreduce_spark.operators.ann_index as ann_mod
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        create_managed_ivfpq,
+        current_index_version,
+        open_managed_ivfpq,
+        rebuild_ivfpq_index,
+        vacuum_index_generations,
+    )
+
+    root = str(tmp_path / "resurrect")
+    emb = load_table(spark, SF, "embeddings")
+    stale = create_managed_ivfpq(
+        emb.filter(F.col("vec_id") % 5 != 0), root
+    )  # v1 — held across the upgrades below
+    rebuild_ivfpq_index(open_managed_ivfpq(spark, root), emb)        # v2
+    rebuild_ivfpq_index(open_managed_ivfpq(spark, root), emb)        # v3
+    assert vacuum_index_generations(spark, root, retain_last=2) == [
+        stale["generation"]
+    ]
+
+    # (a) with the pre-check: fails before any build work
+    with pytest.raises(RuntimeError, match="stale index handle"):
+        rebuild_ivfpq_index(stale, emb)
+
+    # (b) pre-check blinded (the TOCTOU-equivalent): the v2 manifest
+    # write must collide with the RETAINED record — loser raises, the
+    # current pointer is untouched, no below-current version appears
+    real = ann_mod.current_index_version
+
+    def blind(spark_, root_):
+        return (stale["version"], stale["generation"])
+
+    monkeypatch.setattr(ann_mod, "current_index_version", blind)
+    with pytest.raises(RuntimeError, match="manifest race"):
+        rebuild_ivfpq_index(stale, emb)
+    monkeypatch.setattr(ann_mod, "current_index_version", real)
+    v, gen = current_index_version(spark, root)
+    assert v == 3 and gen.startswith("gen-000003-")

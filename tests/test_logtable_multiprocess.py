@@ -221,3 +221,114 @@ def test_four_contended_writers_land_every_batch_without_livelock(
         for i, w in enumerate(writers)
         for b in range(6)
     }
+
+
+# ---- ANN manifest contention (round 10): the index publication seam --------
+
+ANN_REBUILD_WORKER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_GRAFT_CPUS", "4")
+from hdfs_mapreduce_spark.session import get_spark
+from hdfs_mapreduce_spark.operators.ann_index import (
+    open_managed_ivfpq, rebuild_ivfpq_index,
+)
+from hdfs_mapreduce_spark.sources.catalog import load_table
+
+root, writer, barrier = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = get_spark(f"ann-rebuild-{{writer}}")
+spark.sparkContext.setLogLevel("ERROR")
+emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+handle = open_managed_ivfpq(spark, root)   # every contender opens v1
+assert handle["version"] == 1
+open(os.path.join(barrier, f"ready_{{writer}}"), "w").close()
+while not os.path.exists(os.path.join(barrier, "go")):
+    time.sleep(0.02)
+try:
+    out = rebuild_ivfpq_index(handle, emb)
+    print("WIN", out["version"], out["generation"])
+except RuntimeError as e:
+    msg = str(e)
+    if "manifest race" in msg:
+        print("LOSE race")
+    elif "stale index handle" in msg:
+        print("LOSE stale")
+    else:
+        print("LOSE other", msg[:200])
+        raise
+"""
+
+
+def test_three_real_processes_race_one_rebuild_slot(spark, tmp_path):
+    """The index publication seam under REAL cross-JVM contention (the
+    logtable 4-writer discipline applied to the manifest): three
+    processes each open the same managed index at v1 and rebuild
+    concurrently. Exactly one may publish v2; every loser must raise
+    (manifest-race at the slot write, or stale-handle if it observed
+    the winner's flip first) and leave NO orphan generation dir and NO
+    manifest record beyond the winner's — a silent double-publish or a
+    resurrected version here would corrupt every downstream probe."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.operators.ann_index import (
+        ann_probe_ivfpq,
+        create_managed_ivfpq,
+        current_index_version,
+        open_managed_ivfpq,
+    )
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    root = str(tmp_path / "contended_idx")
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    created = create_managed_ivfpq(
+        emb.filter(F.col("vec_id") % 5 != 0), root
+    )
+    gen1 = created["generation"]
+
+    barrier = str(tmp_path / "barrier")
+    os.makedirs(barrier)
+    script = ANN_REBUILD_WORKER.format(repo=REPO)
+    names = ["w0", "w1", "w2"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, root, w, barrier],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for w in names
+    ]
+    deadline = time.time() + 300
+    while time.time() < deadline and not all(
+        os.path.exists(os.path.join(barrier, f"ready_{w}")) for w in names
+    ):
+        time.sleep(0.05)
+    open(os.path.join(barrier, "go"), "w").close()
+    outs = [p.communicate(timeout=600) for p in procs]
+    results = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker crashed:\n{out}\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith(("WIN", "LOSE"))]
+        assert line, out
+        results.append(line[-1])
+
+    wins = [r for r in results if r.startswith("WIN")]
+    losses = [r for r in results if r.startswith("LOSE")]
+    assert len(wins) == 1 and len(losses) == 2, results
+    assert all(r.split()[1] in ("race", "stale") for r in losses), results
+    win_gen = wins[0].split()[2]
+    assert current_index_version(spark, root) == (2, win_gen)
+    # no orphan generation dirs, no manifest records beyond v1/v2
+    gens = sorted(n for n in os.listdir(root) if n.startswith("gen-"))
+    assert gens == sorted([gen1, win_gen]), gens
+    records = sorted(
+        n for n in os.listdir(os.path.join(root, "_manifest"))
+        if not n.startswith(".")  # Hadoop local-FS .crc sidecars
+    )
+    assert records == ["v1", "v2"], records
+    # the published generation serves probes
+    handle = open_managed_ivfpq(spark, root)
+    queries = emb.filter(F.col("vec_id").isin([0, 1]))
+    assert ann_probe_ivfpq(handle, queries, k=5, nprobe=4).count() == 10

@@ -12,6 +12,7 @@ from hdfs_mapreduce_spark.operators.dedup import (
     incremental_minhash_pairs,
     incremental_pairs_against_sketch,
     minhash_pairs,
+    resolve_sketch_shape,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -77,6 +78,7 @@ __all__ = [
     "incremental_pairs_against_sketch",
     "minhash_signatures",
     "minhash_pairs",
+    "resolve_sketch_shape",
     "simhash_signatures",
     "simhash_pairs",
     "ngram_jaccard_pairs",

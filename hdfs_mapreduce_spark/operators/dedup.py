@@ -58,6 +58,19 @@ WIDE_BANDS = 8
 AUTO_WIDE_MIN_DOCS = 1_000_000
 
 
+# Session-level memo for auto_band_config's count probe, keyed on
+# (applicationId, the input plan's semantic hash, bound): a pipeline
+# that calls defaulted minhash operators in a loop over the SAME corpus
+# relation pays the limit-probe count once, not per call (the
+# plans/__init__._prepared discipline applied to the probe — round-10
+# verdict "What's wrong" #3). Semantic hash equates plans up to alias
+# renames but is pinned to the same file listing the plan captured, so
+# a re-loaded (refreshed) relation gets a fresh probe. Bounded: cleared
+# wholesale past a small cap rather than LRU-tracked.
+_AUTO_BAND_MEMO: dict[tuple[str, int, int], tuple[int, int]] = {}
+_AUTO_BAND_MEMO_CAP = 256
+
+
 def auto_band_config(
     df: DataFrame, wide_min_docs: int | None = None
 ) -> tuple[int, int]:
@@ -66,14 +79,29 @@ def auto_band_config(
     32×8 (r=4) production sketch above it. The probe counts
     ``limit(bound + 1)`` — only the threshold comparison is needed, so
     the job stops as soon as the bound is exceeded (guards.py's
-    gated_broadcast probe shape). Explicit n_perm/n_bands on any
-    operator remain the override; this is what their ``None`` default
-    resolves to."""
+    gated_broadcast probe shape) — and is memoized per (session, input
+    plan) so repeated defaulted calls over one corpus probe once.
+    Explicit n_perm/n_bands on any operator remain the override; this
+    is what their ``None`` default resolves to."""
     bound = AUTO_WIDE_MIN_DOCS if wide_min_docs is None else wide_min_docs
+    key = None
+    try:
+        key = (
+            df.sparkSession.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            bound,
+        )
+    except Exception:
+        pass  # non-classic backend (e.g. Connect) — probe without memo
+    if key is not None and key in _AUTO_BAND_MEMO:
+        return _AUTO_BAND_MEMO[key]
     n = df.select(F.lit(1).alias("one")).limit(bound + 1).count()
-    if n > bound:
-        return WIDE_PERM, WIDE_BANDS
-    return N_PERM, N_BANDS
+    cfg = (WIDE_PERM, WIDE_BANDS) if n > bound else (N_PERM, N_BANDS)
+    if key is not None:
+        if len(_AUTO_BAND_MEMO) >= _AUTO_BAND_MEMO_CAP:
+            _AUTO_BAND_MEMO.clear()
+        _AUTO_BAND_MEMO[key] = cfg
+    return cfg
 
 
 def _resolve_band_config(
@@ -350,6 +378,61 @@ def incremental_minhash_pairs(
     )
 
 
+def resolve_sketch_shape(
+    corpus_sketch: DataFrame,
+    n_perm: int | None = None,
+    n_bands: int | None = None,
+) -> tuple[int, int] | None:
+    """Resolve the b/r point of a stored banded sketch from ONE sampled
+    row (a single eager ``limit(1)`` job — the only driver work).
+
+    * omitted ``n_perm``/``n_bands`` → ADOPT the stored shape (``rpb``
+      rows/band × the ``bkeys`` array length);
+    * explicit values → VALIDATE against the stored shape, raising on a
+      mismatch (a mis-shaped probe would join nothing and silently
+      report zero duplicates — the worst failure an ingest gate has);
+    * an EMPTY sketch (no rows yet — e.g. an online-ingest state dir
+      whose first micro-batches admitted nothing) → the explicit values
+      when given, else ``None``: with no rows stored the lifetime shape
+      is genuinely not fixed yet, and the CALLER chooses the fallback
+      (``incremental_pairs_against_sketch`` raises — a batch probe of an
+      empty "corpus" is a caller bug; ``streaming.dedup
+      .dedup_ingest_batch`` falls back to the module defaults exactly
+      as it would for a true first batch, so an empty batch 0 can never
+      wedge the stream).
+
+    Sketches written before round 10 (string band keys, no ``rpb``
+    column) are detected by schema — metadata-only, no extra job — and
+    raise a targeted rebuild error instead of a downstream
+    AnalysisException on the missing column."""
+    if (n_perm is None) != (n_bands is None):
+        raise ValueError("pass BOTH n_perm and n_bands or neither")
+    cols = set(corpus_sketch.columns)
+    if "rpb" not in cols or "bkeys" not in cols:
+        raise ValueError(
+            "corpus sketch is in the legacy (pre-format-v2) layout — "
+            "band keys are now one xxhash64 BIGINT per band with an "
+            "rpb shape column, and a v1 string-key sketch can never "
+            "match a v2 probe. Rebuild it (materialize_banded_sketch, "
+            "or a fresh ingest state dir) before probing."
+        )
+    sample = corpus_sketch.select("rpb", "bkeys").limit(1).collect()
+    if not sample:
+        return (n_perm, n_bands) if n_perm is not None else None
+    bkeys = sample[0]["bkeys"]
+    stored_rows = sample[0]["rpb"]
+    if n_perm is None:
+        return stored_rows * len(bkeys), len(bkeys)
+    if len(bkeys) != n_bands or stored_rows != n_perm // n_bands:
+        raise ValueError(
+            f"corpus sketch shape mismatch: stored {len(bkeys)} bands x "
+            f"{stored_rows} rows/band, probe asked n_perm={n_perm} "
+            f"n_bands={n_bands} ({n_perm // n_bands} rows/band) — "
+            "rebuild the sketch or probe with its configuration"
+        )
+    return n_perm, n_bands
+
+
 def incremental_pairs_against_sketch(
     corpus_sketch: DataFrame,
     new_df: DataFrame,
@@ -358,6 +441,7 @@ def incremental_pairs_against_sketch(
     threshold: float = 0.5,
     n_perm: int | None = None,
     n_bands: int | None = None,
+    validate_shape: bool = True,
 ) -> DataFrame:
     """The production form of ``incremental_minhash_pairs``: probe a
     PRE-BUILT corpus sketch (the relation ``_banded_sketch`` computes —
@@ -388,30 +472,28 @@ def incremental_pairs_against_sketch(
     from the same sampled row — the sketch is the source of truth for
     its own configuration, so an auto-built (count-probed) sketch never
     needs its chosen b/r point re-communicated to the probe side. An
-    empty sketch with no explicit shape raises (nothing to adopt)."""
-    if (n_perm is None) != (n_bands is None):
-        raise ValueError(
-            "pass BOTH n_perm and n_bands (explicit b/r override) or "
-            "NEITHER (adopt the stored sketch's shape)"
-        )
-    sample = corpus_sketch.select("rpb", "bkeys").limit(1).collect()
-    if sample:
-        bkeys = sample[0]["bkeys"]
-        stored_rows = sample[0]["rpb"]
-        if n_perm is None:
-            n_bands = len(bkeys)
-            n_perm = stored_rows * n_bands
-        elif len(bkeys) != n_bands or stored_rows != n_perm // n_bands:
+    empty sketch with no explicit shape raises (nothing to adopt).
+
+    ``validate_shape=False`` skips the 1-row sample entirely and
+    requires explicit ``n_perm``/``n_bands``: it is for callers that
+    have JUST resolved the stored shape themselves from the SAME sketch
+    via ``resolve_sketch_shape`` (streaming/dedup.dedup_ingest_batch —
+    one probe job per micro-batch instead of two, the round-10 verdict's
+    double-probe finding). Any other use forfeits the join-nothing
+    safety net that validation exists for."""
+    if validate_shape:
+        shape = resolve_sketch_shape(corpus_sketch, n_perm, n_bands)
+        if shape is None:
             raise ValueError(
-                f"corpus sketch shape mismatch: stored {len(bkeys)} bands x "
-                f"{stored_rows} rows/band, probe asked n_perm={n_perm} "
-                f"n_bands={n_bands} ({n_perm // n_bands} rows/band) — "
-                "rebuild the sketch or probe with its configuration"
+                "cannot adopt a b/r shape from an EMPTY corpus sketch — "
+                "pass n_perm/n_bands explicitly (they are recorded with "
+                "the sketch)"
             )
-    elif n_perm is None:
+        n_perm, n_bands = shape
+    elif n_perm is None or n_bands is None:
         raise ValueError(
-            "cannot adopt a b/r shape from an EMPTY corpus sketch — pass "
-            "n_perm/n_bands explicitly (they are recorded with the sketch)"
+            "validate_shape=False requires explicit n_perm and n_bands "
+            "(resolved via resolve_sketch_shape on the same sketch)"
         )
     nb = _banded_sketch(new_df, id_col, text_col, n_perm, n_bands).alias("n")
     cb = corpus_sketch.alias("c")

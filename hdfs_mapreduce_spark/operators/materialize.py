@@ -101,6 +101,8 @@ def materialize_minhash_pairs(
     threshold: float,
     name: str = "minhash_pairs",
     base: str | None = None,
+    n_perm: int | None = None,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """The near-dup edge list (doc_a, doc_b), materialized. This is the
     front half of components/keep-best/leakage-safe-split: LSH banding
@@ -109,10 +111,14 @@ def materialize_minhash_pairs(
     cluster ranking) scans the parquet instead of re-running shingling +
     banding — measured ~2.5x at sf0.1, and the gap grows with corpus
     size because the re-run cost is corpus-sized while the scan cost is
-    edge-sized."""
+    edge-sized. ``n_perm``/``n_bands`` pass through to ``minhash_pairs``
+    (omitted → its auto count-probe default; declared plans pin the
+    oracle's 16×8 point explicitly — see plans/dedup_plans.py)."""
     from hdfs_mapreduce_spark.operators.dedup import minhash_pairs
 
-    pairs = minhash_pairs(docs, id_col, text_col, threshold)
+    pairs = minhash_pairs(
+        docs, id_col, text_col, threshold, n_perm=n_perm, n_bands=n_bands
+    )
     return materialize(pairs.select("doc_a", "doc_b"), name, base)
 
 

@@ -135,6 +135,16 @@ REVERIFY = {
     #     promotion boundary, hit at exactly 1,500 distinct users).
     "ann_pca_audit": 9,
     "events_hll_mergeable": 9,
+    # r11: stream_ann_ingest_fenced's DECLARED RELATION changed — it now
+    #     probes the POST-flip v2 generation through a fresh handle (the
+    #     full-corpus rebuild is certified instead of discarded; oracle
+    #     moved to the plain full-corpus closed form). And
+    #     stream_dedup_admitted's per-batch state machinery changed:
+    #     shape resolution collapsed to ONE probe job
+    #     (resolve_sketch_shape + validate_shape=False pass-down) with
+    #     the empty-state fallback — same relation, new executed loop.
+    "stream_ann_ingest_fenced": 11,
+    "stream_dedup_admitted": 11,
 }
 
 

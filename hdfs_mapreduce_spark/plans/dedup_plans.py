@@ -148,8 +148,20 @@ def dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The b/r point is PINNED at every declared call site (round-10
+    # ADVICE): this relation's oracle is generated from the 16×8 CTEs,
+    # so letting auto_band_config resolve it would silently change the
+    # emitted pair SET — not just candidate economics — the moment a
+    # corpus crosses AUTO_WIDE_MIN_DOCS, and the declared hash would go
+    # red. The wide production point is its own declared query
+    # (dedup_minhash_pairs_wide); the count-probe default stays the
+    # library behaviour for direct operator callers. Pinning also drops
+    # the probe's eager count job from every declared plan build.
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    return minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
+    return minhash_pairs(
+        docs, "doc_id", "text", MINHASH_THRESHOLD,
+        n_perm=N_PERM, n_bands=N_BANDS,
+    )
 
 
 def dedup_minhash_pairs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,6 +274,8 @@ def _canonical_over_minhash(
         "text",
         MINHASH_THRESHOLD,
         name=f"{tag}_edges_{os.path.basename(sf_dir.rstrip('/'))}",
+        n_perm=N_PERM,
+        n_bands=N_BANDS,  # oracle-pinned (dedup_minhash_pairs)
     )
     return canonical_assignment(
         docs.select("doc_id"), "doc_id", edges, "doc_a", "doc_b"
@@ -373,6 +387,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         MINHASH_THRESHOLD,
         name=f"pagerank_edges_{os.path.basename(sf_dir.rstrip('/'))}",
+        n_perm=N_PERM,
+        n_bands=N_BANDS,  # oracle-pinned (dedup_minhash_pairs)
     )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -411,6 +427,8 @@ def dedup_components_logrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         MINHASH_THRESHOLD,
         name=f"logrounds_edges_{os.path.basename(sf_dir.rstrip('/'))}",
+        n_perm=N_PERM,
+        n_bands=N_BANDS,  # oracle-pinned (dedup_minhash_pairs)
     )
     labels = connected_components_logrounds(edges, "doc_a", "doc_b")
     return (
@@ -534,7 +552,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % INC_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % INC_MOD != 0)
     return incremental_minhash_pairs(
-        corpus, new, "doc_id", "text", MINHASH_THRESHOLD
+        corpus, new, "doc_id", "text", MINHASH_THRESHOLD,
+        n_perm=N_PERM, n_bands=N_BANDS,  # oracle-pinned (dedup_minhash_pairs)
     )
 
 
@@ -716,7 +735,10 @@ def dataset_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
-    pairs = minhash_pairs(docs, "doc_id", "text", MINHASH_THRESHOLD)
+    pairs = minhash_pairs(
+        docs, "doc_id", "text", MINHASH_THRESHOLD,
+        n_perm=N_PERM, n_bands=N_BANDS,  # oracle-pinned (dedup_minhash_pairs)
+    )
 
     def split_of(c):
         b = h56(F.concat(F.lit("split:"), c)) % SPLIT_MOD

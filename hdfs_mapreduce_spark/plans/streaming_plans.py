@@ -535,12 +535,14 @@ def stream_ann_ingest_fenced(spark: SparkSession, sf_dir: str) -> DataFrame:
     enforced at plan build: the forgotten writer's next commit must
     raise IndexEpochError and commit nothing (both checked — a raise
     of the wrong kind or a silent commit fails the query red). The
-    declared relation probes the PRE-flip composition {v1 codes ∪
-    streamed logtable} through the old handle — generation continuity
-    means the flip cannot disturb it, so the SAME closed-form
-    appended-index oracle hashes it (frozen day-1 model, codes over
-    everything), which is exactly the certification: fence + flip are
-    pure control-plane, invisible to data-plane results."""
+    declared relation probes the POST-flip v2 composition through a
+    FRESH open_managed_ivfpq handle (round-10 verdict item 3: the old
+    form probed pre-flip and threw the full-corpus rebuild away —
+    half the query's cost certifying nothing), so the rebuild it pays
+    is exactly what the driver hashes: rebuild ≡ build of the current
+    corpus, the plain full-corpus oracle (the ann_probe_vacuumed
+    pattern). Pre-flip probe continuity through the old handle stays
+    pinned in tests/test_ann_index.py."""
     from hdfs_mapreduce_spark.operators.ann_index import (
         IndexEpochError,
         ann_probe_ivfpq,
@@ -604,9 +606,17 @@ def stream_ann_ingest_fenced(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fence must run before the upsert, not after"
         )
 
-    combined = {**index, "codes": index["codes"].unionByName(streamed_codes)}
+    # Probe the rebuilt generation through a FRESH handle: certifies the
+    # published post-flip state read back from disk, not the in-memory
+    # return value of the rebuild call.
+    handle = open_managed_ivfpq(spark, os.path.join(root, "idx"))
+    if handle["version"] != 2:
+        raise RuntimeError(
+            f"rebuild did not flip the manifest: current is "
+            f"v{handle['version']}, expected v2"
+        )
     queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
-    return ann_probe_ivfpq(combined, queries, TOP_K, nprobe=IVF_NPROBE)
+    return ann_probe_ivfpq(handle, queries, TOP_K, nprobe=IVF_NPROBE)
 
 
 # stream_cdc_apply constants: residue-class batching of the events keys
@@ -999,14 +1009,12 @@ def _oracle_sql() -> dict[str, str]:
             model_rel=f"(SELECT * FROM embeddings"
             f" WHERE vec_id % {APPEND_MOD} <> 0)"
         ),
-        # The fenced variant probes the same pre-flip composition (the
-        # rebuild flip is control-plane only; the fence contract is
-        # enforced by raises inside the query builder), so the same
-        # appended-index closed form hashes it.
-        "stream_ann_ingest_fenced": _ann_ivfpq_sql(
-            model_rel=f"(SELECT * FROM embeddings"
-            f" WHERE vec_id % {APPEND_MOD} <> 0)"
-        ),
+        # The fenced variant probes the POST-flip v2 generation — a
+        # full-corpus rebuild — through a fresh handle, so the plain
+        # full-corpus closed form hashes it (rebuild ≡ build of current
+        # data; the fence contract is enforced by raises inside the
+        # query builder).
+        "stream_ann_ingest_fenced": _ann_ivfpq_sql(),
         # CDC final state closed-form: every key except the deleted
         # mod-9 class, with the mod-6 class carrying the batch-1 bump.
         "stream_cdc_apply": f"""

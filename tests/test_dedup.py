@@ -822,3 +822,77 @@ def test_auto_band_config_switchover_and_shape_adoption(spark, monkeypatch):
         )
     with pytest.raises(ValueError, match="BOTH"):
         minhash_pairs(docs, "doc_id", "text", 0.5, n_perm=dd.N_PERM)
+
+
+def test_resolve_sketch_shape_empty_legacy_and_trusted_probe(spark):
+    """resolve_sketch_shape contract (round-10 advice trio): an EMPTY
+    sketch yields None (omitted) or the explicit shape; a legacy v1
+    sketch (no rpb column) raises a targeted rebuild error instead of a
+    downstream missing-column AnalysisException; validate_shape=False
+    skips the stored-shape sample entirely (proven by a mismatched probe
+    that does NOT raise) and demands explicit values."""
+    import pytest
+
+    import hdfs_mapreduce_spark.operators.dedup as dd
+    from hdfs_mapreduce_spark.operators.dedup import (
+        _banded_sketch,
+        incremental_pairs_against_sketch,
+        resolve_sketch_shape,
+    )
+
+    docs = _docs(spark)
+    batch = docs.filter("doc_id = 3")
+    sketch = _banded_sketch(docs, "doc_id", "text", dd.N_PERM, dd.N_BANDS)
+    empty = sketch.filter("doc < 0")
+    assert resolve_sketch_shape(empty) is None
+    assert resolve_sketch_shape(empty, dd.WIDE_PERM, dd.WIDE_BANDS) == (
+        dd.WIDE_PERM,
+        dd.WIDE_BANDS,
+    )
+    with pytest.raises(ValueError, match="EMPTY"):
+        incremental_pairs_against_sketch(empty, batch, "doc_id", "text", 0.5)
+    legacy = sketch.drop("rpb")  # the pre-round-10 on-disk layout
+    with pytest.raises(ValueError, match="legacy"):
+        resolve_sketch_shape(legacy)
+    with pytest.raises(ValueError, match="legacy"):
+        incremental_pairs_against_sketch(legacy, batch, "doc_id", "text", 0.5)
+    # trusted probe: no sample job, so a (deliberately) mismatched shape
+    # builds a plan instead of raising — and explicit values are required
+    mis = incremental_pairs_against_sketch(
+        sketch, batch, "doc_id", "text", 0.5,
+        n_perm=dd.WIDE_PERM, n_bands=dd.WIDE_BANDS, validate_shape=False,
+    )
+    assert mis.count() == 0  # mismatched band keys join nothing
+    with pytest.raises(ValueError, match="explicit"):
+        incremental_pairs_against_sketch(
+            sketch, batch, "doc_id", "text", 0.5, validate_shape=False
+        )
+
+
+def test_auto_band_config_memoizes_per_plan(spark, monkeypatch):
+    """The count probe behind defaulted minhash operators runs ONCE per
+    (session, input plan): a second defaulted call over the same
+    relation must not launch another limit-probe job (round-10 verdict
+    'What's wrong' #3)."""
+    import hdfs_mapreduce_spark.operators.dedup as dd
+
+    dd._AUTO_BAND_MEMO.clear()
+    docs = _docs(spark)
+    probes = {"n": 0}
+    orig = type(docs).count
+
+    def counting_count(self):
+        probes["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(type(docs), "count", counting_count)
+    assert dd.auto_band_config(docs) == (dd.N_PERM, dd.N_BANDS)
+    assert dd.auto_band_config(docs) == (dd.N_PERM, dd.N_BANDS)
+    assert probes["n"] == 1, "second defaulted call re-ran the count probe"
+    # a different bound is a different decision — fresh probe
+    assert dd.auto_band_config(docs, wide_min_docs=2) == (
+        dd.WIDE_PERM,
+        dd.WIDE_BANDS,
+    )
+    assert probes["n"] == 2
+    dd._AUTO_BAND_MEMO.clear()

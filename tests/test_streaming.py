@@ -849,3 +849,73 @@ def test_dedup_ingest_state_pins_its_band_shape(spark, tmp_path):
         dedup_ingest_batch(
             halves[1], 2, state, n_perm=dd.N_PERM, n_bands=dd.N_BANDS
         )
+
+
+def test_dedup_ingest_empty_first_batch_does_not_wedge(spark, tmp_path):
+    """Round-10 ADVICE: an empty micro-batch 0 writes a 0-row sketch
+    partition; later default-shape batches must fall back to the module
+    defaults instead of failing shape adoption forever (the raise would
+    recur on every replay — a permanently wedged stream). The first
+    NON-empty batch is what fixes the state's lifetime b/r point."""
+    from pyspark.sql import functions as F
+
+    import hdfs_mapreduce_spark.operators.dedup as dd
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        _read_batch_dirs,
+        dedup_ingest_batch,
+        read_accepted,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    state = str(tmp_path / "empty_first")
+    dedup_ingest_batch(docs.filter(F.lit(False)), 0, state)  # empty batch
+    dedup_ingest_batch(docs, 1, state)  # must not raise
+    sk1 = spark.read.parquet(state + "/sketch/batch_id=1")
+    row = sk1.select("rpb", "bkeys").limit(1).collect()[0]
+    assert row["rpb"] == dd.N_PERM // dd.N_BANDS
+    assert len(row["bkeys"]) == dd.N_BANDS
+    assert read_accepted(spark, state).count() > 0
+    # and adoption works from then on (batch 2 omits the shape too)
+    dedup_ingest_batch(docs.filter("doc_id % 7 = 0"), 2, state)
+    assert _read_batch_dirs(spark, state + "/sketch") is not None
+
+
+def test_dedup_ingest_batch_resolves_shape_once(spark, tmp_path, monkeypatch):
+    """One driver-side shape probe per micro-batch (round-10 verdict
+    'What's wrong' #1 — the double 1-row collect): dedup_ingest_batch
+    calls resolve_sketch_shape exactly once and hands the corpus probe
+    pre-validated values (validate_shape=False), so the probe runs no
+    second sample job."""
+    from pyspark.sql import functions as F
+
+    import hdfs_mapreduce_spark.streaming.dedup as sd
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    state = str(tmp_path / "probe_once")
+    sd.dedup_ingest_batch(halves[0], 0, state)
+
+    calls = {"resolve": 0}
+    orig_resolve = sd.resolve_sketch_shape
+    orig_inc = sd.incremental_pairs_against_sketch
+
+    def counting_resolve(*a, **k):
+        calls["resolve"] += 1
+        return orig_resolve(*a, **k)
+
+    def checked_inc(*a, **k):
+        assert k.get("validate_shape") is False, (
+            "corpus probe must trust the shape dedup_ingest_batch just "
+            "resolved (a second sample job otherwise)"
+        )
+        assert k.get("n_perm") is not None and k.get("n_bands") is not None
+        return orig_inc(*a, **k)
+
+    monkeypatch.setattr(sd, "resolve_sketch_shape", counting_resolve)
+    monkeypatch.setattr(
+        sd, "incremental_pairs_against_sketch", checked_inc
+    )
+    sd.dedup_ingest_batch(halves[1], 1, state)
+    assert calls["resolve"] == 1

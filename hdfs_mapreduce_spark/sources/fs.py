@@ -99,3 +99,21 @@ def write_text_atomic(spark: SparkSession, path_str: str, text: str) -> bool:
         return True
     fs.delete(tmp, False)
     return False
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Hadoop FileSystem rename (atomic on HDFS/local for same-volume
+    moves; returns False instead of raising when the destination exists
+    or the source is missing). For directory swaps in maintenance verbs
+    — never for per-row data movement."""
+    fs, src_p = fs_and_path(spark, src)
+    return bool(fs.rename(src_p, jpath(spark, dst)))
+
+
+def delete(spark: SparkSession, path_str: str, recursive: bool = True) -> bool:
+    """Recursive delete; True when something was removed, False when the
+    path was already absent (idempotent cleanup semantics)."""
+    fs, path = fs_and_path(spark, path_str)
+    if not fs.exists(path):
+        return False
+    return bool(fs.delete(path, recursive))

@@ -36,14 +36,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hdfs_mapreduce_spark.operators.dedup import (
+    AUTO_WIDE_MIN_DOCS,
     N_BANDS,
     N_PERM,
+    WIDE_BANDS,
+    WIDE_PERM,
     _banded_sketch,
     incremental_pairs_against_sketch,
     minhash_pairs,
     resolve_sketch_shape,
 )
 from hdfs_mapreduce_spark.sources import fs as hfs
+
+# Leftover markers of an interrupted resketch_state swap: their presence
+# means the sketch tree may be mid-swap, so ingest refuses to run until
+# resketch_state is re-run (which rolls back or forward and cleans up).
+_RESKETCH_TMP = "_sketch_resketch"
+_RESKETCH_OLD = "_sketch_old"
 
 
 def _read_batch_dirs(
@@ -102,6 +111,13 @@ def dedup_ingest_batch(
     spark = batch_df.sparkSession
     accepted_dir = hfs.join(state_dir, "accepted")
     sketch_dir = hfs.join(state_dir, "sketch")
+    for marker in (_RESKETCH_OLD, _RESKETCH_TMP):
+        if hfs.exists(spark, hfs.join(state_dir, marker)):
+            raise RuntimeError(
+                f"state dir has a leftover '{marker}' tree from an "
+                "interrupted resketch_state — re-run resketch_state "
+                "(it rolls the swap back or forward) before ingesting"
+            )
     corpus_sketch = _read_batch_dirs(spark, sketch_dir, below=batch_id)
     if (n_perm is None) != (n_bands is None):
         raise ValueError("pass BOTH n_perm and n_bands or neither")
@@ -193,3 +209,111 @@ def stream_dedup_ingest(
 def read_accepted(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """The admitted (deduplicated) corpus across all completed batches."""
     return _read_batch_dirs(spark, hfs.join(state_dir, "accepted"))
+
+
+def resketch_state(
+    spark: SparkSession,
+    state_dir: str,
+    n_perm: int,
+    n_bands: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[int, int]:
+    """Migrate the state sketch to a new b/r point by rebuilding it from
+    the ``accepted`` corpus — the missing verb for a deployment whose
+    accumulated state outgrew its first batch's choice (the lifetime
+    point defaults from batch 0, so a stream started small keeps the
+    narrow 16×8 sketch even past AUTO_WIDE_MIN_DOCS docs;
+    ``resketch_recommended`` is the advisory that surfaces this).
+
+    Run with the STREAM STOPPED — the sketch tree is swapped wholesale
+    and concurrent batch writes into it would be lost. The rebuild is
+    ONE Spark pass: the accepted corpus (with its hive ``batch_id``
+    partition column) re-sketches at the new point, the per-doc batch id
+    joins back onto the band rows, and a single ``partitionBy("batch_id")``
+    write recreates the per-batch directory layout — preserving the
+    probe-below-batch-id replay cut, so a post-restart replay of the
+    last micro-batch still never matches documents against their own
+    earlier attempt. Each partition dir then gets the ``_SUCCESS``
+    marker ``_read_batch_dirs`` requires.
+
+    Crash safety: the new tree is built under ``_sketch_resketch`` and
+    swapped in by two renames (sketch → ``_sketch_old``, tmp → sketch).
+    ``dedup_ingest_batch`` refuses to run while either marker tree
+    exists; re-running resketch_state first ROLLS BACK an incomplete
+    swap (old → sketch) or completes a finished one (deletes leftovers),
+    then rebuilds — so an interrupted migration is always recoverable by
+    the same command, and the probe can never silently see a
+    mixed-shape sketch (a single-row shape sample cannot detect one).
+
+    Returns the (n_perm, n_bands) now recorded in the state."""
+    if n_perm % n_bands:
+        raise ValueError(f"n_perm={n_perm} not divisible by n_bands={n_bands}")
+    sketch_dir = hfs.join(state_dir, "sketch")
+    tmp = hfs.join(state_dir, _RESKETCH_TMP)
+    old = hfs.join(state_dir, _RESKETCH_OLD)
+    # recovery from an interrupted previous swap: if the live tree is
+    # missing the rollback source is the old tree; leftovers then clear
+    if not hfs.exists(spark, sketch_dir) and hfs.exists(spark, old):
+        if not hfs.rename(spark, old, sketch_dir):
+            raise RuntimeError(f"rollback rename failed: {old} -> {sketch_dir}")
+    hfs.delete(spark, old)
+    hfs.delete(spark, tmp)
+    accepted = _read_batch_dirs(spark, hfs.join(state_dir, "accepted"))
+    if accepted is None:
+        raise ValueError(
+            f"no accepted state under {state_dir} — nothing to resketch"
+        )
+    bands = _banded_sketch(accepted, id_col, text_col, n_perm, n_bands)
+    doc_batch = accepted.select(
+        F.col(id_col).alias("doc"), F.col("batch_id")
+    )
+    (
+        bands.join(doc_batch, "doc")
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(tmp)
+    )
+    for child in hfs.list_child_names(spark, tmp):
+        if child.startswith("batch_id="):
+            hfs.write_text_atomic(
+                spark, hfs.join(tmp, child, "_SUCCESS"), ""
+            )
+    if hfs.exists(spark, sketch_dir):
+        if not hfs.rename(spark, sketch_dir, old):
+            raise RuntimeError(f"swap rename failed: {sketch_dir} -> {old}")
+    if not hfs.rename(spark, tmp, sketch_dir):
+        raise RuntimeError(f"swap rename failed: {tmp} -> {sketch_dir}")
+    hfs.delete(spark, old)
+    return n_perm, n_bands
+
+
+def resketch_recommended(
+    spark: SparkSession,
+    state_dir: str,
+    wide_min_docs: int | None = None,
+) -> bool:
+    """Advisory for the online dedup state (the ann_index
+    ``rebuild_recommended`` discipline): True when the ACCUMULATED
+    accepted corpus has crossed the auto-wide bound while the state
+    sketch still sits at a narrower b/r point than the wide production
+    config — i.e. exactly the deployment that should schedule
+    ``resketch_state(..., WIDE_PERM, WIDE_BANDS)``. Cost: one sampled
+    sketch row + a ``limit(bound + 1)`` count probe that stops as soon
+    as the bound is exceeded; run it on the ingest owner's maintenance
+    cadence, not per micro-batch."""
+    bound = AUTO_WIDE_MIN_DOCS if wide_min_docs is None else wide_min_docs
+    sketch = _read_batch_dirs(spark, hfs.join(state_dir, "sketch"))
+    if sketch is None:
+        return False
+    shape = resolve_sketch_shape(sketch)
+    if shape is None:
+        return False
+    n_perm, n_bands = shape
+    if n_perm // n_bands >= WIDE_PERM // WIDE_BANDS:
+        return False
+    accepted = read_accepted(spark, state_dir)
+    if accepted is None:
+        return False
+    n = accepted.select(F.lit(1).alias("one")).limit(bound + 1).count()
+    return n > bound

@@ -919,3 +919,100 @@ def test_dedup_ingest_batch_resolves_shape_once(spark, tmp_path, monkeypatch):
     )
     sd.dedup_ingest_batch(halves[1], 1, state)
     assert calls["resolve"] == 1
+
+
+def test_resketch_state_matches_wide_from_scratch(spark, tmp_path):
+    """resketch_state migrates the state sketch to the wide b/r point:
+    after resketching a default-shape state, subsequent admission
+    decisions equal a state that ran WIDE from scratch; the per-batch
+    dir layout (and so replay idempotence) survives the migration; and
+    resketch_recommended flags exactly the narrow-state-past-bound
+    case."""
+    from pyspark.sql import functions as F
+
+    import hdfs_mapreduce_spark.operators.dedup as dd
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        _read_batch_dirs,
+        dedup_ingest_batch,
+        read_accepted,
+        resketch_recommended,
+        resketch_state,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    thirds = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+
+    def accepted_ids(state):
+        return sorted(
+            r["doc_id"]
+            for r in read_accepted(spark, state).select("doc_id").collect()
+        )
+
+    # reference: wide point from the very first batch
+    wide = str(tmp_path / "wide")
+    for i in range(3):
+        dedup_ingest_batch(
+            thirds[i], i, wide, n_perm=dd.WIDE_PERM, n_bands=dd.WIDE_BANDS
+        )
+
+    # migrated: two default-shape batches, resketch, then batch 2
+    mig = str(tmp_path / "mig")
+    dedup_ingest_batch(thirds[0], 0, mig)
+    dedup_ingest_batch(thirds[1], 1, mig)
+    # narrow state below the bound: no advisory; past the bound: advisory
+    assert resketch_recommended(spark, mig) is False
+    assert resketch_recommended(spark, mig, wide_min_docs=1) is True
+    assert resketch_state(
+        spark, mig, dd.WIDE_PERM, dd.WIDE_BANDS
+    ) == (dd.WIDE_PERM, dd.WIDE_BANDS)
+    # stored shape is wide now, per-batch layout preserved
+    sk = _read_batch_dirs(spark, mig + "/sketch")
+    assert dd.resolve_sketch_shape(sk) == (dd.WIDE_PERM, dd.WIDE_BANDS)
+    assert sorted(
+        r["batch_id"] for r in sk.select("batch_id").distinct().collect()
+    ) == [0, 1]
+    # a wide state never recommends again
+    assert resketch_recommended(spark, mig, wide_min_docs=1) is False
+    dedup_ingest_batch(thirds[2], 2, mig)  # adopts the wide shape
+    assert accepted_ids(mig) == accepted_ids(wide)
+    # replay of the last batch after migration is still a no-op
+    dedup_ingest_batch(thirds[2], 2, mig)
+    assert accepted_ids(mig) == accepted_ids(wide)
+
+
+def test_resketch_interrupted_swap_guards_and_recovers(spark, tmp_path):
+    """An interrupted resketch swap leaves a marker tree: ingest refuses
+    to run against it (a single-row shape sample cannot detect a
+    mixed-shape sketch), and re-running resketch_state rolls back /
+    cleans up and completes the migration."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import hdfs_mapreduce_spark.operators.dedup as dd
+    from hdfs_mapreduce_spark.sources import fs as hfs
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        _RESKETCH_OLD,
+        _read_batch_dirs,
+        dedup_ingest_batch,
+        resketch_state,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    state = str(tmp_path / "interrupted")
+    dedup_ingest_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, state)
+    # simulate a crash between the two swap renames: live tree moved to
+    # the old slot, new tree never landed
+    assert hfs.rename(
+        spark, state + "/sketch", hfs.join(state, _RESKETCH_OLD)
+    )
+    with pytest.raises(RuntimeError, match="resketch_state"):
+        dedup_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, state)
+    # re-running the verb recovers (rollback) and completes the migration
+    resketch_state(spark, state, dd.WIDE_PERM, dd.WIDE_BANDS)
+    assert not hfs.exists(spark, hfs.join(state, _RESKETCH_OLD))
+    sk = _read_batch_dirs(spark, state + "/sketch")
+    assert dd.resolve_sketch_shape(sk) == (dd.WIDE_PERM, dd.WIDE_BANDS)
+    # ingest runs again after recovery
+    dedup_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, state)

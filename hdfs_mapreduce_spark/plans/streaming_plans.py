@@ -899,6 +899,37 @@ def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_resketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admitted corpus across a MID-STREAM b/r migration — the round-11
+    resketch verb certified as a declared relation: two micro-batches
+    ingest at the default 16×8 point (driven through dedup_ingest_batch
+    directly, the documented cron shape of the online loop), then
+    ``resketch_state`` rebuilds the state sketch at the wide 32×8
+    production point (the billion-doc migration: state that outgrew its
+    first batch's choice), and batch 2 ingests AGAINST THE MIGRATED
+    state — adopting the wide shape for its corpus probe, within-batch
+    check, and sketch write. The oracle unrolls the same three rounds
+    with round 0/1 admissions over the DEFAULT band CTEs and round 2
+    over the WIDE band CTEs, so the driver hash certifies both that the
+    migration preserves earlier decisions and that post-migration
+    admissions are exactly the wide-sketch semantics."""
+    from hdfs_mapreduce_spark.operators.dedup import WIDE_BANDS, WIDE_PERM
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        dedup_ingest_batch,
+        read_accepted,
+        resketch_state,
+    )
+
+    root = _scratch(spark, "dedup_resketch", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = os.path.join(root, "state")
+    for i in range(2):
+        dedup_ingest_batch(docs.filter(F.col("doc_id") % 3 == i), i, state)
+    resketch_state(spark, state, WIDE_PERM, WIDE_BANDS)
+    dedup_ingest_batch(docs.filter(F.col("doc_id") % 3 == 2), 2, state)
+    return read_accepted(spark, state).select("doc_id").orderBy("doc_id")
+
+
 QUERIES = {
     "logtable_cdf": logtable_cdf,
     "logtable_ivm": logtable_ivm,
@@ -914,6 +945,7 @@ QUERIES = {
     "stream_session_stats": stream_session_stats,
     "stream_heavy_hitters_audit": stream_heavy_hitters_audit,
     "stream_dedup_admitted": stream_dedup_admitted,
+    "stream_dedup_resketch": stream_dedup_resketch,
 }
 
 
@@ -977,6 +1009,98 @@ def _dedup_admitted_sql() -> str:
         acc2 AS (
             SELECT doc FROM s2 WHERE doc NOT IN (
                 SELECT p.b FROM pairs p
+                WHERE p.a IN (SELECT doc FROM s2)
+                  AND p.b IN (SELECT doc FROM s2))
+        )
+        SELECT doc AS doc_id FROM (
+            SELECT doc FROM acc01 UNION ALL SELECT doc FROM acc2
+        ) ORDER BY doc_id
+    """
+
+
+def _dedup_resketch_sql() -> str:
+    """The admitted unroll across the mid-stream b/r migration: rounds
+    0/1 admit over the DEFAULT (16×8) pair relation, the resketch flips
+    the state to the wide point, round 2 admits over the WIDE (32×8)
+    pair relation — both generated from the same `_base_cte`/`_bands_cte`
+    builders as their standalone declared twins, so neither shape's
+    formula can diverge from its already-verified form."""
+    from hdfs_mapreduce_spark.plans.dedup_plans import (
+        MINHASH_THRESHOLD,
+        _BANDS_CTE,
+        _BASE_CTE,
+        _WBANDS_CTE,
+        _WBASE_CTE,
+    )
+
+    return f"""
+        WITH {_BASE_CTE},
+        {_BANDS_CTE},
+        {_WBASE_CTE},
+        {_WBANDS_CTE},
+        cand AS (
+            SELECT DISTINCT l.doc AS a, r.doc AS b
+            FROM bands l JOIN bands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc < r.doc
+        ),
+        pairs AS (
+            SELECT a, b FROM (
+                SELECT c.a, c.b,
+                       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                           / len(list_distinct(x.sh || y.sh)) AS j
+                FROM cand c
+                JOIN base x ON x.doc = c.a
+                JOIN base y ON y.doc = c.b
+            ) WHERE j >= {MINHASH_THRESHOLD}
+        ),
+        candw AS (
+            SELECT DISTINCT l.doc AS a, r.doc AS b
+            FROM wbands l JOIN wbands r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+             AND l.doc < r.doc
+        ),
+        pairsw AS (
+            SELECT a, b FROM (
+                SELECT c.a, c.b,
+                       CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                           / len(list_distinct(x.sh || y.sh)) AS j
+                FROM candw c
+                JOIN wbase x ON x.doc = c.a
+                JOIN wbase y ON y.doc = c.b
+            ) WHERE j >= {MINHASH_THRESHOLD}
+        ),
+        symw AS (
+            SELECT a, b FROM pairsw
+            UNION ALL SELECT b AS a, a AS b FROM pairsw
+        ),
+        acc0 AS (
+            SELECT doc FROM base WHERE doc % 3 = 0 AND doc NOT IN (
+                SELECT p.b FROM pairs p WHERE p.a % 3 = 0 AND p.b % 3 = 0)
+        ),
+        s1 AS (
+            SELECT doc FROM base WHERE doc % 3 = 1 AND doc NOT IN (
+                SELECT s.a FROM (
+                    SELECT a, b FROM pairs
+                    UNION ALL SELECT b AS a, a AS b FROM pairs
+                ) s JOIN acc0 c ON s.b = c.doc)
+        ),
+        acc1 AS (
+            SELECT doc FROM s1 WHERE doc NOT IN (
+                SELECT p.b FROM pairs p
+                WHERE p.a IN (SELECT doc FROM s1)
+                  AND p.b IN (SELECT doc FROM s1))
+        ),
+        acc01 AS (
+            SELECT doc FROM acc0 UNION ALL SELECT doc FROM acc1
+        ),
+        s2 AS (
+            SELECT doc FROM base WHERE doc % 3 = 2 AND doc NOT IN (
+                SELECT s.a FROM symw s JOIN acc01 c ON s.b = c.doc)
+        ),
+        acc2 AS (
+            SELECT doc FROM s2 WHERE doc NOT IN (
+                SELECT p.b FROM pairsw p
                 WHERE p.a IN (SELECT doc FROM s2)
                   AND p.b IN (SELECT doc FROM s2))
         )
@@ -1201,6 +1325,7 @@ def _oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "stream_dedup_admitted": _dedup_admitted_sql(),
+        "stream_dedup_resketch": _dedup_resketch_sql(),
     }
 
 

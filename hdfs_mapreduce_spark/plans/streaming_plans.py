@@ -930,6 +930,38 @@ def stream_dedup_resketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_accepted(spark, state).select("doc_id").orderBy("doc_id")
 
 
+def stream_dedup_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admitted corpus across a MID-STREAM state compaction — the
+    round-11 compact_state verb certified as a declared relation: three
+    micro-batches ingest (doc_id % 4 == 0, 1, 2), ``compact_state``
+    folds batches 0–1 into one merged dir (keep_last=1 retains batch 2,
+    the replay tail), then batch 3 ingests AGAINST THE COMPACTED state —
+    its corpus probe reads the merged dir through the same below-cut
+    that covered its constituents. The oracle is the SAME admitted
+    closed form at mod 4 (the shared ``_dedup_admitted_sql`` generator):
+    compaction is observable only in dir counts, never in decisions, and
+    the driver hash is what holds that claim."""
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        compact_state,
+        dedup_ingest_batch,
+        read_accepted,
+    )
+
+    root = _scratch(spark, "dedup_compacted", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = os.path.join(root, "state")
+    for i in range(3):
+        dedup_ingest_batch(docs.filter(F.col("doc_id") % 4 == i), i, state)
+    compacted = compact_state(spark, state, keep_last=1)
+    if compacted != [0, 1]:
+        raise RuntimeError(
+            f"compact_state folded {compacted}, expected [0, 1] — the "
+            "retention tail or committed-id listing is broken"
+        )
+    dedup_ingest_batch(docs.filter(F.col("doc_id") % 4 == 3), 3, state)
+    return read_accepted(spark, state).select("doc_id").orderBy("doc_id")
+
+
 QUERIES = {
     "logtable_cdf": logtable_cdf,
     "logtable_ivm": logtable_ivm,
@@ -946,22 +978,49 @@ QUERIES = {
     "stream_heavy_hitters_audit": stream_heavy_hitters_audit,
     "stream_dedup_admitted": stream_dedup_admitted,
     "stream_dedup_resketch": stream_dedup_resketch,
+    "stream_dedup_compacted": stream_dedup_compacted,
 }
 
 
-def _dedup_admitted_sql() -> str:
-    """Unrolls the three probe-then-admit rounds over the shared MinHash
+def _dedup_admitted_sql(mod: int = 3) -> str:
+    """Unrolls ``mod`` probe-then-admit rounds over the shared MinHash
     CTEs (dedup_plans): ``pairs`` is the full near-dup pair relation
     (band collision + exact Jaccard ≥ t — a per-pair property, so pairs
     WITHIN any subset are just the filtered relation); each round drops
     batch docs with an accepted near-dup (either direction, via ``sym``)
-    then applies the within-batch smaller-neighbor rule on survivors."""
+    then applies the within-batch smaller-neighbor rule on survivors.
+    Parameterized by the residue-class batch count (the 3-batch admitted
+    query and the 4-batch compacted variant share this one generator, so
+    the round formula can never diverge between them)."""
     from hdfs_mapreduce_spark.plans.dedup_plans import (
         MINHASH_THRESHOLD,
         _BANDS_CTE,
         _BASE_CTE,
     )
 
+    rounds = [
+        f"""
+        acc0 AS (
+            SELECT doc FROM base WHERE doc % {mod} = 0 AND doc NOT IN (
+                SELECT p.b FROM pairs p
+                WHERE p.a % {mod} = 0 AND p.b % {mod} = 0)
+        )"""
+    ]
+    prev_union = "SELECT doc FROM acc0"
+    for k in range(1, mod):
+        rounds.append(f"""
+        prev{k} AS ({prev_union}),
+        s{k} AS (
+            SELECT doc FROM base WHERE doc % {mod} = {k} AND doc NOT IN (
+                SELECT s.a FROM sym s JOIN prev{k} c ON s.b = c.doc)
+        ),
+        acc{k} AS (
+            SELECT doc FROM s{k} WHERE doc NOT IN (
+                SELECT p.b FROM pairs p
+                WHERE p.a IN (SELECT doc FROM s{k})
+                  AND p.b IN (SELECT doc FROM s{k}))
+        )""")
+        prev_union += f" UNION ALL SELECT doc FROM acc{k}"
     return f"""
         WITH {_BASE_CTE},
         {_BANDS_CTE},
@@ -985,35 +1044,9 @@ def _dedup_admitted_sql() -> str:
             SELECT a, b FROM pairs
             UNION ALL SELECT b AS a, a AS b FROM pairs
         ),
-        acc0 AS (
-            SELECT doc FROM base WHERE doc % 3 = 0 AND doc NOT IN (
-                SELECT p.b FROM pairs p WHERE p.a % 3 = 0 AND p.b % 3 = 0)
-        ),
-        s1 AS (
-            SELECT doc FROM base WHERE doc % 3 = 1 AND doc NOT IN (
-                SELECT s.a FROM sym s JOIN acc0 c ON s.b = c.doc)
-        ),
-        acc1 AS (
-            SELECT doc FROM s1 WHERE doc NOT IN (
-                SELECT p.b FROM pairs p
-                WHERE p.a IN (SELECT doc FROM s1)
-                  AND p.b IN (SELECT doc FROM s1))
-        ),
-        acc01 AS (
-            SELECT doc FROM acc0 UNION ALL SELECT doc FROM acc1
-        ),
-        s2 AS (
-            SELECT doc FROM base WHERE doc % 3 = 2 AND doc NOT IN (
-                SELECT s.a FROM sym s JOIN acc01 c ON s.b = c.doc)
-        ),
-        acc2 AS (
-            SELECT doc FROM s2 WHERE doc NOT IN (
-                SELECT p.b FROM pairs p
-                WHERE p.a IN (SELECT doc FROM s2)
-                  AND p.b IN (SELECT doc FROM s2))
-        )
+        {','.join(rounds)}
         SELECT doc AS doc_id FROM (
-            SELECT doc FROM acc01 UNION ALL SELECT doc FROM acc2
+            {prev_union}
         ) ORDER BY doc_id
     """
 
@@ -1326,6 +1359,7 @@ def _oracle_sql() -> dict[str, str]:
         """,
         "stream_dedup_admitted": _dedup_admitted_sql(),
         "stream_dedup_resketch": _dedup_resketch_sql(),
+        "stream_dedup_compacted": _dedup_admitted_sql(mod=4),
     }
 
 

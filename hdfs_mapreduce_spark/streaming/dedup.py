@@ -53,6 +53,17 @@ from hdfs_mapreduce_spark.sources import fs as hfs
 # resketch_state is re-run (which rolls back or forward and cleans up).
 _RESKETCH_TMP = "_sketch_resketch"
 _RESKETCH_OLD = "_sketch_old"
+# Likewise for an interrupted compact_state: the meta record names the
+# compacted ids, the two tmp trees hold the merged data.
+_COMPACT_META = "_compact_meta"
+_COMPACT_TMP = {"accepted": "_compact_accepted", "sketch": "_compact_sketch"}
+_MAINTENANCE_MARKERS = (
+    _RESKETCH_OLD,
+    _RESKETCH_TMP,
+    _COMPACT_META,
+    _COMPACT_TMP["accepted"],
+    _COMPACT_TMP["sketch"],
+)
 
 
 def _read_batch_dirs(
@@ -111,12 +122,16 @@ def dedup_ingest_batch(
     spark = batch_df.sparkSession
     accepted_dir = hfs.join(state_dir, "accepted")
     sketch_dir = hfs.join(state_dir, "sketch")
-    for marker in (_RESKETCH_OLD, _RESKETCH_TMP):
+    for marker in _MAINTENANCE_MARKERS:
         if hfs.exists(spark, hfs.join(state_dir, marker)):
+            verb = (
+                "resketch_state" if marker.startswith("_sketch")
+                else "compact_state"
+            )
             raise RuntimeError(
                 f"state dir has a leftover '{marker}' tree from an "
-                "interrupted resketch_state — re-run resketch_state "
-                "(it rolls the swap back or forward) before ingesting"
+                f"interrupted {verb} — re-run {verb} (it rolls the swap "
+                "back or forward) before ingesting"
             )
     corpus_sketch = _read_batch_dirs(spark, sketch_dir, below=batch_id)
     if (n_perm is None) != (n_bands is None):
@@ -286,6 +301,141 @@ def resketch_state(
         raise RuntimeError(f"swap rename failed: {tmp} -> {sketch_dir}")
     hfs.delete(spark, old)
     return n_perm, n_bands
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    keep_last: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[int]:
+    """Merge old per-micro-batch state dirs into one — the logtable
+    checkpoint discipline applied to the dedup state. The online loop
+    writes one ``batch_id=N`` dir per micro-batch under BOTH ``accepted``
+    and ``sketch``; per-batch driver work (the dir listing + one
+    ``_SUCCESS`` probe per dir) and the probe's parquet footer count grow
+    LINEARLY with stream age — at a year of 5-minute batches that is
+    ~100k dirs scanned per micro-batch. Compaction folds every committed
+    batch below the retention tail into a single merged dir named with
+    the HIGHEST compacted id, so listing cost tracks ``keep_last`` + 1
+    regardless of stream age.
+
+    Admission semantics are UNCHANGED by construction: the merged dir's
+    id M is smaller than every retained id, so any future batch N (and
+    any replay of a retained batch) probes it via the same
+    ``below=batch_id`` cut that covered its constituents — a replay can
+    still never see its own rows because only batches at ids > M can
+    replay. ``keep_last`` must therefore cover the source's maximum
+    replay depth (1 for Structured Streaming's file source / availableNow:
+    only the newest uncommitted batch re-runs) and is floored at 1.
+
+    Run with the stream stopped (same contract as resketch_state).
+    Crash safety mirrors resketch: a meta record naming the compacted
+    ids lands first, the merged trees build beside the live ones, and
+    the swap (delete compacted dirs, rename merged into place) only
+    starts after both merges are complete-with-markers;
+    ``dedup_ingest_batch`` refuses to run while any compaction marker
+    exists, and re-running compact_state rolls an interrupted swap
+    forward (complete merges) or back (incomplete ones). Returns the
+    compacted batch ids ([] when fewer than two dirs fall below the
+    tail — nothing to do)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the replay tail)")
+    meta_path = hfs.join(state_dir, _COMPACT_META)
+    tmps = {k: hfs.join(state_dir, v) for k, v in _COMPACT_TMP.items()}
+
+    def committed_ids(sub: str) -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in hfs.list_child_names(spark, hfs.join(state_dir, sub))
+            if d.startswith("batch_id=")
+            and hfs.exists(spark, hfs.join(state_dir, sub, d, "_SUCCESS"))
+        )
+
+    # ---- recovery from an interrupted previous attempt ----
+    # Two-phase meta record: "PREP <ids>" while the merged trees build
+    # (live trees untouched — rollback = drop tmps), flipped to
+    # "SWAP <ids>" only after BOTH tmps are complete (destructive phase
+    # — roll FORWARD; _finish_compact_swap is idempotent because a tree
+    # whose tmp is gone has already finished its swap).
+    if hfs.exists(spark, meta_path):
+        rec = hfs.read_text(spark, meta_path).split()
+        phase, old_ids = rec[0], [int(x) for x in rec[1:]]
+        if phase == "SWAP":
+            _finish_compact_swap(spark, state_dir, old_ids, tmps)
+        else:
+            for p in tmps.values():
+                hfs.delete(spark, p)
+        hfs.delete(spark, meta_path, recursive=False)
+    else:
+        # stale tmps with no meta (crash in the PREP->SWAP meta gap, or
+        # before meta landed): nothing destructive happened — drop them
+        for p in tmps.values():
+            hfs.delete(spark, p)
+
+    ids = committed_ids("accepted")
+    compact = ids[: max(len(ids) - keep_last, 0)]
+    if len(compact) < 2:
+        return []
+    if not hfs.write_text_atomic(
+        spark, meta_path, "PREP " + " ".join(str(i) for i in compact)
+    ):
+        raise RuntimeError(f"could not publish {meta_path} — concurrent compact?")
+    # ---- build both merged trees beside the live ones ----
+    for sub, tmp in tmps.items():
+        src_root = hfs.join(state_dir, sub)
+        dirs = [
+            hfs.join(src_root, f"batch_id={i}")
+            for i in compact
+            if hfs.exists(spark, hfs.join(src_root, f"batch_id={i}", "_SUCCESS"))
+        ]
+        if dirs:
+            merged = spark.read.parquet(*dirs)
+        else:
+            # a resketch drops empty-batch sketch dirs, so the sketch
+            # side of the compact set can be empty: write a 0-row tree
+            # with the real sketch schema (derived from the accepted
+            # corpus relation) so the swap protocol stays uniform
+            acc = _read_batch_dirs(spark, hfs.join(state_dir, "accepted"))
+            merged = _banded_sketch(
+                acc.limit(0), id_col, text_col, N_PERM, N_BANDS
+            )
+        merged.write.mode("overwrite").parquet(tmp)
+    # ---- destructive phase ----
+    hfs.delete(spark, meta_path, recursive=False)
+    if not hfs.write_text_atomic(
+        spark, meta_path, "SWAP " + " ".join(str(i) for i in compact)
+    ):
+        raise RuntimeError(f"could not flip {meta_path} to the swap phase")
+    _finish_compact_swap(spark, state_dir, compact, tmps)
+    hfs.delete(spark, meta_path, recursive=False)
+    return compact
+
+
+def _finish_compact_swap(
+    spark: SparkSession,
+    state_dir: str,
+    compact: list[int],
+    tmps: dict[str, str],
+) -> None:
+    """The idempotent destructive half of compact_state: per tree, drop
+    the compacted dirs and rename the merged tmp to ``batch_id=<max>``.
+    Only entered with BOTH tmps complete (the SWAP meta phase), so on a
+    re-run a missing tmp means that tree's swap already finished —
+    nothing to do; a present tmp means its dir deletes are safe to
+    repeat (exists-checked) before the rename lands."""
+    m = compact[-1]
+    for sub, tmp in tmps.items():
+        if not hfs.exists(spark, tmp):
+            continue  # this tree's swap completed before a crash
+        root = hfs.join(state_dir, sub)
+        for i in compact:
+            hfs.delete(spark, hfs.join(root, f"batch_id={i}"))
+        if not hfs.rename(spark, tmp, hfs.join(root, f"batch_id={m}")):
+            raise RuntimeError(
+                f"compact swap rename failed: {tmp} -> {root}/batch_id={m}"
+            )
 
 
 def resketch_recommended(

@@ -1016,3 +1016,104 @@ def test_resketch_interrupted_swap_guards_and_recovers(spark, tmp_path):
     assert dd.resolve_sketch_shape(sk) == (dd.WIDE_PERM, dd.WIDE_BANDS)
     # ingest runs again after recovery
     dedup_ingest_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, state)
+
+
+def test_compact_state_preserves_admissions_and_bounds_dirs(spark, tmp_path):
+    """compact_state folds old batch dirs into one: admission decisions
+    are unchanged (the merged dir's id is below every retained id, so
+    the probe-below cut covers its constituents exactly as before), the
+    dir count drops to keep_last + 1, and a replay of the retained last
+    batch is still a no-op."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources import fs as hfs
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        compact_state,
+        dedup_ingest_batch,
+        read_accepted,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    parts = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    def ids(state):
+        return sorted(
+            r["doc_id"]
+            for r in read_accepted(spark, state).select("doc_id").collect()
+        )
+
+    plain = str(tmp_path / "plain")
+    for i in range(4):
+        dedup_ingest_batch(parts[i], i, plain)
+
+    comp = str(tmp_path / "comp")
+    for i in range(3):
+        dedup_ingest_batch(parts[i], i, comp)
+    assert compact_state(spark, comp) == [0, 1]  # keep_last=1 retains b2
+    for sub in ("accepted", "sketch"):
+        dirs = sorted(
+            d
+            for d in hfs.list_child_names(spark, hfs.join(comp, sub))
+            if d.startswith("batch_id=")
+        )
+        assert dirs == ["batch_id=1", "batch_id=2"], (sub, dirs)
+    dedup_ingest_batch(parts[3], 3, comp)
+    assert ids(comp) == ids(plain)
+    dedup_ingest_batch(parts[3], 3, comp)  # replay: still a no-op
+    assert ids(comp) == ids(plain)
+    # nothing below the tail -> no-op
+    assert compact_state(spark, comp, keep_last=2) == []
+
+
+def test_compact_state_interrupted_swap_guards_and_recovers(
+    spark, tmp_path, monkeypatch
+):
+    """A crash inside the destructive swap phase leaves the SWAP meta +
+    a partially-swapped tree: ingest refuses to run, and re-running
+    compact_state rolls the swap forward to a consistent compacted
+    state with admissions unchanged."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import hdfs_mapreduce_spark.streaming.dedup as sd
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    parts = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    plain = str(tmp_path / "plain")
+    comp = str(tmp_path / "comp")
+    for i in range(3):
+        dedup = sd.dedup_ingest_batch
+        dedup(parts[i], i, plain)
+        dedup(parts[i], i, comp)
+
+    real_finish = sd._finish_compact_swap
+    calls = {"n": 0}
+
+    def crashing_finish(spark_, state_dir, compact, tmps):
+        calls["n"] += 1
+        # swap ONE tree fully, then "crash" before the second
+        one = dict(list(tmps.items())[:1])
+        real_finish(spark_, state_dir, compact, one)
+        raise RuntimeError("injected crash mid-swap")
+
+    monkeypatch.setattr(sd, "_finish_compact_swap", crashing_finish)
+    with pytest.raises(RuntimeError, match="injected"):
+        sd.compact_state(spark, comp)
+    assert calls["n"] == 1
+    with pytest.raises(RuntimeError, match="compact_state"):
+        sd.dedup_ingest_batch(parts[3], 3, comp)
+    monkeypatch.setattr(sd, "_finish_compact_swap", real_finish)
+    sd.compact_state(spark, comp)  # recovers: rolls the swap forward
+    sd.dedup_ingest_batch(parts[3], 3, comp)
+    sd.dedup_ingest_batch(parts[3], 3, plain)
+
+    def ids(state):
+        return sorted(
+            r["doc_id"]
+            for r in sd.read_accepted(spark, state).select("doc_id").collect()
+        )
+
+    assert ids(comp) == ids(plain)

@@ -17,6 +17,8 @@ STREAM_QUERIES = [
     "stream_upsert_snapshot",
     "stream_heavy_hitters_audit",
     "stream_dedup_admitted",
+    "stream_dedup_resketch",
+    "stream_dedup_compacted",
 ]
 
 

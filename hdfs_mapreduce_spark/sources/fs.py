@@ -110,6 +110,22 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(src_p, jpath(spark, dst)))
 
 
+def glob_parent_names(spark: SparkSession, pattern: str) -> list[str]:
+    """Hadoop globStatus in ONE metadata RPC: the PARENT-directory
+    basenames of every path matching ``pattern``. The marker-file idiom
+    — ``glob_parent_names(spark, f"{root}/batch_id=*/_SUCCESS")`` lists
+    every COMMITTED batch dir in one round trip, where a listing plus a
+    per-child ``exists`` probe costs one RPC per dir (each a full HTTP
+    call on an object store, and the dir count grows with stream age).
+    [] when nothing matches or the base does not exist (globStatus
+    returns null for a non-existent base)."""
+    fs, p = fs_and_path(spark, pattern)
+    statuses = fs.globStatus(p)
+    if statuses is None:
+        return []
+    return [st.getPath().getParent().getName() for st in statuses]
+
+
 def delete(spark: SparkSession, path_str: str, recursive: bool = True) -> bool:
     """Recursive delete; True when something was removed, False when the
     path was already absent (idempotent cleanup semantics)."""

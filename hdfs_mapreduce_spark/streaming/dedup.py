@@ -78,12 +78,16 @@ def _read_batch_dirs(
     # only COMMITTED batch dirs (Spark writes _SUCCESS last): a crash
     # mid-write leaves a marker-less partial dir that must stay invisible
     # until its batch replays and overwrites it — same discipline as the
-    # upsert sink's version listing (streaming/events.py).
+    # upsert sink's version listing (streaming/events.py). ONE globStatus
+    # RPC finds every committed dir (round 11: the former listing + one
+    # exists per dir paid one round trip per batch of stream age — per
+    # HTTP call on an object store).
     dirs = [
         d
-        for d in hfs.list_child_names(spark, path)
+        for d in hfs.glob_parent_names(
+            spark, hfs.join(path, "batch_id=*", "_SUCCESS")
+        )
         if d.startswith("batch_id=")
-        and hfs.exists(spark, hfs.join(path, d, "_SUCCESS"))
     ]
     if below is not None:
         dirs = [d for d in dirs if int(d.split("=", 1)[1]) < below]
@@ -122,8 +126,11 @@ def dedup_ingest_batch(
     spark = batch_df.sparkSession
     accepted_dir = hfs.join(state_dir, "accepted")
     sketch_dir = hfs.join(state_dir, "sketch")
+    # ONE listing RPC covers all five maintenance markers (per-marker
+    # exists probes would pay five round trips per micro-batch).
+    children = set(hfs.list_child_names(spark, state_dir))
     for marker in _MAINTENANCE_MARKERS:
-        if hfs.exists(spark, hfs.join(state_dir, marker)):
+        if marker in children:
             verb = (
                 "resketch_state" if marker.startswith("_sketch")
                 else "compact_state"
@@ -348,9 +355,10 @@ def compact_state(
     def committed_ids(sub: str) -> list[int]:
         return sorted(
             int(d.split("=", 1)[1])
-            for d in hfs.list_child_names(spark, hfs.join(state_dir, sub))
+            for d in hfs.glob_parent_names(
+                spark, hfs.join(state_dir, sub, "batch_id=*", "_SUCCESS")
+            )
             if d.startswith("batch_id=")
-            and hfs.exists(spark, hfs.join(state_dir, sub, d, "_SUCCESS"))
         )
 
     # ---- recovery from an interrupted previous attempt ----

@@ -314,6 +314,17 @@ def minhash_pairs(
     """
     n_perm, n_bands = _resolve_band_config(df, n_perm, n_bands)
     bands = _banded_sketch(df, id_col, text_col, n_perm, n_bands)
+    return _verified_pairs(bands, threshold).orderBy("doc_a", "doc_b")
+
+
+def _verified_pairs(bands: DataFrame, threshold: float) -> DataFrame:
+    """The back half of ``minhash_pairs`` over a PRE-BUILT banded sketch
+    relation (``_banded_sketch``'s output): band-key self-join with the
+    first-band-wins predicate + the exact-Jaccard verify, no
+    presentation sort. Split out (round 11) so the online ingest loop
+    can sketch each batch ONCE and derive the within-batch pair check
+    from the same cached relation instead of re-running the shingle
+    scan + signature groupBy."""
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -333,7 +344,6 @@ def minhash_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -495,7 +505,24 @@ def incremental_pairs_against_sketch(
             "validate_shape=False requires explicit n_perm and n_bands "
             "(resolved via resolve_sketch_shape on the same sketch)"
         )
-    nb = _banded_sketch(new_df, id_col, text_col, n_perm, n_bands).alias("n")
+    nb = _banded_sketch(new_df, id_col, text_col, n_perm, n_bands)
+    return _probe_pairs_from_sketches(corpus_sketch, nb, threshold).orderBy(
+        "new_doc", "dup_of"
+    )
+
+
+def _probe_pairs_from_sketches(
+    corpus_sketch: DataFrame, new_bands: DataFrame, threshold: float
+) -> DataFrame:
+    """The join body of ``incremental_pairs_against_sketch`` over a
+    PRE-BUILT batch sketch (``_banded_sketch``'s output): broadcast the
+    batch side, band-probe the corpus side, exact-Jaccard verify, no
+    presentation sort. Both sketches MUST share the same b/r shape and
+    hash lineage — callers resolve/validate that before building
+    ``new_bands`` (round 11: lets the ingest loop sketch each batch once
+    and reuse it for the probe, the within-batch check, and the state
+    write)."""
+    nb = new_bands.alias("n")
     cb = corpus_sketch.alias("c")
     return (
         cb.join(
@@ -513,7 +540,6 @@ def incremental_pairs_against_sketch(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("new_doc", "dup_of")
     )
 
 

@@ -42,8 +42,8 @@ from hdfs_mapreduce_spark.operators.dedup import (
     WIDE_BANDS,
     WIDE_PERM,
     _banded_sketch,
-    incremental_pairs_against_sketch,
-    minhash_pairs,
+    _probe_pairs_from_sketches,
+    _verified_pairs,
     resolve_sketch_shape,
 )
 from hdfs_mapreduce_spark.sources import fs as hfs
@@ -145,9 +145,8 @@ def dedup_ingest_batch(
         raise ValueError("pass BOTH n_perm and n_bands or neither")
     # Resolve the state's b/r shape ONCE (one limit(1) driver job per
     # micro-batch — the round-10 verdict's double-probe finding): the
-    # same resolved values feed the corpus probe (validate_shape=False,
-    # it would only re-sample the identical row), the within-batch pair
-    # check, and this batch's sketch write.
+    # same resolved values build the batch sketch that the corpus probe,
+    # the within-batch pair check, and this batch's state write share.
     shape = None
     if corpus_sketch is not None:
         shape = resolve_sketch_shape(corpus_sketch, n_perm, n_bands)
@@ -160,45 +159,68 @@ def dedup_ingest_batch(
         # stream permanently (adoption raises on every replay).
         shape = (n_perm, n_bands) if n_perm is not None else (N_PERM, N_BANDS)
     n_perm, n_bands = shape
-    survivors = batch_df
-    if corpus_sketch is not None:
-        dup_vs_corpus = incremental_pairs_against_sketch(
-            corpus_sketch, batch_df, id_col, text_col, threshold,
-            n_perm=n_perm, n_bands=n_bands, validate_shape=False,
-        ).select(F.col("new_doc").alias(id_col))
-        survivors = survivors.join(
-            dup_vs_corpus.distinct(), id_col, "left_anti"
-        )
-    # Within-batch policy: reject any document that has a SMALLER
-    # near-dup neighbor in the same batch (pairs come as doc_a < doc_b;
-    # every doc_b drops). For clique-shaped duplicate groups this keeps
-    # exactly the cluster minimum; for chain shapes it is conservative —
-    # the tail of a chain is rejected even though its own duplicate was
-    # also rejected (A-B, B-C drops both B and C). That bias is
-    # deliberate for an ingest gate (never admit anything with an
-    # already-seen smaller near-dup); when maximal recall of unique
-    # content matters, run cluster-canonical admission instead
-    # (operators/components.canonical_assignment keeps one doc per
-    # connected component).
-    batch_pairs = minhash_pairs(
-        survivors, id_col, text_col, threshold,
-        n_perm=n_perm, n_bands=n_bands,
-    )
-    survivors = survivors.join(
-        batch_pairs.select(F.col("doc_b").alias(id_col)).distinct(),
-        id_col,
-        "left_anti",
-    )
-    survivors = survivors.persist()
+    # The batch's banded sketch is built ONCE and cached (round 11: the
+    # previous shape ran the shingle scan + signature groupBy THREE
+    # times per micro-batch — inside the corpus probe, inside the
+    # within-batch minhash_pairs, and again for the state write). The
+    # probe, the within-batch check, and the sketch write all derive
+    # from this one batch-sized relation; filtering it by the surviving
+    # doc set is identical to re-sketching the survivors because the
+    # sketch is a pure per-document function.
+    batch_bands = _banded_sketch(
+        batch_df, id_col, text_col, n_perm, n_bands
+    ).persist()
     try:
-        survivors.write.mode("overwrite").parquet(
-            hfs.join(accepted_dir, f"batch_id={batch_id}")
+        survivors = batch_df
+        surv_bands = batch_bands
+        if corpus_sketch is not None:
+            dup_vs_corpus = (
+                _probe_pairs_from_sketches(
+                    corpus_sketch, batch_bands, threshold
+                )
+                .select(F.col("new_doc").alias(id_col))
+                .distinct()
+            )
+            survivors = survivors.join(dup_vs_corpus, id_col, "left_anti")
+            surv_bands = surv_bands.join(
+                dup_vs_corpus.select(F.col(id_col).alias("doc")),
+                "doc",
+                "left_anti",
+            )
+        # Within-batch policy: reject any document that has a SMALLER
+        # near-dup neighbor in the same batch (pairs come as doc_a <
+        # doc_b; every doc_b drops). For clique-shaped duplicate groups
+        # this keeps exactly the cluster minimum; for chain shapes it is
+        # conservative — the tail of a chain is rejected even though its
+        # own duplicate was also rejected (A-B, B-C drops both B and C).
+        # That bias is deliberate for an ingest gate (never admit
+        # anything with an already-seen smaller near-dup); when maximal
+        # recall of unique content matters, run cluster-canonical
+        # admission instead (operators/components.canonical_assignment
+        # keeps one doc per connected component).
+        within_rejects = (
+            _verified_pairs(surv_bands, threshold)
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
         )
-        _banded_sketch(survivors, id_col, text_col, n_perm, n_bands).write.mode(
-            "overwrite"
-        ).parquet(hfs.join(sketch_dir, f"batch_id={batch_id}"))
+        survivors = survivors.join(
+            within_rejects, id_col, "left_anti"
+        ).persist()
+        try:
+            survivors.write.mode("overwrite").parquet(
+                hfs.join(accepted_dir, f"batch_id={batch_id}")
+            )
+            surv_bands.join(
+                within_rejects.select(F.col(id_col).alias("doc")),
+                "doc",
+                "left_anti",
+            ).write.mode("overwrite").parquet(
+                hfs.join(sketch_dir, f"batch_id={batch_id}")
+            )
+        finally:
+            survivors.unpersist()
     finally:
-        survivors.unpersist()
+        batch_bands.unpersist()
 
 
 def stream_dedup_ingest(

@@ -377,6 +377,11 @@ def incremental_minhash_pairs(
     corpus, not the batch, is what sets the candidate economics).
     """
     n_perm, n_bands = _resolve_band_config(corpus_df, n_perm, n_bands)
+    # validate_shape=False: the corpus sketch is built HERE with exactly
+    # the resolved values, so the probe's stored-shape validation would
+    # be tautological — and on this unmaterialized lineage its eager
+    # limit(1) sample would run part of the corpus groupBy at
+    # plan-construction time (the round-9 ADVICE note) for nothing.
     return incremental_pairs_against_sketch(
         _banded_sketch(corpus_df, id_col, text_col, n_perm, n_bands),
         new_df,
@@ -385,6 +390,7 @@ def incremental_minhash_pairs(
         threshold,
         n_perm=n_perm,
         n_bands=n_bands,
+        validate_shape=False,
     )
 
 

@@ -334,17 +334,17 @@ def _state_versions(
     retry. Listing and the marker probes go through the Hadoop FS API
     (sources/fs.py), so ``state_dir`` may be any URI the cluster's Hadoop
     conf resolves — hdfs://, s3a://, file:///, or a bare local path —
-    at a cost of one metadata RPC per committed version (bounded: state
-    tables keep a handful of versions, never one per row)."""
+    at a cost of ONE globStatus metadata RPC regardless of version count
+    (round 11 — was a listing plus one exists probe per version, each a
+    full HTTP round trip on an object store)."""
     out = []
-    for d in hfs.list_child_names(spark, state_dir):
+    for d in hfs.glob_parent_names(spark, hfs.join(state_dir, "v*", "_SUCCESS")):
         if not d.startswith("v"):
             continue
         core, _, btag = d[1:].partition("_b")
         if not core.isdigit() or (btag and not btag.isdigit()):
             continue
-        if hfs.exists(spark, hfs.join(state_dir, d, "_SUCCESS")):
-            out.append((int(core), int(btag) if btag else None, d))
+        out.append((int(core), int(btag) if btag else None, d))
     return sorted(out)
 
 

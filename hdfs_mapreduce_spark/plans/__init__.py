@@ -145,6 +145,29 @@ REVERIFY = {
     #     the empty-state fallback — same relation, new executed loop.
     "stream_ann_ingest_fenced": 11,
     "stream_dedup_admitted": 11,
+    # r11 (second half): minhash_pairs' pair self-join factored into the
+    #     shared _verified_pairs and incremental_pairs_against_sketch's
+    #     probe body into _probe_pairs_from_sketches (so the online
+    #     ingest loop can sketch each batch once) — identical plan
+    #     compositions by construction, but the executed operator code
+    #     moved under every minhash-family consumer (the r7 ann_ivfpq
+    #     shared-helper precedent); the declared call sites also pinned
+    #     n_perm/n_bands explicitly (same resolved values at every
+    #     fixture SF). stream_upsert_snapshot's version listing moved to
+    #     the one-RPC globStatus (same relation, new state machinery —
+    #     the r6 os.*->Hadoop-FS precedent).
+    "dedup_minhash_pairs": 11,
+    "dedup_minhash_pairs_wide": 11,
+    "dedup_incremental": 11,
+    "dedup_lsh_recall": 11,
+    "dataset_split_leakage": 11,
+    "dedup_components": 11,
+    "dedup_components_logrounds": 11,
+    "dedup_cluster_sizes": 11,
+    "dedup_keep_best": 11,
+    "dataset_split_safe": 11,
+    "graph_pagerank": 11,
+    "stream_upsert_snapshot": 11,
 }
 
 

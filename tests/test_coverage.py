@@ -137,7 +137,10 @@ def test_reverify_entries_self_expire():
     # r5 row counts (changed r5); later rounds may re-green it, so only the
     # lower bound is history-stable (round-9 verdict: the == 5 literal broke
     # the moment the driver's post-close-out CORRECTNESS_r09 re-greened it).
-    assert green.get("dedup_lsh_recall", 0) >= 5
+    # Probe a query with NO later REVERIFY entry — one that re-enters
+    # REVERIFY (dedup_lsh_recall did in r11) correctly drops out of
+    # ``green`` until the driver re-certifies the new definition.
+    assert green.get("dedup_simhash_pairs", 0) >= 5
 
 
 def test_reverify_discards_only_stale_rows(tmp_path, monkeypatch):

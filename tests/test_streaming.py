@@ -1119,3 +1119,56 @@ def test_compact_state_interrupted_swap_guards_and_recovers(
         )
 
     assert ids(comp) == ids(plain)
+
+
+def test_maintenance_verbs_compose_with_empty_batches(spark, tmp_path):
+    """The round-11 maintenance verbs compose on one state dir, through
+    the awkward corners: empty early batches (no shape recorded),
+    resketch (which drops empty-batch sketch dirs from the partitioned
+    rewrite), then compaction whose compact set has NO surviving sketch
+    dirs (exercising the 0-row-schema merge branch), then more ingest —
+    admissions must equal a plain wide-from-scratch run throughout."""
+    from pyspark.sql import functions as F
+
+    import hdfs_mapreduce_spark.operators.dedup as dd
+    from hdfs_mapreduce_spark.sources import fs as hfs
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        _read_batch_dirs,
+        compact_state,
+        dedup_ingest_batch,
+        read_accepted,
+        resketch_state,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    empty = docs.filter(F.lit(False))
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+
+    state = str(tmp_path / "compose")
+    dedup_ingest_batch(empty, 0, state)  # defaults apply, nothing stored
+    dedup_ingest_batch(empty, 1, state)
+    dedup_ingest_batch(halves[0], 2, state)
+    resketch_state(spark, state, dd.WIDE_PERM, dd.WIDE_BANDS)
+    dedup_ingest_batch(halves[1], 3, state)
+    # compact [0, 1]: both sketch dirs were dropped by the resketch's
+    # partitioned rewrite (no rows), so the sketch merge takes the
+    # 0-row-schema branch; the accepted merge folds two empty dirs
+    assert compact_state(spark, state, keep_last=2) == [0, 1]
+    sk = _read_batch_dirs(spark, state + "/sketch")
+    assert dd.resolve_sketch_shape(sk) == (dd.WIDE_PERM, dd.WIDE_BANDS)
+    dedup_ingest_batch(halves[0], 4, state)  # replays half 0: all dups
+
+    wide = str(tmp_path / "wide_ref")
+    dedup_ingest_batch(
+        halves[0], 0, wide, n_perm=dd.WIDE_PERM, n_bands=dd.WIDE_BANDS
+    )
+    dedup_ingest_batch(halves[1], 1, wide)
+
+    def ids(st):
+        return sorted(
+            r["doc_id"]
+            for r in read_accepted(spark, st).select("doc_id").collect()
+        )
+
+    assert ids(state) == ids(wide)

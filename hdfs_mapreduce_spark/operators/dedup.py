@@ -59,16 +59,31 @@ AUTO_WIDE_MIN_DOCS = 1_000_000
 
 
 # Session-level memo for auto_band_config's count probe, keyed on
-# (applicationId, the input plan's semantic hash, bound): a pipeline
-# that calls defaulted minhash operators in a loop over the SAME corpus
-# relation pays the limit-probe count once, not per call (the
-# plans/__init__._prepared discipline applied to the probe — round-10
-# verdict "What's wrong" #3). Semantic hash equates plans up to alias
-# renames but is pinned to the same file listing the plan captured, so
-# a re-loaded (refreshed) relation gets a fresh probe. Bounded: cleared
-# wholesale past a small cap rather than LRU-tracked.
-_AUTO_BAND_MEMO: dict[tuple[str, int, int], tuple[int, int]] = {}
+# (applicationId, the input plan's semantic hash, a digest of the plan's
+# captured file listing, bound): a pipeline that calls defaulted minhash
+# operators in a loop over the SAME corpus relation pays the limit-probe
+# count once, not per call (the plans/__init__._prepared discipline
+# applied to the probe — round-10 verdict "What's wrong" #3). Semantic
+# hash alone is NOT listing-sensitive for file sources (HadoopFsRelation
+# equality compares only rootPaths, r11 ADVICE), so a re-read of a
+# grown/rewritten dataset at the same path would hit a stale memo; the
+# inputFiles() digest folds the actual captured listing into the key, so
+# a re-loaded (refreshed) relation gets a fresh probe while repeat calls
+# over one relation still memo-hit. Bounded: cleared wholesale past a
+# small cap rather than LRU-tracked.
+_AUTO_BAND_MEMO: dict[tuple[str, int, str, int], tuple[int, int]] = {}
 _AUTO_BAND_MEMO_CAP = 256
+
+
+def _input_listing_digest(df: DataFrame) -> str:
+    """Stable digest of the plan's captured file listing (order-free).
+    ``inputFiles()`` reads the already-materialized FileIndex — no Spark
+    job — and is empty for non-file relations, where semanticHash alone
+    is listing-complete."""
+    import hashlib
+
+    files = df.inputFiles()
+    return hashlib.md5("\n".join(sorted(files)).encode()).hexdigest()
 
 
 def auto_band_config(
@@ -89,6 +104,7 @@ def auto_band_config(
         key = (
             df.sparkSession.sparkContext.applicationId,
             df._jdf.queryExecution().analyzed().semanticHash(),
+            _input_listing_digest(df),
             bound,
         )
     except Exception:

@@ -168,6 +168,17 @@ REVERIFY = {
     "dataset_split_safe": 11,
     "graph_pagerank": 11,
     "stream_upsert_snapshot": 11,
+    # r12: the r11-ADVICE fixes changed state machinery under the
+    #     streaming families — glob_parent_names now escapes a literal
+    #     base (new signature at every listing site), state reads are
+    #     glob-escaped, and the dedup state gained the _shape_meta
+    #     lifetime record written on first ingest (same relations, new
+    #     executed state machinery — the r6 os.*->Hadoop-FS precedent).
+    "stream_dedup_admitted": 12,
+    "stream_dedup_resketch": 12,
+    "stream_dedup_compacted": 12,
+    "stream_upsert_snapshot": 12,
+    "stream_heavy_hitters_audit": 12,
 }
 
 

@@ -110,15 +110,35 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(src_p, jpath(spark, dst)))
 
 
-def glob_parent_names(spark: SparkSession, pattern: str) -> list[str]:
+# Hadoop GlobPattern metacharacters; backslash is its escape character
+# (verified against the local FS: an escaped base with { } [ ] matches
+# literally while the raw base matches nothing).
+_GLOB_META = "\\*?[]{}"
+
+
+def glob_escape(name: str) -> str:
+    """Escape Hadoop glob metacharacters so ``name`` matches literally
+    inside a globStatus pattern. File names may legally contain
+    ``{ } [ ] * ?`` (r11 ADVICE: passing such a base unescaped turns it
+    into a pattern — mis-listing or a syntax error)."""
+    return "".join("\\" + c if c in _GLOB_META else c for c in name)
+
+
+def glob_parent_names(
+    spark: SparkSession, base: str, *glob_parts: str
+) -> list[str]:
     """Hadoop globStatus in ONE metadata RPC: the PARENT-directory
-    basenames of every path matching ``pattern``. The marker-file idiom
-    — ``glob_parent_names(spark, f"{root}/batch_id=*/_SUCCESS")`` lists
+    basenames of every path matching ``<base>/<glob_parts...>``. The
+    ``base`` is a LITERAL directory (glob metacharacters in it are
+    escaped, so state dirs named with ``{ } [ ] * ?`` list correctly);
+    the ``glob_parts`` are raw pattern segments. The marker-file idiom —
+    ``glob_parent_names(spark, root, "batch_id=*", "_SUCCESS")`` lists
     every COMMITTED batch dir in one round trip, where a listing plus a
     per-child ``exists`` probe costs one RPC per dir (each a full HTTP
     call on an object store, and the dir count grows with stream age).
     [] when nothing matches or the base does not exist (globStatus
     returns null for a non-existent base)."""
+    pattern = join(glob_escape(base), *glob_parts)
     fs, p = fs_and_path(spark, pattern)
     statuses = fs.globStatus(p)
     if statuses is None:

@@ -64,6 +64,31 @@ _MAINTENANCE_MARKERS = (
     _COMPACT_TMP["accepted"],
     _COMPACT_TMP["sketch"],
 )
+# Lifetime b/r point record ("n_perm n_bands"), written by the FIRST
+# ingest — even an empty one. Sketch rows remain the ground truth when
+# they exist; the meta file covers the r11-ADVICE hole where early
+# batches admit nothing: a restart that omits the explicit wide values
+# would otherwise fall back to the narrow default and the first
+# non-empty batch would pin that wrong lifetime shape silently.
+_SHAPE_META = "_shape_meta"
+
+
+def _read_shape_meta(
+    spark: SparkSession, state_dir: str
+) -> tuple[int, int] | None:
+    try:
+        parts = hfs.read_text(spark, hfs.join(state_dir, _SHAPE_META)).split()
+        return int(parts[0]), int(parts[1])
+    except Exception:
+        return None  # unreadable/corrupt meta: fall through to defaults
+
+
+def _write_shape_meta(
+    spark: SparkSession, state_dir: str, n_perm: int, n_bands: int
+) -> None:
+    hfs.write_text_atomic(
+        spark, hfs.join(state_dir, _SHAPE_META), f"{n_perm} {n_bands}"
+    )
 
 
 def _read_batch_dirs(
@@ -85,7 +110,7 @@ def _read_batch_dirs(
     dirs = [
         d
         for d in hfs.glob_parent_names(
-            spark, hfs.join(path, "batch_id=*", "_SUCCESS")
+            spark, path, "batch_id=*", "_SUCCESS"
         )
         if d.startswith("batch_id=")
     ]
@@ -93,8 +118,12 @@ def _read_batch_dirs(
         dirs = [d for d in dirs if int(d.split("=", 1)[1]) < below]
     if not dirs:
         return None
+    # read paths go through Hadoop globbing too, so the literal state
+    # root is escaped (basePath stays literal — it is a prefix, not a
+    # pattern); state dirs named with { } [ ] * ? read correctly
+    esc = hfs.glob_escape(path)
     return spark.read.option("basePath", path).parquet(
-        *[hfs.join(path, d) for d in sorted(dirs)]
+        *[hfs.join(esc, d) for d in sorted(dirs)]
     )
 
 
@@ -147,18 +176,39 @@ def dedup_ingest_batch(
     # micro-batch — the round-10 verdict's double-probe finding): the
     # same resolved values build the batch sketch that the corpus probe,
     # the within-batch pair check, and this batch's state write share.
-    shape = None
+    # Stored rows are the ground truth for the lifetime point; the
+    # _shape_meta record covers the rows-resolve-nothing window (no state
+    # yet, or every early batch admitted nothing — r11 ADVICE: a restart
+    # omitting the explicit wide values must not silently downgrade a
+    # pinned stream). Rows win over a stale meta record (a crash between
+    # a resketch swap and its meta rewrite), and an explicit caller shape
+    # that mismatches EITHER pin raises before anything commits.
+    pinned = None
     if corpus_sketch is not None:
-        shape = resolve_sketch_shape(corpus_sketch, n_perm, n_bands)
-    if shape is None:
-        # No state yet — or state dirs exist but hold NO rows (an empty
-        # batch 0 / all-rejected early batches): the lifetime point is
-        # still unfixed, so the caller's choice (or the module default)
-        # applies exactly as it would for a true first batch. Without
-        # this fallback an empty first micro-batch would wedge the
-        # stream permanently (adoption raises on every replay).
+        pinned = resolve_sketch_shape(corpus_sketch)
+    if pinned is None and _SHAPE_META in children:
+        pinned = _read_shape_meta(spark, state_dir)
+    if pinned is not None and n_perm is not None and (n_perm, n_bands) != pinned:
+        raise ValueError(
+            f"corpus sketch shape mismatch: state {state_dir} is pinned "
+            f"at (n_perm, n_bands)={pinned} but the caller passed "
+            f"({n_perm}, {n_bands}) — probe with the state's "
+            "configuration or resketch_state first"
+        )
+    if pinned is not None:
+        shape = pinned
+    else:
+        # Truly unfixed lifetime point (first ingest ever): the caller's
+        # choice (or the module default) applies. Without this fallback
+        # an empty first micro-batch would wedge the stream permanently
+        # (adoption raises on every replay).
         shape = (n_perm, n_bands) if n_perm is not None else (N_PERM, N_BANDS)
     n_perm, n_bands = shape
+    if _SHAPE_META not in children:
+        # Pin the lifetime point on FIRST ingest, even when this batch is
+        # empty — the `children` listing above already told us whether the
+        # record exists, so the happy path pays no extra metadata RPC.
+        _write_shape_meta(spark, state_dir, n_perm, n_bands)
     # The batch's banded sketch is built ONCE and cached (round 11: the
     # previous shape ran the shingle scan + signature groupBy THREE
     # times per micro-batch — inside the corpus probe, inside the
@@ -329,6 +379,10 @@ def resketch_state(
     if not hfs.rename(spark, tmp, sketch_dir):
         raise RuntimeError(f"swap rename failed: {tmp} -> {sketch_dir}")
     hfs.delete(spark, old)
+    # the migration changed the state's lifetime point — re-pin the
+    # first-ingest record so a later empty-state restart adopts the NEW
+    # shape (stored rows still win whenever they exist)
+    _write_shape_meta(spark, state_dir, n_perm, n_bands)
     return n_perm, n_bands
 
 
@@ -378,7 +432,7 @@ def compact_state(
         return sorted(
             int(d.split("=", 1)[1])
             for d in hfs.glob_parent_names(
-                spark, hfs.join(state_dir, sub, "batch_id=*", "_SUCCESS")
+                spark, hfs.join(state_dir, sub), "batch_id=*", "_SUCCESS"
             )
             if d.startswith("batch_id=")
         )
@@ -421,7 +475,7 @@ def compact_state(
             if hfs.exists(spark, hfs.join(src_root, f"batch_id={i}", "_SUCCESS"))
         ]
         if dirs:
-            merged = spark.read.parquet(*dirs)
+            merged = spark.read.parquet(*[hfs.glob_escape(d) for d in dirs])
         else:
             # a resketch drops empty-batch sketch dirs, so the sketch
             # side of the compact set can be empty: write a 0-row tree

@@ -338,7 +338,7 @@ def _state_versions(
     (round 11 — was a listing plus one exists probe per version, each a
     full HTTP round trip on an object store)."""
     out = []
-    for d in hfs.glob_parent_names(spark, hfs.join(state_dir, "v*", "_SUCCESS")):
+    for d in hfs.glob_parent_names(spark, state_dir, "v*", "_SUCCESS"):
         if not d.startswith("v"):
             continue
         core, _, btag = d[1:].partition("_b")
@@ -383,7 +383,7 @@ def stream_upsert_events(
         versions = _state_versions(spark, state_dir)
         if versions:
             latest = versions[-1]
-            state = spark.read.parquet(hfs.join(state_dir, latest[2]))
+            state = spark.read.parquet(hfs.join(hfs.glob_escape(state_dir), latest[2]))
             merged = state.join(
                 batch.select("event_id"), "event_id", "left_anti"
             ).unionByName(batch)
@@ -408,7 +408,7 @@ def stream_upsert_events(
 def read_upsert_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """Latest committed snapshot of a directory-versioned state table."""
     versions = _state_versions(spark, state_dir)
-    return spark.read.parquet(hfs.join(state_dir, versions[-1][2]))
+    return spark.read.parquet(hfs.join(hfs.glob_escape(state_dir), versions[-1][2]))
 
 
 # --- streaming count-min sketch ---------------------------------------------------
@@ -475,7 +475,7 @@ def _merge_batch_into_versioned_state(
         return False  # at-least-once replay of the already-committed batch
     summary = build_summary()
     if versions:
-        prev = spark.read.parquet(hfs.join(state_dir, versions[-1][2]))
+        prev = spark.read.parquet(hfs.join(hfs.glob_escape(state_dir), versions[-1][2]))
         merged, next_v = merge_fn(prev, summary), versions[-1][0] + 1
     else:
         merged, next_v = summary, 0

@@ -896,3 +896,27 @@ def test_auto_band_config_memoizes_per_plan(spark, monkeypatch):
     )
     assert probes["n"] == 2
     dd._AUTO_BAND_MEMO.clear()
+
+
+def test_auto_band_config_reprobes_rewritten_path(spark, tmp_path):
+    """semanticHash is NOT listing-sensitive for file sources (r11
+    ADVICE: HadoopFsRelation equality compares only rootPaths), so the
+    memo key folds in an inputFiles() digest: re-reading a GROWN dataset
+    at the same path must re-probe and may flip the band decision."""
+    import hdfs_mapreduce_spark.operators.dedup as dd
+
+    dd._AUTO_BAND_MEMO.clear()
+    path = str(tmp_path / "corpus")
+    small = spark.range(3).selectExpr("id AS doc_id", "'x' AS text")
+    small.write.mode("overwrite").parquet(path)
+    first = spark.read.parquet(path)
+    assert dd.auto_band_config(first, wide_min_docs=5) == (
+        dd.N_PERM, dd.N_BANDS,
+    )
+    big = spark.range(10).selectExpr("id AS doc_id", "'x' AS text")
+    big.write.mode("overwrite").parquet(path)
+    regrown = spark.read.parquet(path)
+    assert dd.auto_band_config(regrown, wide_min_docs=5) == (
+        dd.WIDE_PERM, dd.WIDE_BANDS,
+    ), "stale memo served the pre-rewrite band decision"
+    dd._AUTO_BAND_MEMO.clear()

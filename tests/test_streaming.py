@@ -883,6 +883,71 @@ def test_dedup_ingest_empty_first_batch_does_not_wedge(spark, tmp_path):
     assert _read_batch_dirs(spark, state + "/sketch") is not None
 
 
+def test_dedup_ingest_empty_batch_preserves_wide_pin_across_restart(
+    spark, tmp_path
+):
+    """r11 ADVICE: the lifetime b/r point is recorded in a state-dir meta
+    file on FIRST ingest even when the batch is empty, so a restart that
+    omits the explicit wide values adopts the pinned shape instead of
+    silently downgrading to the narrow default — and an explicit
+    mismatch after an empty first batch raises instead of re-pinning."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import hdfs_mapreduce_spark.operators.dedup as dd
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import dedup_ingest_batch
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    state = str(tmp_path / "wide_empty_first")
+    # stream start: explicit wide, but batch 0 admits nothing
+    dedup_ingest_batch(
+        docs.filter(F.lit(False)), 0, state,
+        n_perm=dd.WIDE_PERM, n_bands=dd.WIDE_BANDS,
+    )
+    # restart omits the shape (the documented deployment pattern)
+    dedup_ingest_batch(docs, 1, state)
+    sk1 = spark.read.parquet(state + "/sketch/batch_id=1")
+    row = sk1.select("rpb", "bkeys").limit(1).collect()[0]
+    assert row["rpb"] == dd.WIDE_PERM // dd.WIDE_BANDS
+    assert len(row["bkeys"]) == dd.WIDE_BANDS
+    # explicit narrow against the pinned-but-still-rowless state: loud
+    state2 = str(tmp_path / "wide_empty_mismatch")
+    dedup_ingest_batch(
+        docs.filter(F.lit(False)), 0, state2,
+        n_perm=dd.WIDE_PERM, n_bands=dd.WIDE_BANDS,
+    )
+    with pytest.raises(ValueError, match="shape mismatch"):
+        dedup_ingest_batch(
+            docs, 1, state2, n_perm=dd.N_PERM, n_bands=dd.N_BANDS
+        )
+
+
+def test_dedup_state_dir_with_glob_metacharacters(spark, tmp_path):
+    """r11 ADVICE: glob_parent_names escapes the literal base, so state
+    dirs named with { } [ ] — legal in file names — list their committed
+    batch dirs correctly instead of being parsed as a pattern."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        dedup_ingest_batch,
+        read_accepted,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    halves = [docs.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    state = str(tmp_path / "run{a}[0]")
+    dedup_ingest_batch(halves[0], 0, state)
+    dedup_ingest_batch(halves[1], 1, state)
+    plain = str(tmp_path / "run_plain")
+    dedup_ingest_batch(halves[0], 0, plain)
+    dedup_ingest_batch(halves[1], 1, plain)
+    got = {r["doc_id"] for r in read_accepted(spark, state).collect()}
+    want = {r["doc_id"] for r in read_accepted(spark, plain).collect()}
+    assert got == want and got, "metachar state dir diverged from plain"
+
+
 def test_dedup_ingest_batch_resolves_shape_once(spark, tmp_path, monkeypatch):
     """One driver-side shape probe per micro-batch (round-10 verdict
     'What's wrong' #1 — the double 1-row collect): dedup_ingest_batch

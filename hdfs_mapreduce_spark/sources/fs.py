@@ -146,6 +146,14 @@ def glob_parent_names(
     return [st.getPath().getParent().getName() for st in statuses]
 
 
+def dir_size(spark: SparkSession, path_str: str) -> int:
+    """Total bytes under ``path_str`` (Hadoop getContentSummary — one
+    namenode call on HDFS, a listing on object stores). Used by
+    maintenance verbs to pick size tiers, never on a per-row path."""
+    fs, p = fs_and_path(spark, path_str)
+    return int(fs.getContentSummary(p).getLength())
+
+
 def delete(spark: SparkSession, path_str: str, recursive: bool = True) -> bool:
     """Recursive delete; True when something was removed, False when the
     path was already absent (idempotent cleanup semantics)."""

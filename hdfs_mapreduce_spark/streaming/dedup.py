@@ -273,6 +273,78 @@ def dedup_ingest_batch(
         batch_bands.unpersist()
 
 
+def dedup_ingest_batch_maintained(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n_perm: int | None = None,
+    n_bands: int | None = None,
+    compact_every: int | None = None,
+    compact_keep_last: int = 1,
+    compact_max_batches: int | None = None,
+    on_resketch_recommended=None,
+    resketch_min_docs: int | None = None,
+) -> None:
+    """``dedup_ingest_batch`` plus the logtable sink's self-maintenance
+    discipline (streaming/logtable.py ``make_upsert_sink`` —
+    ``compact_every=K``): every K committed batches the state compacts
+    in-sink, so a long-lived stream's dir count stays bounded without an
+    operator ever stopping it. Safe by the same argument the logtable
+    used: foreachBatch is the sole serial writer, so between two batches
+    the stopped-stream precondition holds by construction. Replay-aware
+    by construction too — a replayed batch re-triggers the cadence, but
+    its compactable set was already merged, so ``compact_state`` finds
+    fewer than two below-tail dirs and no-ops (and never compacts an id
+    that can still replay: compaction runs AFTER this batch's commit,
+    and ``compact_keep_last`` >= the source's replay depth keeps the
+    newest ids out of every merge).
+
+    When the maintenance cadence is sink-owned, an interrupted in-sink
+    compaction self-heals: the next batch's marker refusal is caught,
+    ``compact_state`` rolls the swap forward or back, and the ingest
+    retries once — no operator intervention (an interrupted RESKETCH
+    still refuses: only an operator knows the intended b/r point).
+
+    ``on_resketch_recommended`` (optional callable, receives the state
+    dir) runs on the same cadence and fires when the accumulated corpus
+    has outgrown the state's b/r point — the advisory hook a deployment
+    wires to its alerting; None skips the check entirely (its probe
+    costs one sampled row + one bounded count)."""
+
+    def _compact() -> None:
+        compact_state(
+            batch_df.sparkSession,
+            state_dir,
+            keep_last=compact_keep_last,
+            id_col=id_col,
+            text_col=text_col,
+            max_batches_per_run=compact_max_batches,
+        )
+
+    try:
+        dedup_ingest_batch(
+            batch_df, batch_id, state_dir, id_col, text_col, threshold,
+            n_perm=n_perm, n_bands=n_bands,
+        )
+    except RuntimeError as err:
+        if compact_every is None or "compact_state" not in str(err):
+            raise
+        _compact()  # rolls the interrupted in-sink swap forward/back
+        dedup_ingest_batch(
+            batch_df, batch_id, state_dir, id_col, text_col, threshold,
+            n_perm=n_perm, n_bands=n_bands,
+        )
+    if compact_every is not None and (batch_id + 1) % compact_every == 0:
+        _compact()
+        if on_resketch_recommended is not None and resketch_recommended(
+            batch_df.sparkSession, state_dir, wide_min_docs=resketch_min_docs
+        ):
+            on_resketch_recommended(state_dir)
+
+
 def stream_dedup_ingest(
     stream_docs: DataFrame,
     state_dir: str,
@@ -282,17 +354,30 @@ def stream_dedup_ingest(
     threshold: float = 0.5,
     n_perm: int | None = None,
     n_bands: int | None = None,
+    compact_every: int | None = None,
+    compact_keep_last: int = 1,
+    compact_max_batches: int | None = None,
+    on_resketch_recommended=None,
+    resketch_min_docs: int | None = None,
 ):
     """writeStream wiring for the online dedup loop; call ``.start()`` on
     the result. Read the admitted corpus with ``read_accepted``.
     ``n_perm``/``n_bands`` select the state sketch's b/r point on FIRST
     use (see dedup_ingest_batch — existing state's shape always wins,
-    so restarts can omit them)."""
+    so restarts can omit them). ``compact_every=K`` turns on in-sink
+    state compaction every K committed batches (see
+    ``dedup_ingest_batch_maintained``); the default None keeps the
+    maintenance operator-driven exactly as before."""
     return (
         stream_docs.writeStream.foreachBatch(
-            lambda df, bid: dedup_ingest_batch(
+            lambda df, bid: dedup_ingest_batch_maintained(
                 df, bid, state_dir, id_col, text_col, threshold,
                 n_perm=n_perm, n_bands=n_bands,
+                compact_every=compact_every,
+                compact_keep_last=compact_keep_last,
+                compact_max_batches=compact_max_batches,
+                on_resketch_recommended=on_resketch_recommended,
+                resketch_min_docs=resketch_min_docs,
             )
         )
         .option("checkpointLocation", checkpoint_dir)
@@ -392,6 +477,7 @@ def compact_state(
     keep_last: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_batches_per_run: int | None = None,
 ) -> list[int]:
     """Merge old per-micro-batch state dirs into one — the logtable
     checkpoint discipline applied to the dedup state. The online loop
@@ -413,7 +499,18 @@ def compact_state(
     replay depth (1 for Structured Streaming's file source / availableNow:
     only the newest uncommitted batch re-runs) and is floored at 1.
 
-    Run with the stream stopped (same contract as resketch_state).
+    ``max_batches_per_run`` bounds each run to the N smallest below-tail
+    dirs (size-tiered, LSM-style — see the inline comment): repeated
+    tiered runs converge to the same single merged dir as one untiered
+    run, but no single maintenance window ever reads more than the tier,
+    so a long-lived stream's compaction cost is amortized instead of
+    O(accumulated corpus) per run. None (the default) keeps the one-shot
+    full merge.
+
+    Run with the stream stopped (same contract as resketch_state) — or
+    let the sink run it between committed batches via
+    ``stream_dedup_ingest(..., compact_every=K)``, which is equivalent
+    because foreachBatch is the sole serial writer.
     Crash safety mirrors resketch: a meta record naming the compacted
     ids lands first, the merged trees build beside the live ones, and
     the swap (delete compacted dirs, rename merged into place) only
@@ -460,6 +557,30 @@ def compact_state(
 
     ids = committed_ids("accepted")
     compact = ids[: max(len(ids) - keep_last, 0)]
+    if max_batches_per_run is not None and len(compact) > max_batches_per_run:
+        # Size-tiered selection (r11 verdict "What's missing" #4): the
+        # untiered verb re-reads ALL below-tail state every run —
+        # O(accumulated corpus) per maintenance window, and the single
+        # merged dir grows monotonically. Bounding each run to the
+        # ``max_batches_per_run`` SMALLEST below-tail dirs gives the LSM
+        # discipline instead: small fresh dirs fold together first, and a
+        # previously-merged big dir is only re-read once its peers have
+        # grown to match — amortized O(N log N) bytes over the stream's
+        # life, never O(N²). ANY below-tail subset is safe to merge into
+        # its own max id: every constituent row keeps an id <= the merged
+        # dir's, which stays below every retained id, so the
+        # ``below=batch_id`` probe cut covers constituents exactly as
+        # before (ties broken by id so the choice is deterministic).
+        if max_batches_per_run < 2:
+            raise ValueError("max_batches_per_run must be >= 2 (a merge)")
+        acc_root = hfs.join(state_dir, "accepted")
+        sizes = {
+            i: hfs.dir_size(spark, hfs.join(acc_root, f"batch_id={i}"))
+            for i in compact
+        }
+        compact = sorted(
+            sorted(compact, key=lambda i: (sizes[i], i))[:max_batches_per_run]
+        )
     if len(compact) < 2:
         return []
     if not hfs.write_text_atomic(

@@ -1237,3 +1237,209 @@ def test_maintenance_verbs_compose_with_empty_batches(spark, tmp_path):
         )
 
     assert ids(state) == ids(wide)
+
+
+def test_tiered_compact_bounds_per_run_input_and_converges(spark, tmp_path):
+    """r11 verdict 'What's missing' #4: max_batches_per_run bounds each
+    compaction to the N smallest below-tail dirs (size-tiered), repeated
+    tiered runs converge to the same single merged dir as one untiered
+    run, and admissions are unchanged throughout."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources import fs as hfs
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        compact_state,
+        dedup_ingest_batch,
+        read_accepted,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    parts = [docs.filter(F.col("doc_id") % 6 == i) for i in range(6)]
+
+    plain = str(tmp_path / "plain")
+    tier = str(tmp_path / "tier")
+    for i in range(6):
+        dedup_ingest_batch(parts[i], i, plain)
+        dedup_ingest_batch(parts[i], i, tier)
+
+    def ids(state):
+        return sorted(
+            r["doc_id"]
+            for r in read_accepted(spark, state).select("doc_id").collect()
+        )
+
+    def dirs(state, sub):
+        return sorted(
+            d
+            for d in hfs.list_child_names(spark, hfs.join(state, sub))
+            if d.startswith("batch_id=")
+        )
+
+    want = ids(plain)
+    runs = []
+    while True:
+        merged = compact_state(spark, tier, max_batches_per_run=2)
+        if not merged:
+            break
+        runs.append(merged)
+        assert len(merged) <= 2, "tier bound violated"
+        assert ids(tier) == want, f"admissions changed after {merged}"
+    # 5 below-tail dirs at tier 2 -> strictly more than one run needed,
+    # and the end state matches the one-shot full merge: a single merged
+    # dir at the highest below-tail id plus the retained tail
+    assert len(runs) >= 2
+    assert dirs(tier, "accepted") == ["batch_id=4", "batch_id=5"]
+    # future ingest over the tiered state is unaffected
+    dedup_ingest_batch(parts[0], 6, tier)  # pure replay content: all dups
+    assert ids(tier) == want
+    import pytest
+
+    with pytest.raises(ValueError, match="max_batches_per_run"):
+        compact_state(spark, tier, max_batches_per_run=1)
+
+
+def test_sink_self_compaction_bounds_dirs_with_admissions_unchanged(
+    spark, tmp_path
+):
+    """Sink-integrated maintenance (r11 verdict Next #3): a long stream
+    of micro-batches through dedup_ingest_batch_maintained with
+    compact_every=K keeps the state dir count bounded (never more than
+    K + keep_last + 1 committed accepted dirs) while admitting exactly
+    what the unmaintained sink admits; a replayed batch id never
+    double-compacts (the cadence re-fires into a no-op)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources import fs as hfs
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        dedup_ingest_batch,
+        dedup_ingest_batch_maintained,
+        read_accepted,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    n_batches, k = 12, 3
+    parts = [
+        docs.filter(F.col("doc_id") % n_batches == i) for i in range(n_batches)
+    ]
+
+    plain = str(tmp_path / "plain")
+    kept = str(tmp_path / "maintained")
+    max_dirs = 0
+    for i in range(n_batches):
+        dedup_ingest_batch(parts[i], i, plain)
+        dedup_ingest_batch_maintained(
+            parts[i], i, kept, compact_every=k, compact_max_batches=4
+        )
+        n_dirs = sum(
+            1
+            for d in hfs.list_child_names(spark, hfs.join(kept, "accepted"))
+            if d.startswith("batch_id=")
+        )
+        max_dirs = max(max_dirs, n_dirs)
+    assert max_dirs <= k + 2, f"dir count unbounded: peaked at {max_dirs}"
+
+    def ids(state):
+        return sorted(
+            r["doc_id"]
+            for r in read_accepted(spark, state).select("doc_id").collect()
+        )
+
+    assert ids(kept) == ids(plain)
+    # replay of the cadence batch: ingest no-ops (its docs are all dups
+    # of its own committed attempt), compact re-fires into a no-op
+    last = n_batches - 1
+    dedup_ingest_batch_maintained(
+        parts[last], last, kept, compact_every=k, compact_max_batches=4
+    )
+    assert ids(kept) == ids(plain)
+
+
+def test_sink_self_heals_interrupted_in_sink_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """An in-sink compaction that crashes mid-swap leaves markers that
+    make plain ingest refuse; the NEXT maintained batch catches the
+    refusal, re-runs compact_state (rolling the swap forward), and
+    retries the ingest — the stream heals without an operator."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    import hdfs_mapreduce_spark.streaming.dedup as sd
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    parts = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+
+    plain = str(tmp_path / "plain")
+    state = str(tmp_path / "healing")
+    for i in range(3):
+        sd.dedup_ingest_batch(parts[i], i, plain)
+        sd.dedup_ingest_batch(parts[i], i, state)
+
+    real_finish = sd._finish_compact_swap
+
+    def crashing_finish(spark_, state_dir, compact, tmps):
+        one = dict(list(tmps.items())[:1])
+        real_finish(spark_, state_dir, compact, one)
+        raise RuntimeError("injected crash mid-swap")
+
+    monkeypatch.setattr(sd, "_finish_compact_swap", crashing_finish)
+    with pytest.raises(RuntimeError, match="injected"):
+        sd.compact_state(spark, state)
+    monkeypatch.setattr(sd, "_finish_compact_swap", real_finish)
+    # an UNmaintained sink still refuses (operator-owned cadence)...
+    with pytest.raises(RuntimeError, match="compact_state"):
+        sd.dedup_ingest_batch(parts[3], 3, state)
+    # ...but the maintained sink heals and ingests in one call
+    sd.dedup_ingest_batch_maintained(parts[3], 3, state, compact_every=100)
+    sd.dedup_ingest_batch(parts[3], 3, plain)
+
+    def ids(st):
+        return sorted(
+            r["doc_id"]
+            for r in sd.read_accepted(spark, st).select("doc_id").collect()
+        )
+
+    assert ids(state) == ids(plain)
+
+
+def test_sink_resketch_advisory_fires_on_cadence(spark, tmp_path):
+    """The opt-in resketch advisory runs on the compaction cadence and
+    fires exactly when the accumulated corpus has outgrown the state's
+    narrow b/r point (resketch_min_docs stands in for the production
+    auto-wide bound)."""
+    from pyspark.sql import functions as F
+
+    from hdfs_mapreduce_spark.sources.catalog import load_table
+    from hdfs_mapreduce_spark.streaming.dedup import (
+        dedup_ingest_batch_maintained,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    parts = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    state = str(tmp_path / "advised")
+    fired = []
+    for i in range(3):
+        dedup_ingest_batch_maintained(
+            parts[i], i, state,
+            compact_every=1,
+            on_resketch_recommended=fired.append,
+            resketch_min_docs=5,
+        )
+    assert fired and all(f == state for f in fired)
+    # a wide-pinned state never advises
+    wide = str(tmp_path / "wide")
+    fired_wide = []
+    import hdfs_mapreduce_spark.operators.dedup as dd
+
+    for i in range(2):
+        dedup_ingest_batch_maintained(
+            parts[i], i, wide,
+            n_perm=dd.WIDE_PERM, n_bands=dd.WIDE_BANDS,
+            compact_every=1,
+            on_resketch_recommended=fired_wide.append,
+            resketch_min_docs=5,
+        )
+    assert fired_wide == []

@@ -1187,6 +1187,150 @@ def span_scrub(
     ).orderBy("doc")
 
 
+# --- exact-substring runs (cross-document, paired) ------------------------------
+RUN_GRAM_K = 8
+RUN_MIN_TOKENS = 12
+
+
+def exact_substring_runs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = RUN_GRAM_K,
+    min_tokens: int = RUN_MIN_TOKENS,
+) -> DataFrame:
+    """Maximal exact repeated token runs ACROSS documents, ≥ ``min_tokens``
+    long, as (doc_a, doc_b) pairs with both sides' token bounds — the
+    suffix-array exact-substring pass of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") re-expressed as the
+    sorted k-gram chain: two documents sharing an exact run of L ≥ k
+    tokens share all L−k+1 of its k-grams at one constant positional
+    offset (the DIAGONAL ``pos_a − pos_b``), so grouping gram matches per
+    (doc_a, doc_b, diagonal) and island-merging consecutive positions
+    reconstructs every maximal shared run exactly, for any L ≥ k.
+
+    Complements ``duplicate_spans``: that operator unions duplicated
+    windows per document (so two adjacent windows with DIFFERENT partners
+    chain into one span no single pair shares, and it cannot say who the
+    partner is); this one is pair-exact — each output row is one maximal
+    run one specific pair shares verbatim, the relation an excision or
+    provenance pass needs.
+
+    Returns (doc_a, doc_b, a_start, a_end, b_start, b_end, n_tokens),
+    token-index bounds inclusive, ordered.
+
+    Scale shape: map-only shingling, ONE shuffle on the exact gram text
+    for the self-join (exact text, not a 64-bit hash — same
+    collision-exactness argument as duplicate_spans; a corpus-frequency
+    cap on grams belongs in the caller's blocking policy when boilerplate
+    is expected, cf. EDIT_VARIANT_MAX_DF), one shuffle on
+    (doc_a, doc_b, diag) for the island window. Diagonal groups are tiny
+    (≤ doc length), so the window never sees a skewed partition."""
+    from pyspark.sql.window import Window
+
+    tk = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("doc"), tk.alias("tk")).filter(
+        F.size("tk") >= k
+    )
+    grams = base.select(
+        "doc",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - k),
+                lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i + 1, k)),
+            )
+        ).alias("pos", "sh"),
+    )
+    m = (
+        grams.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "sh")
+        .join(
+            grams.select(
+                F.col("doc").alias("doc_b"), F.col("pos").alias("pb"), "sh"
+            ),
+            "sh",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", "pa", (F.col("pa") - F.col("pb")).alias("diag")
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    flagged = m.select(
+        "doc_a",
+        "doc_b",
+        "diag",
+        "pa",
+        F.when(
+            F.lag("pa").over(w).isNull() | (F.col("pa") > F.lag("pa").over(w) + 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    runs = (
+        flagged.withColumn("run_id", F.sum("new_run").over(w))
+        .groupBy("doc_a", "doc_b", "diag", "run_id")
+        .agg(
+            F.min("pa").cast("long").alias("a_start"),
+            (F.max("pa") + k - 1).cast("long").alias("a_end"),
+            (F.max("pa") - F.min("pa") + k).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    return runs.select(
+        "doc_a",
+        "doc_b",
+        "a_start",
+        "a_end",
+        (F.col("a_start") - F.col("diag")).cast("long").alias("b_start"),
+        (F.col("a_end") - F.col("diag")).cast("long").alias("b_end"),
+        "n_tokens",
+    ).orderBy("doc_a", "doc_b", "a_start", "b_start")
+
+
+def exact_substring_scrub(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = RUN_GRAM_K,
+    min_tokens: int = RUN_MIN_TOKENS,
+) -> DataFrame:
+    """Keep-first excision over ``exact_substring_runs``: for every
+    maximal cross-document run ≥ min_tokens, the LOWER doc id keeps its
+    copy and the higher id's covered token positions are scrubbed; each
+    document is rebuilt from its surviving (lowercased) tokens — the
+    span_scrub machinery applied to the paired run relation. Returns
+    (doc, n_removed, n_kept, scrubbed_hash) over ALL input documents,
+    ordered by doc."""
+    runs = exact_substring_runs(df, id_col, text_col, k, min_tokens)
+    cover = runs.select(
+        F.col("doc_b").alias("doc"),
+        F.explode(F.sequence("b_start", "b_end")).alias("i"),
+    ).distinct()
+    scrub = cover.groupBy("doc").agg(
+        F.sort_array(F.collect_list("i")).alias("scrub_pos")
+    )
+    tk = tokens(F.lower(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("doc"), tk.alias("tk"))
+    joined = base.join(scrub, "doc", "left").select(
+        "doc",
+        "tk",
+        F.coalesce("scrub_pos", F.array().cast("array<long>")).alias(
+            "scrub_pos"
+        ),
+    )
+    rebuilt = F.array_join(
+        F.filter("tk", lambda x, i: ~F.array_contains(F.col("scrub_pos"), i.cast("long"))),
+        " ",
+    )
+    return joined.select(
+        "doc",
+        F.size("scrub_pos").cast("long").alias("n_removed"),
+        (F.size("tk") - F.size("scrub_pos")).cast("long").alias("n_kept"),
+        F.md5(rebuilt).alias("scrubbed_hash"),
+    ).orderBy("doc")
+
+
 # --- winnowing fingerprints -----------------------------------------------------
 # Winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03 — the MOSS
 # fingerprinting algorithm): slide a window of WINNOW_W consecutive

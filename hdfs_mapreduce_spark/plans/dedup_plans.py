@@ -22,7 +22,11 @@ from hdfs_mapreduce_spark.operators.dedup import (
     WINNOW_W,
     BAND_BITS,
     DUPSPAN_K,
+    RUN_GRAM_K,
+    RUN_MIN_TOKENS,
     duplicate_spans,
+    exact_substring_runs,
+    exact_substring_scrub,
     span_scrub,
     HAMMING_MAX,
     N_BANDS,
@@ -648,6 +652,28 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact cross-document repeated runs >= RUN_MIN_TOKENS tokens
+    as (doc_a, doc_b) pairs with both sides' bounds — the Lee et al. 2022
+    suffix-array pass as a sorted k-gram chain (operators/dedup.py
+    exact_substring_runs). The paired complement of dedup_spans: each row
+    is one run one specific pair shares verbatim."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return exact_substring_runs(
+        docs, "doc_id", "text", k=RUN_GRAM_K, min_tokens=RUN_MIN_TOKENS
+    )
+
+
+def dedup_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first excision of the cross-document exact runs: the lower
+    doc id keeps its copy, the higher id's covered positions scrub out
+    (operators/dedup.py exact_substring_scrub)."""
+    docs = spread(load_table(spark, sf_dir, "documents"), spark)
+    return exact_substring_scrub(
+        docs, "doc_id", "text", k=RUN_GRAM_K, min_tokens=RUN_MIN_TOKENS
+    ).withColumnRenamed("doc", "doc_id")
+
+
 def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication diagnostics: for every pair of sources,
     the number of distinct shingles present in both and the shingle-set
@@ -767,6 +793,8 @@ QUERIES = {
     "corpus_overlap_matrix": corpus_overlap_matrix,
     "dedup_spans": dedup_spans,
     "dedup_span_scrub": dedup_span_scrub,
+    "dedup_exact_substrings": dedup_exact_substrings,
+    "dedup_exact_substring_scrub": dedup_exact_substring_scrub,
     "dedup_paragraphs": dedup_paragraphs,
     "dedup_paragraph_scrub": dedup_paragraph_scrub,
     "pipeline_chunk": pipeline_chunk,
@@ -1475,3 +1503,80 @@ def _winnow_sql() -> str:
 
 
 ORACLE_SQL["text_winnowing"] = _winnow_sql()
+
+# Exact cross-document repeated runs (Lee et al. 2022's suffix-array pass
+# as the sorted k-gram chain): shared CTEs — k-grams, gram matches per
+# (doc_a, doc_b, diagonal), island merge, maximal runs >= RUN_MIN_TOKENS.
+_RUNGRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(RUN_GRAM_K))
+_RUNS_CTES = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i - 1 AS pos, {_RUNGRAM} AS sh
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks) - {RUN_GRAM_K} + 1)) AS i
+              FROM t WHERE len(toks) >= {RUN_GRAM_K})
+    ),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, a.pos - b.pos AS diag
+        FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+    ),
+    flagged AS (
+        SELECT doc_a, doc_b, diag, pa,
+               CASE WHEN lag(pa) OVER w IS NULL OR pa > lag(pa) OVER w + 1
+                    THEN 1 ELSE 0 END AS new_run
+        FROM m WINDOW w AS (PARTITION BY doc_a, doc_b, diag ORDER BY pa)
+    ),
+    islands AS (
+        SELECT doc_a, doc_b, diag, pa,
+               SUM(new_run) OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag,
+               MIN(pa) AS a0, MAX(pa) + {RUN_GRAM_K} - 1 AS a1,
+               MAX(pa) - MIN(pa) + {RUN_GRAM_K} AS n_tokens
+        FROM islands GROUP BY doc_a, doc_b, diag, run_id
+        HAVING MAX(pa) - MIN(pa) + {RUN_GRAM_K} >= {RUN_MIN_TOKENS}
+    )
+"""
+
+ORACLE_SQL["dedup_exact_substrings"] = f"""
+    {_RUNS_CTES}
+    SELECT doc_a, doc_b,
+           CAST(a0 AS BIGINT) AS a_start,
+           CAST(a1 AS BIGINT) AS a_end,
+           CAST(a0 - diag AS BIGINT) AS b_start,
+           CAST(a1 - diag AS BIGINT) AS b_end,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM runs ORDER BY doc_a, doc_b, a_start, b_start
+"""
+
+ORACLE_SQL["dedup_exact_substring_scrub"] = f"""
+    {_RUNS_CTES},
+    cover AS (
+        SELECT DISTINCT doc_b AS doc_id,
+               unnest(generate_series(a0 - diag, a1 - diag)) AS i
+        FROM runs
+    ),
+    scrub AS (
+        SELECT doc_id, list_sort(list(i)) AS sp FROM cover GROUP BY doc_id
+    ),
+    j AS (
+        SELECT t.doc_id, toks, COALESCE(sp, CAST([] AS BIGINT[])) AS sp
+        FROM t LEFT JOIN scrub USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(len(sp) AS BIGINT) AS n_removed,
+           CAST(len(toks) - len(sp) AS BIGINT) AS n_kept,
+           md5(COALESCE(array_to_string(
+               list_filter(
+                   list_transform(generate_series(1, len(toks)),
+                       jj -> CASE WHEN list_contains(sp, jj - 1)
+                                  THEN NULL ELSE toks[jj] END),
+                   x -> x IS NOT NULL), ' '), '')) AS scrubbed_hash
+    FROM j ORDER BY doc_id
+"""

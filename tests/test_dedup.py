@@ -920,3 +920,109 @@ def test_auto_band_config_reprobes_rewritten_path(spark, tmp_path):
         dd.WIDE_PERM, dd.WIDE_BANDS,
     ), "stale memo served the pre-rewrite band decision"
     dd._AUTO_BAND_MEMO.clear()
+
+
+def test_exact_substring_runs_pair_exact_maximal(spark):
+    """The sorted k-gram chain reconstructs MAXIMAL cross-document runs
+    per (pair, diagonal): docs 1/2 share a 10-token run at different
+    offsets (bounds exact on both sides), a 5-token share below
+    min_tokens=6 is dropped, and — the pair-exactness property
+    duplicate_spans lacks — doc 3 sharing ADJACENT-but-different runs
+    with docs 1 and 2 yields two separate pair rows, never a chained
+    span no single pair shares."""
+    from hdfs_mapreduce_spark.operators.dedup import exact_substring_runs
+
+    run = " ".join(f"r{i}" for i in range(10))     # 10 shared tokens
+    left = " ".join(f"l{i}" for i in range(6))     # doc1/doc3 share
+    right = " ".join(f"g{i}" for i in range(6))    # doc2/doc3 share
+    short = "s0 s1 s2 s3 s4"                       # 5 < min_tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{left} {run} {short}"),
+            (2, f"pad2a pad2b {run} xx {short} yy {right}"),
+            (3, f"{left} {right} solo3 alone3"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"], r["a_start"]): r
+        for r in exact_substring_runs(
+            docs, "doc_id", "text", k=4, min_tokens=6
+        ).collect()
+    }
+    # 1-2: the 10-token run, exact bounds both sides; the 5-token share
+    # is below min_tokens and absent.
+    r12 = rows[(1, 2, 6)]
+    assert (r12["a_end"], r12["b_start"], r12["b_end"], r12["n_tokens"]) == (
+        15, 2, 11, 10,
+    )
+    # 1-3: the left run only (per-pair row, not chained through doc 3).
+    r13 = rows[(1, 3, 0)]
+    assert (r13["a_end"], r13["b_start"], r13["b_end"], r13["n_tokens"]) == (
+        5, 0, 5, 6,
+    )
+    # 2-3: the right run only (doc 2 tokens 19..24, doc 3 tokens 6..11).
+    r23 = rows[(2, 3, 19)]
+    assert (r23["a_end"], r23["b_start"], r23["b_end"], r23["n_tokens"]) == (
+        24, 6, 11, 6,
+    )
+    assert len(rows) == 3
+
+
+def test_exact_substring_runs_two_diagonals(spark):
+    """A run doc_b repeats at TWO positions produces two rows (one per
+    diagonal), each maximal — the relation an excision pass needs to
+    cover every copy."""
+    from hdfs_mapreduce_spark.operators.dedup import exact_substring_runs
+
+    run = " ".join(f"d{i}" for i in range(6))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run} tailA tailB"),
+            (2, f"{run} midgap {run}"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["b_start"], r["b_end"], r["n_tokens"])
+        for r in exact_substring_runs(
+            docs, "doc_id", "text", k=4, min_tokens=6
+        ).collect()
+    )
+    assert got == [(0, 5, 6), (7, 12, 6)]
+
+
+def test_exact_substring_scrub_keep_first(spark):
+    """Keep-first excision: the LOWER doc id keeps every run; the higher
+    id's covered positions union (overlapping runs from different
+    partners count once) and scrub out; untouched docs still report."""
+    import hashlib
+
+    from hdfs_mapreduce_spark.operators.dedup import exact_substring_scrub
+
+    run = " ".join(f"e{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{run} one1 two1"),
+            (2, f"head2 {run} tail2"),
+            (3, f"{run} fresh3 here3"),   # scrubbed vs BOTH 1 and 2
+            (4, "no shared content at all in this document today"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc"]: r
+        for r in exact_substring_scrub(
+            docs, "doc_id", "text", k=4, min_tokens=6
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert rows[1]["n_removed"] == 0
+    assert rows[1]["scrubbed_hash"] == md5(run + " one1 two1")
+    assert rows[2]["n_removed"] == 8
+    assert rows[2]["scrubbed_hash"] == md5("head2 tail2")
+    # doc 3's run is covered by pairs (1,3) AND (2,3) — union, not sum.
+    assert rows[3]["n_removed"] == 8
+    assert rows[3]["scrubbed_hash"] == md5("fresh3 here3")
+    assert rows[4]["n_removed"] == 0 and rows[4]["n_kept"] == 9
+    assert len(rows) == 4

@@ -80,16 +80,26 @@ def main() -> None:
     # drift (same query, same config, back-to-back sessions measured 2.3s,
     # 5.6s, 3.1s) — min-of-N is the standard way to report the query's cost
     # rather than the scheduler's mood; N=2 keeps the bench under ~3 min.
+    try:
+        from hdfs_mapreduce_spark.plans.streaming_plans import PHASE_SEC
+    except Exception:
+        PHASE_SEC = {}
     timings: dict[str, float] = {}
     for name, fn in queries.items():
         best = None
-        for _ in range(2):
+        for i in range(2):
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
                 t = time.perf_counter() - t0
                 best = t if best is None else min(best, t)
+                if name in PHASE_SEC:  # instrumented online-dedup queries
+                    print(
+                        f"bench: {name} exec{i} {round(t, 2)}s phases="
+                        f"{json.dumps(PHASE_SEC[name])}",
+                        file=sys.stderr,
+                    )
             except Exception as exc:  # record failures, don't abort the run
                 best = -1.0
                 print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
@@ -130,6 +140,16 @@ def main() -> None:
     full = dict(out)
     if delta:
         full["delta_vs_prev"] = delta
+    # Per-phase decomposition of the instrumented online-dedup queries
+    # (last execution of each — the r11 verdict's session-sensitivity
+    # attribution). Harmless when empty.
+    try:
+        from hdfs_mapreduce_spark.plans.streaming_plans import PHASE_SEC
+
+        if PHASE_SEC:
+            full["phase_sec"] = {k: dict(v) for k, v in PHASE_SEC.items()}
+    except Exception:
+        pass
     if oracle:
         full["oracle_sec"] = oracle
     full["queries"] = timings

@@ -1190,6 +1190,15 @@ def span_scrub(
 # --- exact-substring runs (cross-document, paired) ------------------------------
 RUN_GRAM_K = 8
 RUN_MIN_TOKENS = 12
+# A k-gram present in more than this many DISTINCT documents is corpus
+# boilerplate (license headers, navigation chrome): its match set grows
+# ~df² in the self-join — the one skew bomb in the diagonal chain. The
+# cap drops those grams BEFORE the join (runs flowing through a hot gram
+# split at it; a run shared by few docs is untouched because every one
+# of its grams has df <= its pair count). Same discipline as
+# EDIT_VARIANT_MAX_DF and the capped-Jaccard relation; the hot set is at
+# most total_grams/cap grams, so it broadcasts.
+RUN_MAX_DF = 64
 
 
 def exact_substring_runs(
@@ -1198,6 +1207,7 @@ def exact_substring_runs(
     text_col: str,
     k: int = RUN_GRAM_K,
     min_tokens: int = RUN_MIN_TOKENS,
+    max_df: int | None = RUN_MAX_DF,
 ) -> DataFrame:
     """Maximal exact repeated token runs ACROSS documents, ≥ ``min_tokens``
     long, as (doc_a, doc_b) pairs with both sides' token bounds — the
@@ -1219,11 +1229,12 @@ def exact_substring_runs(
     Returns (doc_a, doc_b, a_start, a_end, b_start, b_end, n_tokens),
     token-index bounds inclusive, ordered.
 
-    Scale shape: map-only shingling, ONE shuffle on the exact gram text
-    for the self-join (exact text, not a 64-bit hash — same
-    collision-exactness argument as duplicate_spans; a corpus-frequency
-    cap on grams belongs in the caller's blocking policy when boilerplate
-    is expected, cf. EDIT_VARIANT_MAX_DF), one shuffle on
+    Scale shape: map-only shingling, one gram-keyed aggregation for the
+    boilerplate cap (``max_df``: grams in more distinct docs than this
+    are dropped before the join — the hot set is ≤ total_grams/max_df so
+    its anti-join broadcasts; ``None`` disables), ONE shuffle on the
+    exact gram text for the self-join (exact text, not a 64-bit hash —
+    same collision-exactness argument as duplicate_spans), one shuffle on
     (doc_a, doc_b, diag) for the island window. Diagonal groups are tiny
     (≤ doc length), so the window never sees a skewed partition."""
     from pyspark.sql.window import Window
@@ -1241,6 +1252,14 @@ def exact_substring_runs(
             )
         ).alias("pos", "sh"),
     )
+    if max_df is not None:
+        hot = (
+            grams.groupBy("sh")
+            .agg(F.count_distinct("doc").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("sh")
+        )
+        grams = grams.join(F.broadcast(hot), "sh", "left_anti")
     m = (
         grams.select(F.col("doc").alias("doc_a"), F.col("pos").alias("pa"), "sh")
         .join(
@@ -1294,6 +1313,7 @@ def exact_substring_scrub(
     text_col: str,
     k: int = RUN_GRAM_K,
     min_tokens: int = RUN_MIN_TOKENS,
+    max_df: int | None = RUN_MAX_DF,
 ) -> DataFrame:
     """Keep-first excision over ``exact_substring_runs``: for every
     maximal cross-document run ≥ min_tokens, the LOWER doc id keeps its
@@ -1302,7 +1322,7 @@ def exact_substring_scrub(
     span_scrub machinery applied to the paired run relation. Returns
     (doc, n_removed, n_kept, scrubbed_hash) over ALL input documents,
     ordered by doc."""
-    runs = exact_substring_runs(df, id_col, text_col, k, min_tokens)
+    runs = exact_substring_runs(df, id_col, text_col, k, min_tokens, max_df)
     cover = runs.select(
         F.col("doc_b").alias("doc"),
         F.explode(F.sequence("b_start", "b_end")).alias("i"),

@@ -23,6 +23,7 @@ from hdfs_mapreduce_spark.operators.dedup import (
     BAND_BITS,
     DUPSPAN_K,
     RUN_GRAM_K,
+    RUN_MAX_DF,
     RUN_MIN_TOKENS,
     duplicate_spans,
     exact_substring_runs,
@@ -660,7 +661,8 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one run one specific pair shares verbatim."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return exact_substring_runs(
-        docs, "doc_id", "text", k=RUN_GRAM_K, min_tokens=RUN_MIN_TOKENS
+        docs, "doc_id", "text", k=RUN_GRAM_K, min_tokens=RUN_MIN_TOKENS,
+        max_df=RUN_MAX_DF,
     )
 
 
@@ -670,7 +672,8 @@ def dedup_exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py exact_substring_scrub)."""
     docs = spread(load_table(spark, sf_dir, "documents"), spark)
     return exact_substring_scrub(
-        docs, "doc_id", "text", k=RUN_GRAM_K, min_tokens=RUN_MIN_TOKENS
+        docs, "doc_id", "text", k=RUN_GRAM_K, min_tokens=RUN_MIN_TOKENS,
+        max_df=RUN_MAX_DF,
     ).withColumnRenamed("doc", "doc_id")
 
 
@@ -1512,11 +1515,18 @@ _RUNS_CTES = f"""
     WITH t AS (
         SELECT doc_id, {_TOKS} AS toks FROM documents
     ),
-    sh AS (
+    sh0 AS (
         SELECT doc_id, i - 1 AS pos, {_RUNGRAM} AS sh
         FROM (SELECT doc_id, toks,
                      unnest(generate_series(1, len(toks) - {RUN_GRAM_K} + 1)) AS i
               FROM t WHERE len(toks) >= {RUN_GRAM_K})
+    ),
+    hot AS (
+        SELECT sh FROM sh0 GROUP BY sh
+        HAVING count(DISTINCT doc_id) > {RUN_MAX_DF}
+    ),
+    sh AS (
+        SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)
     ),
     m AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -1026,3 +1026,43 @@ def test_exact_substring_scrub_keep_first(spark):
     assert rows[3]["scrubbed_hash"] == md5("fresh3 here3")
     assert rows[4]["n_removed"] == 0 and rows[4]["n_kept"] == 9
     assert len(rows) == 4
+
+
+def test_exact_substring_runs_boilerplate_cap(spark):
+    """A gram present in more distinct docs than max_df is corpus
+    boilerplate: it drops BEFORE the self-join (the df^2 skew bomb), so a
+    run flowing through it splits at the hot gram, while runs shared by
+    few docs are untouched (each of their grams has df <= the pair
+    count). max_df=None disables the cap."""
+    from hdfs_mapreduce_spark.operators.dedup import exact_substring_runs
+
+    boiler = "b0 b1 b2 b3"  # in ALL FIVE docs -> its grams have df=5
+    rare = "r0 r1 r2 r3"    # only docs 1/2 -> df=2, below the cap
+    docs = spark.createDataFrame(
+        [
+            (1, f"{rare} {boiler} one1"),
+            (2, f"{rare} {boiler} two2"),
+            (3, f"{boiler} three3a three3b three3c"),
+            (4, f"{boiler} four4a four4b four4c"),
+            (5, f"{boiler} five5a five5b five5c"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = exact_substring_runs(
+        docs, "doc_id", "text", k=4, min_tokens=4, max_df=4
+    ).collect()
+    # Only the rare run survives (1,2); every boilerplate-only pair is
+    # gone and the 1-2 run STOPS at the hot gram: of docs 1/2's grams,
+    # only position 4 ("b0 b1 b2 b3") exists in all five docs (df 5 >
+    # 4); positions 0..3 still straddle rare tokens (df 2) and are kept,
+    # so the merged run covers tokens 0..6 (7 tokens), not the full
+    # 8-token prefix the uncapped chain would report.
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(1, 2)}
+    r = capped[0]
+    assert (r["a_start"], r["a_end"], r["n_tokens"]) == (0, 6, 7)
+    uncapped = exact_substring_runs(
+        docs, "doc_id", "text", k=4, min_tokens=4, max_df=None
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in uncapped} == {
+        (a, b) for a in range(1, 6) for b in range(a + 1, 6)
+    }

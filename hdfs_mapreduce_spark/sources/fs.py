@@ -81,12 +81,24 @@ def read_text(spark: SparkSession, path_str: str) -> str:
 
 
 def write_text_atomic(spark: SparkSession, path_str: str, text: str) -> bool:
-    """Publish a small text file atomically: write to a dot-prefixed
-    UNIQUE tmp sibling, then rename. Returns False when the destination
-    already exists (rename-to-existing fails on HDFS/local — the single
-    collision point concurrent publishers race on); the tmp is always
+    """Publish a small text file with PUT-IF-ABSENT semantics: write to a
+    dot-prefixed UNIQUE tmp sibling, then link/rename into the slot.
+    Returns False when the destination already exists — the single
+    collision point concurrent publishers race on; the tmp is always
     cleaned up. Never use for row data — commit records and checkpoints
-    only."""
+    only.
+
+    On the LOCAL filesystem the publish is a POSIX hard link, not a
+    rename: Hadoop's LocalFileSystem rename checks dst existence and
+    THEN calls rename(2), which overwrites — two publishers racing the
+    same slot can both pass the check and both return true, one record
+    silently clobbered (observed for real: a 4-process contention test
+    landed 23 of 24 commits with every writer reporting success).
+    link(2) fails EEXIST atomically in the kernel, restoring the exact
+    contract HDFS rename gives (dst-exists → the whole operation fails).
+    Non-local schemes keep the rename path: HDFS rename-to-existing is
+    atomically exclusive server-side; S3-family stores need a
+    conditional-put backend either way (see streaming/logtable.py)."""
     import uuid
 
     base, name = path_str.rstrip("/").rsplit("/", 1)
@@ -95,10 +107,36 @@ def write_text_atomic(spark: SparkSession, path_str: str, text: str) -> bool:
     out = fs.create(tmp, True)
     out.write(bytearray(text.encode("utf-8")))
     out.close()
-    if fs.rename(tmp, jpath(spark, path_str)):
-        return True
+    dst = jpath(spark, path_str)
+    won = None
+    try:
+        scheme = fs.getScheme()
+    except Exception:
+        scheme = None
+    if scheme == "file":
+        jvm = spark._jvm
+        try:
+            # java.io.File(...).toPath() rather than Paths.get(...):
+            # Paths.get is varargs, which py4j cannot dispatch.
+            jvm.java.nio.file.Files.createLink(
+                jvm.java.io.File(dst.toUri().getPath()).toPath(),
+                jvm.java.io.File(tmp.toUri().getPath()).toPath(),
+            )
+            won = True
+        except Exception as exc:
+            jexc = getattr(exc, "java_exception", None)
+            cls = jexc.getClass().getName() if jexc is not None else ""
+            if cls.endswith("FileAlreadyExistsException"):
+                won = False
+            # any other failure (e.g. a hardlink-incapable mount):
+            # fall through to the rename path with the tmp still intact
+    if won is None:
+        if fs.rename(tmp, dst):
+            return True
+        fs.delete(tmp, False)
+        return False
     fs.delete(tmp, False)
-    return False
+    return won
 
 
 def rename(spark: SparkSession, src: str, dst: str) -> bool:

@@ -332,3 +332,56 @@ def test_three_real_processes_race_one_rebuild_slot(spark, tmp_path):
     handle = open_managed_ivfpq(spark, root)
     queries = emb.filter(F.col("vec_id").isin([0, 1]))
     assert ann_probe_ivfpq(handle, queries, k=5, nprobe=4).count() == 10
+
+
+def test_put_if_absent_single_winner_under_thread_contention(spark, tmp_path):
+    """The commit protocol's one collision point — write_text_atomic's
+    put-if-absent — must admit exactly ONE winner per slot even when
+    publishers race inside the kernel window. Hadoop's LocalFileSystem
+    rename is exists-check-then-rename(2), NOT atomic: the 4-process
+    contention test above once landed 23 of 24 commits with every writer
+    reporting success (two winners on one slot, one record clobbered).
+    The local path now publishes via link(2), which fails EEXIST
+    atomically; this hammers 8 threads x 40 slots through the real code
+    and asserts one winner per slot whose payload is what the slot
+    holds, plus the returns-False-on-existing contract and tmp cleanup."""
+    import threading
+
+    from hdfs_mapreduce_spark.sources import fs as hfs
+
+    d = str(tmp_path / "slots")
+    os.makedirs(d)
+    assert hfs.write_text_atomic(spark, os.path.join(d, "s"), "first")
+    assert not hfs.write_text_atomic(spark, os.path.join(d, "s"), "second")
+    assert hfs.read_text(spark, os.path.join(d, "s")) == "first"
+
+    results: dict[int, list[tuple[int, bool]]] = {}
+    lock = threading.Lock()
+
+    def worker(w: int) -> None:
+        for s in range(40):
+            ok = hfs.write_text_atomic(
+                spark, os.path.join(d, f"race_{s}"), f"w{w}"
+            )
+            with lock:
+                results.setdefault(s, []).append((w, ok))
+
+    threads = [
+        threading.Thread(target=worker, args=(w,)) for w in range(8)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for s, rs in results.items():
+        winners = [w for w, ok in rs if ok]
+        assert len(winners) == 1, (s, rs)
+        assert (
+            hfs.read_text(spark, os.path.join(d, f"race_{s}"))
+            == f"w{winners[0]}"
+        )
+    # every tmp sibling cleaned up (only slot files + the seed remain)
+    stray = [
+        n for n in os.listdir(d) if n.endswith(".tmp")
+    ]
+    assert not stray, stray

@@ -145,15 +145,33 @@ def build_ivfpq_index(
         _encoder(cos_to_cents, cbs, m_sub, dsub, id_col, vec_col),
         "id long, cell long, codes array<long>",
     )
-    # ORDER BY cell = range-partitioned, cell-clustered files: every
-    # parquet row group carries a tight (min, max) on cell, so a probe's
-    # cell IN (…) predicate prunes at the footer — the layout_zorder
-    # discipline applied to the one corpus-sized index relation.
-    codes = materialize(encoded.orderBy("cell", "id"), f"{name}_codes", base)
+    # Cell-clustered files via hash-repartition on cell + an in-partition
+    # sort, NOT a global ORDER BY: a global sort's range-exchange runs a
+    # boundary-sampling job over its child first, which EXECUTES the
+    # Python encoder a second time over the whole corpus (mapInPandas is
+    # opaque — nothing upstream can be sampled instead), doubling the
+    # build's one corpus scan (guide §1.2/§4). Hash partitioning needs no
+    # sampling pass: whole cells land in one file each and the
+    # within-partition sort keeps every parquet row group carrying a
+    # tight (min, max) on cell, so a probe's cell IN (…) predicate still
+    # prunes files by footer stats and row groups inside them — the
+    # layout_zorder discipline applied to the one corpus-sized index
+    # relation, at half the encode cost.
+    codes = materialize(
+        encoded.repartition(F.col("cell")).sortWithinPartitions("cell", "id"),
+        f"{name}_codes",
+        base,
+    )
     return {
         "centroids": centroids,
         "codewords": codewords,
         "codes": codes,
+        # The just-fitted kernels, pre-seeding _model_from_tables' memo:
+        # float64 survives the parquet DOUBLE round-trip bit-exactly (the
+        # lossless-round-trip contract in the module docstring), so the
+        # first probe/encode against a fresh build skips the two
+        # model-table collect jobs it would otherwise pay.
+        "_model_kernels": (cos_to_cents, cbs, m_sub, dsub),
         # ACTUAL model shapes, not the requested ones: a corpus smaller
         # than nlist/ksub yields fewer centroids/codewords (the fused
         # kernel sizes everything from the fitted tensors too), and a
@@ -180,9 +198,15 @@ def load_ivfpq_index(spark: SparkSession, base: str, name: str = "ivfpq") -> dic
     centroids = spark.read.parquet(f"{base}/{name}_centroids")
     codewords = spark.read.parquet(f"{base}/{name}_codewords")
     codes = spark.read.parquet(f"{base}/{name}_codes")
-    m_sub = codewords.agg(F.countDistinct("subspace")).collect()[0][0]
-    ksub = codewords.agg(F.countDistinct("code")).collect()[0][0]
-    first = codewords.select(F.size("vec")).limit(1).collect()[0][0]
+    # One aggregate job per model table instead of one job per metadata
+    # field (was 3 jobs over codewords + 1 over centroids — every
+    # open_managed_ivfpq paid all four; both tables are model-sized, the
+    # cost is pure job-submission overhead).
+    m_sub, ksub, first = codewords.agg(
+        F.countDistinct("subspace"),
+        F.countDistinct("code"),
+        F.max(F.size("vec")),
+    ).collect()[0]
     out = {
         "centroids": centroids,
         "codewords": codewords,
@@ -237,7 +261,11 @@ def append_to_ivfpq_index(
     spark = new_embeddings.sparkSession
     encoded = encode_with_model(index, new_embeddings, id_col, vec_col)
     codes_path = index["paths"]["codes"]
-    encoded.orderBy("cell", "id").write.mode("append").parquet(codes_path)
+    # Same single-encode layout rule as the build: a global ORDER BY
+    # would run the encoder twice (range-boundary sampling pass).
+    encoded.repartition(F.col("cell")).sortWithinPartitions(
+        "cell", "id"
+    ).write.mode("append").parquet(codes_path)
     return {**index, "codes": spark.read.parquet(codes_path)}
 
 
@@ -320,6 +348,17 @@ def _model_from_tables(index: dict):
     row is filled by the codewords table."""
     import numpy as np
 
+    # The model tables are immutable for a handle's lifetime (appends and
+    # deletes never touch centroids/codewords; a rebuild returns a FRESH
+    # handle), so the reconstructed kernels memoize on the handle dict:
+    # a streaming-encode sink that commits many micro-batches pays the
+    # two model-table collect jobs once, not once per batch (guide §4.5 —
+    # heavyweight init once, amortized over the batches). Derived handles
+    # built via {**index, ...} (append/delete refreshes) inherit the memo
+    # validly for the same reason.
+    cached = index.get("_model_kernels")
+    if cached is not None:
+        return cached
     meta = index["meta"]
     m_sub, ksub, dsub = meta["m_sub"], meta["ksub"], meta["dsub"]
     crows = sorted(index["centroids"].collect(), key=lambda r: r["cell"])
@@ -328,7 +367,8 @@ def _model_from_tables(index: dict):
     cbs = np.empty((m_sub, ksub, dsub))
     for r in index["codewords"].collect():
         cbs[r["subspace"], r["code"]] = np.asarray(r["vec"], dtype=np.float64)
-    return cos_to_cents, cbs, m_sub, dsub
+    index["_model_kernels"] = (cos_to_cents, cbs, m_sub, dsub)
+    return index["_model_kernels"]
 
 
 def ann_probe_ivfpq(

@@ -220,6 +220,19 @@ def dedup_ingest_batch(
     batch_bands = _banded_sketch(
         batch_df, id_col, text_col, n_perm, n_bands
     ).persist()
+    # The two reject sets are each consumed by BOTH state writes (and the
+    # within-batch check's self-join references the corpus-probe output
+    # on both of its sides), so they are persisted for the batch's
+    # lifetime: without the cache the corpus-sketch scan + broadcast
+    # probe join re-executed up to six times per micro-batch (three
+    # subtrees under the accepted write, three under the sketch write) —
+    # at any corpus size that is 6x the probe's scan I/O per batch, and
+    # it was the dominant per-batch cost of the online loop (guide §1.2:
+    # remove recomputed passes before tuning anything else). Both sets
+    # are duplicate-id-sized (bounded by the batch), so the cache cost
+    # is nil.
+    dup_vs_corpus = None
+    within_rejects = None
     try:
         survivors = batch_df
         surv_bands = batch_bands
@@ -230,6 +243,7 @@ def dedup_ingest_batch(
                 )
                 .select(F.col("new_doc").alias(id_col))
                 .distinct()
+                .persist()
             )
             survivors = survivors.join(dup_vs_corpus, id_col, "left_anti")
             surv_bands = surv_bands.join(
@@ -252,25 +266,23 @@ def dedup_ingest_batch(
             _verified_pairs(surv_bands, threshold)
             .select(F.col("doc_b").alias(id_col))
             .distinct()
+            .persist()
         )
-        survivors = survivors.join(
-            within_rejects, id_col, "left_anti"
-        ).persist()
-        try:
-            survivors.write.mode("overwrite").parquet(
-                hfs.join(accepted_dir, f"batch_id={batch_id}")
-            )
-            surv_bands.join(
-                within_rejects.select(F.col(id_col).alias("doc")),
-                "doc",
-                "left_anti",
-            ).write.mode("overwrite").parquet(
-                hfs.join(sketch_dir, f"batch_id={batch_id}")
-            )
-        finally:
-            survivors.unpersist()
+        survivors = survivors.join(within_rejects, id_col, "left_anti")
+        survivors.write.mode("overwrite").parquet(
+            hfs.join(accepted_dir, f"batch_id={batch_id}")
+        )
+        surv_bands.join(
+            within_rejects.select(F.col(id_col).alias("doc")),
+            "doc",
+            "left_anti",
+        ).write.mode("overwrite").parquet(
+            hfs.join(sketch_dir, f"batch_id={batch_id}")
+        )
     finally:
-        batch_bands.unpersist()
+        for cached in (within_rejects, dup_vs_corpus, batch_bands):
+            if cached is not None:
+                cached.unpersist()
 
 
 def dedup_ingest_batch_maintained(

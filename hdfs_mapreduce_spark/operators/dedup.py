@@ -333,16 +333,26 @@ def minhash_pairs(
     return _verified_pairs(bands, threshold).orderBy("doc_a", "doc_b")
 
 
-def _verified_pairs(bands: DataFrame, threshold: float) -> DataFrame:
+def _verified_pairs(
+    bands: DataFrame, threshold: float, broadcast_right: bool = False
+) -> DataFrame:
     """The back half of ``minhash_pairs`` over a PRE-BUILT banded sketch
     relation (``_banded_sketch``'s output): band-key self-join with the
     first-band-wins predicate + the exact-Jaccard verify, no
     presentation sort. Split out (round 11) so the online ingest loop
     can sketch each batch ONCE and derive the within-batch pair check
     from the same cached relation instead of re-running the shingle
-    scan + signature groupBy."""
+    scan + signature groupBy.
+
+    ``broadcast_right=True`` hints the right side of the self-join as a
+    broadcast build — ONLY for callers whose ``bands`` is ingest-sized
+    by contract (the online micro-batch loop: the same bound that
+    already broadcasts the batch side of the corpus probe). The
+    corpus-scale self-join callers (``minhash_pairs`` over a whole
+    corpus) must keep the default shuffled join — a corpus broadcast
+    would be exactly wrong at 100 TB."""
     left = bands.alias("l")
-    right = bands.alias("r")
+    right = F.broadcast(bands.alias("r")) if broadcast_right else bands.alias("r")
     return (
         left.join(
             right,

@@ -231,6 +231,14 @@ def dedup_ingest_batch(
     # remove recomputed passes before tuning anything else). Both sets
     # are duplicate-id-sized (bounded by the batch), so the cache cost
     # is nil.
+    # Every reject set below is duplicate-id-sized (bounded by the batch),
+    # so each anti-join hints its reject side as a broadcast build: the
+    # default planner shaped all four of them as SortMergeJoin LeftAnti
+    # (captured in plans/r12/dedup_ingest_*_bcast_before.txt) — two
+    # exchanges + two sorts per join, per micro-batch, to anti-join a
+    # relation the ingest contract bounds at batch size. Broadcast is the
+    # scale-correct strategy at ANY corpus size for the same reason the
+    # corpus probe already broadcasts the batch sketch (guide §3.1).
     dup_vs_corpus = None
     within_rejects = None
     try:
@@ -245,9 +253,11 @@ def dedup_ingest_batch(
                 .distinct()
                 .persist()
             )
-            survivors = survivors.join(dup_vs_corpus, id_col, "left_anti")
+            survivors = survivors.join(
+                F.broadcast(dup_vs_corpus), id_col, "left_anti"
+            )
             surv_bands = surv_bands.join(
-                dup_vs_corpus.select(F.col(id_col).alias("doc")),
+                F.broadcast(dup_vs_corpus.select(F.col(id_col).alias("doc"))),
                 "doc",
                 "left_anti",
             )
@@ -263,17 +273,19 @@ def dedup_ingest_batch(
         # admission instead (operators/components.canonical_assignment
         # keeps one doc per connected component).
         within_rejects = (
-            _verified_pairs(surv_bands, threshold)
+            _verified_pairs(surv_bands, threshold, broadcast_right=True)
             .select(F.col("doc_b").alias(id_col))
             .distinct()
             .persist()
         )
-        survivors = survivors.join(within_rejects, id_col, "left_anti")
+        survivors = survivors.join(
+            F.broadcast(within_rejects), id_col, "left_anti"
+        )
         survivors.write.mode("overwrite").parquet(
             hfs.join(accepted_dir, f"batch_id={batch_id}")
         )
         surv_bands.join(
-            within_rejects.select(F.col(id_col).alias("doc")),
+            F.broadcast(within_rejects.select(F.col(id_col).alias("doc"))),
             "doc",
             "left_anti",
         ).write.mode("overwrite").parquet(

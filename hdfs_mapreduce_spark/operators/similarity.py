@@ -58,7 +58,9 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def cosine_fast(a: Column, b: Column) -> Column:
+def cosine_fast(
+    a: Column, b: Column, nondeterministic: bool = False
+) -> Column:
     """Arrow-batched exact-fold cosine: the kernel walks dimensions in index
     order (``acc += a_i*b_i``), vectorized across the rows of each batch —
     the identical left fold the HOF ``cosine`` and DuckDB's
@@ -69,7 +71,17 @@ def cosine_fast(a: Column, b: Column) -> Column:
     variant this replaced was ~1e-15 off the fold (pairwise summation),
     which forced ann_lsh/ann_ivf to rows-only driver checks. The udf is
     built per call — pandas_udf registration needs a live session, so it
-    cannot be a module-level decorator."""
+    cannot be a module-level decorator.
+
+    ``nondeterministic=True`` marks the UDF non-deterministic so the
+    optimizer may not duplicate it (guide §4.4): a downstream filter on
+    the returned column otherwise plans the kernel TWICE — once below
+    the pushed filter, once in the surviving projection (captured:
+    dedup_crosscheck_bucketed ran two stacked ArrowEvalPython over every
+    candidate pair). The kernel is pure, so results are unchanged; the
+    flag only constrains plan rewrites. Use it at call sites that filter
+    on the output; leave it off where the column is select-only (no
+    duplication to prevent, and other-filter pushdown stays allowed)."""
 
     @F.pandas_udf("double")
     def _cos(x: pd.Series, y: pd.Series) -> pd.Series:
@@ -89,6 +101,8 @@ def cosine_fast(a: Column, b: Column) -> Column:
             nb = nb + mb[:, i] * mb[:, i]
         return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
+    if nondeterministic:
+        _cos = _cos.asNondeterministic()
     return _cos(a, b)
 
 
@@ -232,7 +246,13 @@ def ann_topk_lsh(
     (multi-probe LSH). The candidate join is an equi-join on the signature —
     at 100 TB the corpus is bucketed once (or bucketed-on-write) and each
     query touches a tiny slice instead of the full scan."""
-    sig = lsh_signature_fast(dim)
+    # asNondeterministic: the join condition references the sig-derived
+    # columns, and the optimizer otherwise duplicates the kernel — the
+    # executed plan carried TWO stacked ArrowEvalPython[sig] on EACH join
+    # side (captured in plans/r12/ann_lsh_before.txt), i.e. the corpus
+    # signature pass ran twice per query (guide §4.4). The kernel is
+    # pure; the flag only forbids the duplicating rewrite.
+    sig = lsh_signature_fast(dim).asNondeterministic()
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nvec"),
@@ -342,6 +362,13 @@ def ann_topk_ivf(
         # argmax returns the FIRST maximum -> exact ties go to the lower
         # cell, matching ROW_NUMBER() ORDER BY cos DESC, cell ASC.
         return pd.Series(np.argmax(_cos_to_cents(m), axis=1).astype("int32"))
+
+    # asNondeterministic: the probe join's key is the cell_of-derived
+    # column, and the optimizer otherwise plans the assignment kernel
+    # TWICE stacked over the corpus scan (plans/r12/ann_ivf_before.txt)
+    # — a full duplicate corpus encode pass (guide §4.4). Pure kernel;
+    # results unchanged.
+    cell_of = cell_of.asNondeterministic()
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probe_cells(vecs: pd.Series) -> pd.Series:

@@ -749,7 +749,15 @@ def dedup_crosscheck_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "ea",
             "eb",
-            F.round(cosine_fast(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+            # nondeterministic: the threshold filter below otherwise gets
+            # pushed beneath this projection AND kept above it, planning
+            # the cosine kernel twice over every candidate pair (two
+            # stacked ArrowEvalPython — guide §4.4). Pure kernel; results
+            # unchanged, only the duplicating rewrite is forbidden.
+            F.round(
+                cosine_fast(F.col("va"), F.col("vb"), nondeterministic=True),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= PAIR_THRESHOLD)
     )

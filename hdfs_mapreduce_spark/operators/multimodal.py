@@ -522,10 +522,23 @@ def phash_pairs(
     constant's comment — this is what keeps the join linear at scale;
     the declared relation is still fully deterministic because the cap
     is a pure function of the data, mirrored in the oracle). One
-    fingerprint pass, one tiny key-count aggregate, one band-keyed
-    self-join, distinct via groupBy on the pair, THEN the exact
-    bit_count verify — the completion of the multimodal dedup family
-    (exact content md5 → perceptual near-dup)."""
+    fingerprint pass, one band-keyed groupBy that both applies the hot
+    cap (group size > PHASH_BAND_MAX dropped) and generates the in-group
+    pairs, distinct via groupBy on the pair, THEN the exact bit_count
+    verify — the completion of the multimodal dedup family (exact
+    content md5 → perceptual near-dup).
+
+    The band groups are materialized as collect_list arrays rather than
+    via a key-count aggregate + band-keyed self-join: the former shape
+    ran the payload-decode fingerprint kernel THREE times in one plan
+    (once under each self-join leg, once under the count aggregate —
+    MapInPandas is opaque, so nothing dedups the subtree), i.e. two full
+    corpus decode passes of pure dead work at any scale. The arrays are
+    bounded by PHASH_BAND_MAX, so per-group state and the pair explode
+    stay O(cap²) regardless of corpus size, and the pair SET is
+    order-independent (unordered in-group pairs filtered id_a < id_b),
+    so collect_list's nondeterministic ordering cannot leak into the
+    result."""
     hashes = perceptual_hash(df)
     all_bands = hashes.select(
         "id",
@@ -544,16 +557,14 @@ def phash_pairs(
             )
         ).alias("b"),
     ).select("id", "phash", F.col("b.band").alias("band"), F.col("b.key").alias("key"))
-    key_counts = (
+    groups = (
         all_bands.groupBy("band", "key")
-        .agg(F.count(F.lit(1)).alias("kc"))
-        .where(F.col("kc") <= PHASH_BAND_MAX)
-        .select("band", "key")
+        .agg(F.collect_list(F.struct("id", "phash")).alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= PHASH_BAND_MAX))
     )
-    bands = all_bands.join(key_counts, ["band", "key"])
-    a, b = bands.alias("a"), bands.alias("b")
     cand = (
-        a.join(b, ["band", "key"])
+        groups.select(F.explode("ms").alias("a"), F.col("ms"))
+        .select("a", F.explode("ms").alias("b"))
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(
             F.col("a.id").alias("id_a"),

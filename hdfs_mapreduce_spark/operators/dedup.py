@@ -1432,11 +1432,15 @@ def winnowing_fingerprints(
         F.count(F.lit(1)).over(w).alias("cw"),
     )
     # Full windows only; a doc with fewer than W shingles still yields its
-    # global minimum through the pos=1 (short-window) row.
+    # global minimum through the pos=1 (short-window) row. One distinct,
+    # over the final (doc, fp) key: a distinct on the finer (doc, mn) key
+    # first would be a second corpus-sized exchange the coarser-key
+    # distinct subsumes (duplicate (doc, mn) rows are duplicate (doc, fp)
+    # rows by construction).
     sel = win.where(
         (F.col("cw") == WINNOW_W)
         | ((F.col("pos") == 1) & (F.col("cw") < WINNOW_W))
-    ).select("doc", "mn").distinct()
+    )
     return sel.select(
         "doc", F.expr(f"mn DIV {WINNOW_POS}").alias("fp")
     ).distinct()
@@ -1458,15 +1462,26 @@ def winnowing_pairs(
 
     Scale: the df-filter aggregate and the fingerprint self-join are both
     keyed on fp with per-key expansion capped at max_df², so the pair
-    stage is linear in the fingerprint relation — never corpus-quadratic."""
+    stage is linear in the fingerprint relation — never corpus-quadratic.
+
+    The df cap is a window COUNT over fp, not a groupBy + join-back: the
+    aggregate-then-join shape evaluated the fingerprint subtree (shingle
+    explode + window MIN + distinct) once under the aggregate and again
+    under the join, and its fp-keyed exchange could not serve the
+    self-join. The window form computes df in the SAME fp-keyed exchange
+    the self-join needs, so the fingerprint relation is derived once and
+    shuffled once (guide §2.4: operations keyed the same way share one
+    exchange)."""
+    from pyspark.sql.window import Window
+
     fps = winnowing_fingerprints(df, id_col, text_col)
-    good = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("df"))
+    gf = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        )
         .where(F.col("df") <= max_df)
-        .select("fp")
+        .select("fp", "doc")
     )
-    gf = fps.join(good, "fp")
     left = gf.select("fp", F.col("doc").alias("doc_a"))
     right = gf.select("fp", F.col("doc").alias("doc_b"))
     return (

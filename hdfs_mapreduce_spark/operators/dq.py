@@ -50,27 +50,34 @@ def _unpivot(one_row: DataFrame, tbl: str, checks: list[str]) -> DataFrame:
 
 
 def _row_checks(
-    df: DataFrame, tbl: str, checks: dict[str, Column]
+    df: DataFrame, tbl: str, checks: dict[str, Column],
+    unique_col: str | None = None,
 ) -> DataFrame:
-    agg = df.agg(
+    """One aggregate pass per table: every conditional-count check plus
+    (optionally) the exact uniqueness check in the SAME agg. Uniqueness
+    used to be a separate single-check aggregate over the same table —
+    a second full scan per table per suite run (events, documents and
+    embeddings each scanned twice). count_distinct beside plain sums
+    plans as one scan + Expand (rows duplicated 2x in-memory for the
+    distinct path), which trades a little CPU for a whole I/O pass —
+    the right trade at any corpus size."""
+    names = list(checks)
+    aggs = [
         F.count(F.lit(1)).alias("n_rows"),
         *[_violations(cond).alias(name) for name, cond in checks.items()],
-    )
-    return _unpivot(agg, tbl, list(checks))
+    ]
+    if unique_col is not None:
+        names.append(f"{unique_col}_unique")
+        aggs.append(
+            _unique_violations(df, unique_col).alias(f"{unique_col}_unique")
+        )
+    return _unpivot(df.agg(*aggs), tbl, names)
 
 
 def _unique_violations(df: DataFrame, col: str) -> Column:
     """Non-null rows beyond the first per value: COUNT(col) -
     COUNT(DISTINCT col) — exact, two-phase partial agg."""
     return (F.count(col) - F.count_distinct(F.col(col))).cast("long")
-
-
-def _uniqueness_check(df: DataFrame, tbl: str, col: str) -> DataFrame:
-    agg = df.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        _unique_violations(df, col).alias(f"{col}_unique"),
-    )
-    return _unpivot(agg, tbl, [f"{col}_unique"])
 
 
 def _ri_check(
@@ -223,8 +230,8 @@ def dq_report(
                 "event_type_in_domain": F.col("event_type").isNull()
                 | ~F.col("event_type").isin(*EVENT_TYPE_DOMAIN),
             },
+            unique_col="event_id",
         ),
-        _uniqueness_check(events, "events", "event_id"),
         _row_checks(
             documents,
             "documents",
@@ -232,16 +239,16 @@ def dq_report(
                 "n_chars_consistent": F.col("n_chars")
                 != F.length(F.col("text")),
             },
+            unique_col="doc_id",
         ),
-        _uniqueness_check(documents, "documents", "doc_id"),
         _row_checks(
             embeddings,
             "embeddings",
             {
                 "embedding_dim_64": F.size(F.col("embedding")) != 64,
             },
+            unique_col="vec_id",
         ),
-        _uniqueness_check(embeddings, "embeddings", "vec_id"),
         _row_checks(
             orders,
             "orders",

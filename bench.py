@@ -16,6 +16,43 @@ import sys
 import time
 
 
+def _sf_of(sf_dir: str) -> float | None:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        return None
+
+
+def _derived_shuffle_width(sf_dir: str) -> int:
+    """Scale the bench session's shuffle width with the SF instead of a
+    constant (r12 verdict: the committed 8 is sf0.1-local tuning and the
+    builder's own sf10 octave showed the ~100M-row gram shuffle
+    COLLAPSING a session at width 8 — GC-thrashed window sorts until
+    ContextCleaner RPCs timed out; 64 ran clean). Linear through the two
+    measured anchors, floored at the sf0.1 value so the driver's sf0.1
+    runs stay byte-comparable across rounds:
+
+        width = max(8, ceil(6.4 * sf))   # sf0.1 -> 8, sf10 -> 64
+
+    An unparsable dir name estimates the SF from the input bytes
+    (sf0.1 is ~175 MB/SF of parquet). A caller's explicit
+    SPARK_GRAFT_SHUFFLE always wins (main() only setdefaults)."""
+    import math
+
+    sf = _sf_of(sf_dir)
+    if sf is None:
+        try:
+            total = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, files in os.walk(sf_dir)
+                for f in files
+            )
+            sf = total / 1.75e8
+        except OSError:
+            sf = 0.1
+    return max(8, math.ceil(6.4 * sf))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -25,9 +62,13 @@ def main() -> None:
     # overhead (measured: AQE off + 8 shuffle partitions is ~35% faster at
     # sf0.1 with identical results). The session defaults stay scale-first;
     # these env knobs override only for this local run and respect any values
-    # the caller already exported.
+    # the caller already exported. The shuffle width is SF-derived, not a
+    # constant (see _derived_shuffle_width), and the resolved value is
+    # recorded in the output line.
     os.environ.setdefault("SPARK_GRAFT_AQE", "false")
-    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "8")
+    os.environ.setdefault(
+        "SPARK_GRAFT_SHUFFLE", str(_derived_shuffle_width(sf_dir))
+    )
     # 60 plans warmed + timed in one JVM: the 1g default (tuned when the
     # set was smaller) now GC-thrashes; 6g measured ~7% faster overall and
     # ~25% on the iterative components query. Session default stays 1g.
@@ -106,10 +147,7 @@ def main() -> None:
                 break
         timings[name] = round(best, 4)
 
-    try:
-        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        sf = None
+    sf = _sf_of(sf_dir)
     total = round(sum(t for t in timings.values() if t >= 0), 4)
     # Key order is deliberate: the driver's wrapper records only the TAIL
     # of long stdout, so the aggregate numbers lead (tiny, always legible
@@ -123,6 +161,9 @@ def main() -> None:
         "unit": "sec",
         "timing": "min of 2 executions per query, plan shapes pre-warmed",
         "sf": sf,
+        # the resolved width (SF-derived unless the caller exported one),
+        # so cross-SF runs are comparable-with-eyes-open
+        "shuffle_partitions": int(os.environ["SPARK_GRAFT_SHUFFLE"]),
     }
     # Subset runs time only the subset's oracles — a standalone retime of
     # one query must not pay the full registry's DuckDB pass.

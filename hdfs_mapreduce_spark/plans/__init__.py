@@ -79,13 +79,15 @@ DRIVER_WINDOW = 50
 #       plan); stream_upsert_snapshot / stream_dedup_admitted — versioned
 #       state management ported from os.* to the Hadoop FS API (same
 #       relations, new state machinery).
+# NOTE: each key appears ONCE — its newest change round. Earlier change
+# rounds for the same query are recorded in the comments only (a
+# duplicate dict key would be dead code: later wins — r12 verdict
+# hygiene item). History: dedup_lsh_recall also changed r5;
+# stream_upsert_snapshot r6/r11; stream_dedup_admitted r6/r11.
 REVERIFY = {
-    "dedup_lsh_recall": 5,
     "dedup_simhash_pairs": 5,
     "dedup_crosscheck": 5,
     "dedup_semantic": 6,
-    "stream_upsert_snapshot": 6,
-    "stream_dedup_admitted": 6,
     # r6 (second half): oracle text gained MATERIALIZED CTE hints (the
     # unrolled logreg oracle re-inlined exponentially; tok/scored CTEs
     # in the tfidf/lm/vocab oracles were touched by the same pass) —
@@ -144,7 +146,6 @@ REVERIFY = {
     #     (resolve_sketch_shape + validate_shape=False pass-down) with
     #     the empty-state fallback — same relation, new executed loop.
     "stream_ann_ingest_fenced": 11,
-    "stream_dedup_admitted": 11,
     # r11 (second half): minhash_pairs' pair self-join factored into the
     #     shared _verified_pairs and incremental_pairs_against_sketch's
     #     probe body into _probe_pairs_from_sketches (so the online
@@ -167,7 +168,6 @@ REVERIFY = {
     "dedup_keep_best": 11,
     "dataset_split_safe": 11,
     "graph_pagerank": 11,
-    "stream_upsert_snapshot": 11,
     # r12: the r11-ADVICE fixes changed state machinery under the
     #     streaming families — glob_parent_names now escapes a literal
     #     base (new signature at every listing site), state reads are

@@ -368,11 +368,13 @@ def logtable_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost tracks live data, never log length."""
     from hdfs_mapreduce_spark.streaming.logtable import table_changes
 
-    root = _stage_cdf_table(spark, sf_dir, "cdf")
-    ch = table_changes(spark, root, "event_id", 0, 2)
-    return ch.select(
-        "event_id", "change_type", "value_before", "value_after"
-    ).orderBy("event_id")
+    with _phase("logtable_cdf", "stage_fixture"):
+        root = _stage_cdf_table(spark, sf_dir, "cdf")
+    with _phase("logtable_cdf", "build_read_plan"):
+        ch = table_changes(spark, root, "event_id", 0, 2)
+        return ch.select(
+            "event_id", "change_type", "value_before", "value_after"
+        ).orderBy("event_id")
 
 
 def _apply_cdf_delta(agg: DataFrame, ch: DataFrame) -> DataFrame:
@@ -428,20 +430,22 @@ def logtable_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_changes,
     )
 
-    root = _stage_cdf_table(spark, sf_dir, "ivm")
-    agg = (
-        snapshot(spark, root, "event_id", as_of=0)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+    with _phase("logtable_ivm", "stage_fixture"):
+        root = _stage_cdf_table(spark, sf_dir, "ivm")
+    with _phase("logtable_ivm", "build_read_plan"):
+        agg = (
+            snapshot(spark, root, "event_id", as_of=0)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
         )
-    )
-    for v in (1, 2):
-        ch = table_changes(spark, root, "event_id", v - 1, v)
-        if ch is not None:
-            agg = _apply_cdf_delta(agg, ch)
-    return agg.where(F.col("n_events") > 0).orderBy("event_type")
+        for v in (1, 2):
+            ch = table_changes(spark, root, "event_id", v - 1, v)
+            if ch is not None:
+                agg = _apply_cdf_delta(agg, ch)
+        return agg.where(F.col("n_events") > 0).orderBy("event_type")
 
 
 def _stage_day2_batches(root: str, day2: DataFrame, mod: int) -> str:
@@ -508,14 +512,16 @@ def stream_ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     day1 = emb.filter(F.col("vec_id") % APPEND_MOD != 0)
     day2 = emb.filter(F.col("vec_id") % APPEND_MOD == 0)
-    index = build_ivfpq_index(
-        day1,
-        nlist=IVF_NLIST,
-        name=f"ivfpq_stream_{os.path.basename(sf_dir.rstrip('/'))}"
-        f"_{next(_INVOCATION)}",
-    )
+    with _phase("stream_ann_ingest_topk", "build_index"):
+        index = build_ivfpq_index(
+            day1,
+            nlist=IVF_NLIST,
+            name=f"ivfpq_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+            f"_{next(_INVOCATION)}",
+        )
 
-    stage = _stage_day2_batches(root, day2, APPEND_MOD)
+    with _phase("stream_ann_ingest_topk", "stage_src"):
+        stage = _stage_day2_batches(root, day2, APPEND_MOD)
     qsrc = emb.select("vec_id", "embedding")
     table_root = os.path.join(root, "codes_table")
 
@@ -534,15 +540,19 @@ def stream_ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(stage)
     )
-    _run(
-        stream.writeStream.foreachBatch(_sink),
-        None,
-        os.path.join(root, "ckpt"),
-    )
-    streamed_codes = snapshot(spark, table_root, "id")
-    combined = {**index, "codes": index["codes"].unionByName(streamed_codes)}
-    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
-    return ann_probe_ivfpq(combined, queries, TOP_K, nprobe=IVF_NPROBE)
+    with _phase("stream_ann_ingest_topk", "stream_3_batches"):
+        _run(
+            stream.writeStream.foreachBatch(_sink),
+            None,
+            os.path.join(root, "ckpt"),
+        )
+    with _phase("stream_ann_ingest_topk", "build_read_plan"):
+        streamed_codes = snapshot(spark, table_root, "id")
+        combined = {
+            **index, "codes": index["codes"].unionByName(streamed_codes)
+        }
+        queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+        return ann_probe_ivfpq(combined, queries, TOP_K, nprobe=IVF_NPROBE)
 
 
 def stream_ann_ingest_fenced(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -585,11 +595,13 @@ def stream_ann_ingest_fenced(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     day1 = emb.filter(F.col("vec_id") % APPEND_MOD != 0)
     day2 = emb.filter(F.col("vec_id") % APPEND_MOD == 0)
-    index = create_managed_ivfpq(
-        day1, os.path.join(root, "idx"), nlist=IVF_NLIST
-    )
+    with _phase("stream_ann_ingest_fenced", "create_managed_v1"):
+        index = create_managed_ivfpq(
+            day1, os.path.join(root, "idx"), nlist=IVF_NLIST
+        )
 
-    stage = _stage_day2_batches(root, day2, APPEND_MOD)
+    with _phase("stream_ann_ingest_fenced", "stage_src"):
+        stage = _stage_day2_batches(root, day2, APPEND_MOD)
     qsrc = emb.select("vec_id", "embedding")
     table_root = os.path.join(root, "codes_table")
     sink = fenced_codes_sink(index, table_root)
@@ -600,44 +612,50 @@ def stream_ann_ingest_fenced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(stage)
     )
-    _run(
-        stream.writeStream.foreachBatch(sink),
-        None,
-        os.path.join(root, "ckpt"),
-    )
+    with _phase("stream_ann_ingest_fenced", "stream_3_batches"):
+        _run(
+            stream.writeStream.foreachBatch(sink),
+            None,
+            os.path.join(root, "ckpt"),
+        )
     streamed_codes = snapshot(spark, table_root, "id")
 
     # Flip: rebuild on the full current corpus (streamed rows included —
     # the rebuild-covers-streamed-ingest contract), then enforce that
     # the forgotten v1 writer fails loudly and commits nothing.
-    rebuild_ivfpq_index(open_managed_ivfpq(spark, os.path.join(root, "idx")), emb)
-    n_before = streamed_codes.count()
-    try:
-        sink(day2.select("vec_id", "embedding").limit(1), 999)
-    except IndexEpochError:
-        pass
-    else:
-        raise RuntimeError(
-            "epoch fence FAILED to trip: a post-flip commit beside the "
-            "dead generation went through silently"
+    with _phase("stream_ann_ingest_fenced", "rebuild_v2"):
+        rebuild_ivfpq_index(
+            open_managed_ivfpq(spark, os.path.join(root, "idx")), emb
         )
-    if snapshot(spark, table_root, "id").count() != n_before:
-        raise RuntimeError(
-            "epoch fence tripped but the batch still committed — the "
-            "fence must run before the upsert, not after"
-        )
+    with _phase("stream_ann_ingest_fenced", "fence_checks"):
+        n_before = streamed_codes.count()
+        try:
+            sink(day2.select("vec_id", "embedding").limit(1), 999)
+        except IndexEpochError:
+            pass
+        else:
+            raise RuntimeError(
+                "epoch fence FAILED to trip: a post-flip commit beside the "
+                "dead generation went through silently"
+            )
+        if snapshot(spark, table_root, "id").count() != n_before:
+            raise RuntimeError(
+                "epoch fence tripped but the batch still committed — the "
+                "fence must run before the upsert, not after"
+            )
 
     # Probe the rebuilt generation through a FRESH handle: certifies the
     # published post-flip state read back from disk, not the in-memory
     # return value of the rebuild call.
-    handle = open_managed_ivfpq(spark, os.path.join(root, "idx"))
-    if handle["version"] != 2:
-        raise RuntimeError(
-            f"rebuild did not flip the manifest: current is "
-            f"v{handle['version']}, expected v2"
-        )
-    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
-    return ann_probe_ivfpq(handle, queries, TOP_K, nprobe=IVF_NPROBE)
+    with _phase("stream_ann_ingest_fenced", "build_read_plan"):
+        handle = open_managed_ivfpq(spark, os.path.join(root, "idx"))
+        if handle["version"] != 2:
+            raise RuntimeError(
+                f"rebuild did not flip the manifest: current is "
+                f"v{handle['version']}, expected v2"
+            )
+        queries = emb.filter(F.col("vec_id").isin(QUERY_IDS))
+        return ann_probe_ivfpq(handle, queries, TOP_K, nprobe=IVF_NPROBE)
 
 
 # stream_cdc_apply constants: residue-class batching of the events keys
@@ -763,7 +781,8 @@ def dq_checks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         table_changes,
     )
 
-    root = _stage_cdf_table(spark, sf_dir, "dqinc")
+    with _phase("dq_checks_incremental", "stage_fixture"):
+        root = _stage_cdf_table(spark, sf_dir, "dqinc")
     checks = {
         "event_type_in_domain": lambda c: c("event_type").isNull()
         | ~c("event_type").isin(*EVENT_TYPE_DOMAIN),
@@ -772,15 +791,16 @@ def dq_checks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_positive": lambda c: c("value").isNull()
         | (c("value") <= 0),
     }
-    return incremental_row_checks(
-        snapshot(spark, root, "event_id", as_of=0),
-        [
-            table_changes(spark, root, "event_id", 0, 1),
-            table_changes(spark, root, "event_id", 1, 2),
-        ],
-        "events_logtable",
-        checks,
-    ).orderBy("check")
+    with _phase("dq_checks_incremental", "build_read_plan"):
+        return incremental_row_checks(
+            snapshot(spark, root, "event_id", as_of=0),
+            [
+                table_changes(spark, root, "event_id", 0, 1),
+                table_changes(spark, root, "event_id", 1, 2),
+            ],
+            "events_logtable",
+            checks,
+        ).orderBy("check")
 
 
 MG_K = 64

@@ -32,6 +32,9 @@ by a stream clock instead of cron.
 
 from __future__ import annotations
 
+import time
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,6 +74,24 @@ _MAINTENANCE_MARKERS = (
 # would otherwise fall back to the narrow default and the first
 # non-empty batch would pin that wrong lifetime shape silently.
 _SHAPE_META = "_shape_meta"
+
+# Cumulative wall-clock of the ingest loop's per-batch steps across all
+# batches this process ran — the r13 decomposition of the per-batch
+# cost (read by tools/decompose_query.py; bench embeds PHASE_SEC the
+# same way for the query-level phases). Passive: a handful of
+# perf_counter calls per batch, nothing in the engine reads it.
+PHASE_TOTALS: dict[str, float] = {}
+
+
+@contextmanager
+def _tick(phase: str):
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        PHASE_TOTALS[phase] = PHASE_TOTALS.get(phase, 0.0) + (
+            time.perf_counter() - t0
+        )
 
 
 def _read_shape_meta(
@@ -157,19 +178,20 @@ def dedup_ingest_batch(
     sketch_dir = hfs.join(state_dir, "sketch")
     # ONE listing RPC covers all five maintenance markers (per-marker
     # exists probes would pay five round trips per micro-batch).
-    children = set(hfs.list_child_names(spark, state_dir))
-    for marker in _MAINTENANCE_MARKERS:
-        if marker in children:
-            verb = (
-                "resketch_state" if marker.startswith("_sketch")
-                else "compact_state"
-            )
-            raise RuntimeError(
-                f"state dir has a leftover '{marker}' tree from an "
-                f"interrupted {verb} — re-run {verb} (it rolls the swap "
-                "back or forward) before ingesting"
-            )
-    corpus_sketch = _read_batch_dirs(spark, sketch_dir, below=batch_id)
+    with _tick("setup_listing"):
+        children = set(hfs.list_child_names(spark, state_dir))
+        for marker in _MAINTENANCE_MARKERS:
+            if marker in children:
+                verb = (
+                    "resketch_state" if marker.startswith("_sketch")
+                    else "compact_state"
+                )
+                raise RuntimeError(
+                    f"state dir has a leftover '{marker}' tree from an "
+                    f"interrupted {verb} — re-run {verb} (it rolls the swap "
+                    "back or forward) before ingesting"
+                )
+        corpus_sketch = _read_batch_dirs(spark, sketch_dir, below=batch_id)
     if (n_perm is None) != (n_bands is None):
         raise ValueError("pass BOTH n_perm and n_bands or neither")
     # Resolve the state's b/r shape ONCE (one limit(1) driver job per
@@ -184,10 +206,11 @@ def dedup_ingest_batch(
     # a resketch swap and its meta rewrite), and an explicit caller shape
     # that mismatches EITHER pin raises before anything commits.
     pinned = None
-    if corpus_sketch is not None:
-        pinned = resolve_sketch_shape(corpus_sketch)
-    if pinned is None and _SHAPE_META in children:
-        pinned = _read_shape_meta(spark, state_dir)
+    with _tick("resolve_shape"):
+        if corpus_sketch is not None:
+            pinned = resolve_sketch_shape(corpus_sketch)
+        if pinned is None and _SHAPE_META in children:
+            pinned = _read_shape_meta(spark, state_dir)
     if pinned is not None and n_perm is not None and (n_perm, n_bands) != pinned:
         raise ValueError(
             f"corpus sketch shape mismatch: state {state_dir} is pinned "
@@ -209,28 +232,27 @@ def dedup_ingest_batch(
         # empty — the `children` listing above already told us whether the
         # record exists, so the happy path pays no extra metadata RPC.
         _write_shape_meta(spark, state_dir, n_perm, n_bands)
-    # The batch's banded sketch is built ONCE and cached (round 11: the
-    # previous shape ran the shingle scan + signature groupBy THREE
-    # times per micro-batch — inside the corpus probe, inside the
-    # within-batch minhash_pairs, and again for the state write). The
-    # probe, the within-batch check, and the sketch write all derive
-    # from this one batch-sized relation; filtering it by the surviving
-    # doc set is identical to re-sketching the survivors because the
-    # sketch is a pure per-document function.
-    batch_bands = _banded_sketch(
-        batch_df, id_col, text_col, n_perm, n_bands
-    ).persist()
-    # The two reject sets are each consumed by BOTH state writes (and the
-    # within-batch check's self-join references the corpus-probe output
-    # on both of its sides), so they are persisted for the batch's
-    # lifetime: without the cache the corpus-sketch scan + broadcast
-    # probe join re-executed up to six times per micro-batch (three
-    # subtrees under the accepted write, three under the sketch write) —
-    # at any corpus size that is 6x the probe's scan I/O per batch, and
-    # it was the dominant per-batch cost of the online loop (guide §1.2:
-    # remove recomputed passes before tuning anything else). Both sets
-    # are duplicate-id-sized (bounded by the batch), so the cache cost
-    # is nil.
+    # The batch's banded sketch is built ONCE (round 11: the previous
+    # shape ran the shingle scan + signature groupBy THREE times per
+    # micro-batch), and — r13 — the three batch-bounded relations the
+    # two state writes share (the sketch itself + the two reject sets)
+    # are EAGERLY localCheckpoint'ed instead of persist()ed. persist
+    # caches the DATA but every later action still re-ANALYZES the full
+    # logical subtree (shingle explode + 16-32 MIN aggregates +
+    # posexplode + the corpus probe join): Spark analyzes eagerly per
+    # transformation, and the r13 decomposition measured this loop as
+    # majority driver-side gaps (stream_dedup_maintained: 10.4s gaps vs
+    # 5.4s job time, 50 jobs — PHASE_TOTALS put 13.4s under the accepted
+    # write alone, most of it analysis of the nested plan). Checkpointing
+    # truncates every downstream plan to a LogicalRDD leaf (guide §3.3:
+    # materialising an intermediate truncates the plan; §5:
+    # localCheckpoint as the cheap lineage cut). All three relations are
+    # batch-bounded by the ingest contract, so executor-local checkpoint
+    # storage costs what the replaced persist cost, and the
+    # CheckpointJanitor frees every block before return (the repo's
+    # no-cache-outlives-the-call rule; lost checkpoint blocks on a dying
+    # executor fail the batch, which replays idempotently — the same
+    # recovery path any mid-batch failure already takes).
     # Every reject set below is duplicate-id-sized (bounded by the batch),
     # so each anti-join hints its reject side as a broadcast build: the
     # default planner shaped all four of them as SortMergeJoin LeftAnti
@@ -239,20 +261,26 @@ def dedup_ingest_batch(
     # relation the ingest contract bounds at batch size. Broadcast is the
     # scale-correct strategy at ANY corpus size for the same reason the
     # corpus probe already broadcasts the batch sketch (guide §3.1).
-    dup_vs_corpus = None
-    within_rejects = None
+    from hdfs_mapreduce_spark.functions.checkpoints import CheckpointJanitor
+
+    janitor = CheckpointJanitor(spark)
     try:
+        with _tick("sketch_batch"):
+            batch_bands = _banded_sketch(
+                batch_df, id_col, text_col, n_perm, n_bands
+            ).localCheckpoint(eager=False)
         survivors = batch_df
         surv_bands = batch_bands
         if corpus_sketch is not None:
-            dup_vs_corpus = (
-                _probe_pairs_from_sketches(
-                    corpus_sketch, batch_bands, threshold
+            with _tick("probe_corpus"):
+                dup_vs_corpus = (
+                    _probe_pairs_from_sketches(
+                        corpus_sketch, batch_bands, threshold
+                    )
+                    .select(F.col("new_doc").alias(id_col))
+                    .distinct()
+                    .localCheckpoint(eager=False)
                 )
-                .select(F.col("new_doc").alias(id_col))
-                .distinct()
-                .persist()
-            )
             survivors = survivors.join(
                 F.broadcast(dup_vs_corpus), id_col, "left_anti"
             )
@@ -272,29 +300,56 @@ def dedup_ingest_batch(
         # recall of unique content matters, run cluster-canonical
         # admission instead (operators/components.canonical_assignment
         # keeps one doc per connected component).
-        within_rejects = (
-            _verified_pairs(surv_bands, threshold, broadcast_right=True)
-            .select(F.col("doc_b").alias(id_col))
-            .distinct()
-            .persist()
-        )
+        with _tick("within_batch_check"):
+            within_rejects = (
+                _verified_pairs(surv_bands, threshold, broadcast_right=True)
+                .select(F.col("doc_b").alias(id_col))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
         survivors = survivors.join(
             F.broadcast(within_rejects), id_col, "left_anti"
         )
-        survivors.write.mode("overwrite").parquet(
-            hfs.join(accepted_dir, f"batch_id={batch_id}")
-        )
-        surv_bands.join(
-            F.broadcast(within_rejects.select(F.col(id_col).alias("doc"))),
-            "doc",
-            "left_anti",
-        ).write.mode("overwrite").parquet(
-            hfs.join(sketch_dir, f"batch_id={batch_id}")
-        )
+        # The two state writes are independent jobs over the checkpointed
+        # relations (different output dirs, no shared mutable state), so
+        # they are submitted CONCURRENTLY (guide §2.6: actions are only
+        # sequential because the driver calls them sequentially) — each
+        # write's driver-side analysis/codegen overlaps the other's
+        # executor work. Crash semantics are unchanged: either dir may
+        # exist without the other after a mid-batch crash, exactly as
+        # with sequential writes, and the replay overwrites both.
+        with _tick("state_writes"):
+            sketch_out = surv_bands.join(
+                F.broadcast(
+                    within_rejects.select(F.col(id_col).alias("doc"))
+                ),
+                "doc",
+                "left_anti",
+            )
+            from pyspark import InheritableThread
+
+            errs: list[BaseException] = []
+
+            def _write_accepted() -> None:
+                try:
+                    survivors.write.mode("overwrite").parquet(
+                        hfs.join(accepted_dir, f"batch_id={batch_id}")
+                    )
+                except BaseException as exc:  # re-raised on the caller
+                    errs.append(exc)
+
+            t = InheritableThread(target=_write_accepted)
+            t.start()
+            try:
+                sketch_out.write.mode("overwrite").parquet(
+                    hfs.join(sketch_dir, f"batch_id={batch_id}")
+                )
+            finally:
+                t.join()
+            if errs:
+                raise errs[0]
     finally:
-        for cached in (within_rejects, dup_vs_corpus, batch_bands):
-            if cached is not None:
-                cached.unpersist()
+        janitor.free_all()
 
 
 def dedup_ingest_batch_maintained(

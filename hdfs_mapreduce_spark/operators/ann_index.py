@@ -198,21 +198,27 @@ def load_ivfpq_index(spark: SparkSession, base: str, name: str = "ivfpq") -> dic
     centroids = spark.read.parquet(f"{base}/{name}_centroids")
     codewords = spark.read.parquet(f"{base}/{name}_codewords")
     codes = spark.read.parquet(f"{base}/{name}_codes")
-    # One aggregate job per model table instead of one job per metadata
-    # field (was 3 jobs over codewords + 1 over centroids — every
-    # open_managed_ivfpq paid all four; both tables are model-sized, the
-    # cost is pure job-submission overhead).
-    m_sub, ksub, first = codewords.agg(
-        F.countDistinct("subspace"),
-        F.countDistinct("code"),
-        F.max(F.size("vec")),
-    ).collect()[0]
+    # ONE aggregate job for all four metadata fields instead of one per
+    # field (was 3 jobs over codewords + 1 over centroids) or one per
+    # table (r12's fold, 2 jobs): both tables are model-sized, so the
+    # cost is pure job-submission + analysis overhead — the r13
+    # decomposition showed open_managed_ivfpq running up to 3x per
+    # fenced query, each paying these driver round trips.
+    m_sub, ksub, first, nlist = (
+        codewords.agg(
+            F.countDistinct("subspace"),
+            F.countDistinct("code"),
+            F.max(F.size("vec")),
+        )
+        .crossJoin(centroids.agg(F.count(F.lit(1))))
+        .collect()[0]
+    )
     out = {
         "centroids": centroids,
         "codewords": codewords,
         "codes": codes,
         "meta": {
-            "nlist": centroids.count(),
+            "nlist": nlist,
             "m_sub": m_sub,
             "ksub": ksub,
             "dsub": first,
@@ -621,7 +627,7 @@ def create_managed_ivfpq(
     if current_index_version(spark, root) is not None:
         raise ValueError(f"index already exists under {root} — open it")
     gen = _gen_name(1)
-    build_ivfpq_index(
+    built = build_ivfpq_index(
         embeddings, nlist, m_sub, ksub, id_col, vec_col,
         name="ivfpq", base=hfs.join(root, gen),
     )
@@ -633,7 +639,15 @@ def create_managed_ivfpq(
             f"lost the v1 manifest race under {root}: another writer "
             "created this index concurrently"
         )
-    return open_managed_ivfpq(spark, root)
+    # The returned handle is the build's own dict (its DataFrames already
+    # read the written parquet via materialize(), its meta carries the
+    # ACTUAL fitted shapes, and a fresh generation has no tombstones) —
+    # a full open_managed_ivfpq here re-read three parquet footers and
+    # re-derived the same metadata with an extra driver job for nothing
+    # (r13; opens elsewhere still go through load_ivfpq_index). A
+    # just-published v1 by construction has version 1 / generation
+    # ``gen``: the manifest write above is the only record.
+    return {**built, "root": root, "version": 1, "generation": gen}
 
 
 def _remove_dir(spark: SparkSession, path: str) -> None:
@@ -730,7 +744,7 @@ def rebuild_ivfpq_index(
         )
     v_next = index["version"] + 1
     gen = _gen_name(v_next)
-    build_ivfpq_index(
+    built = build_ivfpq_index(
         live,
         nlist if nlist is not None else meta["nlist"],
         m_sub if m_sub is not None else meta["m_sub"],
@@ -748,7 +762,15 @@ def rebuild_ivfpq_index(
             f"lost the v{v_next} manifest race under {root}: a concurrent "
             "rebuild published first — reopen and re-evaluate"
         )
-    return open_managed_ivfpq(spark, root)
+    # Build-direct handle, same rationale as create_managed_ivfpq (r13):
+    # the build dict already reads the published parquet, carries the
+    # fitted meta/kernels, and a fresh generation has no tombstone table
+    # (deletes were compacted away by the anti-join above) — re-opening
+    # paid three footer reads + a metadata job per rebuild. Winning the
+    # manifest race means v_next IS the current version: any later
+    # version would collide with a record that already existed, and
+    # records are never deleted (vacuum keeps them as tombstones).
+    return {**built, "root": root, "version": v_next, "generation": gen}
 
 
 def rebuild_recommended(index: dict, max_tombstone_frac: float = 0.2) -> bool:

@@ -174,11 +174,27 @@ REVERIFY = {
     #     glob-escaped, and the dedup state gained the _shape_meta
     #     lifetime record written on first ingest (same relations, new
     #     executed state machinery — the r6 os.*->Hadoop-FS precedent).
-    "stream_dedup_admitted": 12,
-    "stream_dedup_resketch": 12,
-    "stream_dedup_compacted": 12,
     "stream_upsert_snapshot": 12,
     "stream_heavy_hitters_audit": 12,
+    # r13 (optimization round 2): executed machinery changed under these
+    #     relations — the dedup ingest loop localCheckpoints its
+    #     batch-bounded relations and runs the two state writes
+    #     concurrently (streaming/dedup.py), fixture staging went
+    #     concurrent (_stage_single_file_batches), the managed-ANN
+    #     create/rebuild verbs return build-direct handles and
+    #     load_ivfpq_index folds its metadata jobs into one
+    #     (operators/ann_index.py). Same relations everywhere
+    #     (hash-re-verified at sf0.01 in-round), but the driver should
+    #     re-certify the new machinery.
+    "stream_dedup_admitted": 13,
+    "stream_dedup_resketch": 13,
+    "stream_dedup_compacted": 13,
+    "stream_dedup_maintained": 13,
+    "stream_ann_ingest_topk": 13,
+    "stream_ann_ingest_fenced": 13,
+    "stream_cdc_apply": 13,
+    "ann_probe_rebuilt": 13,
+    "ann_probe_vacuumed": 13,
 }
 
 

@@ -47,8 +47,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import shutil
-import tempfile
 import time
 from contextlib import contextmanager
 
@@ -97,6 +95,58 @@ def _scratch(spark: SparkSession, name: str, sf_dir: str) -> str:
     )
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def _stage_single_file_batches(
+    root: str,
+    parts: list[DataFrame],
+    name_of=lambda i: f"b{i}.parquet",
+) -> str:
+    """Stage each relation in ``parts`` as ONE single-file parquet
+    micro-batch under ``root/src`` with strictly increasing mtimes
+    (FileStreamSource orders staged files by mtime, so batch order is
+    guaranteed rather than timestamp-incidental — the same pinning every
+    staging site used individually). The per-part writes are independent
+    Spark jobs over disjoint filters of the same source, so they are
+    submitted CONCURRENTLY from driver threads (guide §2.6: fixture
+    staging was a sequential run of 3-4 small jobs per query, each
+    paying its own driver round trip); the mtime stamps are fixed
+    constants applied after the moves, so thread completion order cannot
+    reorder the batch sequence. Driver-local os/shutil on declared-
+    fixture staging only — state/table dirs go through the Hadoop FS
+    machinery."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark import InheritableThread
+
+    stage = os.path.join(root, "src")
+    os.makedirs(stage, exist_ok=True)
+    errs: list[BaseException] = []
+
+    def _one(i: int, part: DataFrame) -> None:
+        try:
+            tmp = os.path.join(root, f"tmp{i}")
+            part.coalesce(1).write.parquet(tmp)
+            dst = os.path.join(stage, name_of(i))
+            _shutil.move(
+                _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst
+            )
+            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        except BaseException as exc:  # re-raised on the caller
+            errs.append(exc)
+
+    threads = [
+        InheritableThread(target=_one, args=(i, p))
+        for i, p in enumerate(parts)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errs:
+        raise errs[0]
+    return stage
 
 
 def _run(writer, sink_dir: str | None, ckpt: str) -> None:
@@ -441,6 +491,16 @@ def logtable_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("value").alias("sum_value"),
             )
         )
+        # NOTE (r13, negative result kept for the record): materializing
+        # the two change feeds to session scratch before folding (the
+        # components_logrounds flattening) was tried to cut the 1.6s of
+        # eager plan analysis the decomposition measured here — it
+        # verified hash-exact but measured SLOWER under the bench
+        # protocol (3.55s -> 4.61s min-of-2: the two delta writes cost
+        # more than the saved re-analysis at sf0.1), so the fold stays
+        # on the raw snapshot-diff subtrees. At real scale an IVM
+        # deployment persists its deltas anyway — but that is the
+        # deployment's write, not this query's.
         for v in (1, 2):
             ch = table_changes(spark, root, "event_id", v - 1, v)
             if ch is not None:
@@ -450,29 +510,20 @@ def logtable_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stage_day2_batches(root: str, day2: DataFrame, mod: int) -> str:
     """Stage the day-2 fifth as three single-file micro-batches under
-    ``root/src`` (driver-local os/shutil on declared-fixture staging
-    only — the state/table dirs all go through the logtable's
-    Hadoop-FS machinery). Disjoint-key upserts make the final snapshot
-    order-independent, but the files get strictly increasing mtimes so
-    the batch_id ↔ content mapping (and any future order-sensitive
-    assertion) is guaranteed rather than mtime-incidental."""
-    import glob as _glob
-    import shutil as _shutil
-
-    stage = os.path.join(root, "src")
-    os.makedirs(stage, exist_ok=True)
-    for i in range(3):
-        part = day2.select("vec_id", "embedding").filter(
-            ((F.col("vec_id") / mod).cast("long") % 3) == i
-        )
-        tmp = os.path.join(root, f"tmp{i}")
-        part.coalesce(1).write.parquet(tmp)
-        dst = os.path.join(stage, f"b{i}.parquet")
-        _shutil.move(
-            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst
-        )
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-    return stage
+    ``root/src`` (concurrent staging + mtime pinning via
+    ``_stage_single_file_batches``). Disjoint-key upserts make the final
+    snapshot order-independent, but the strictly increasing mtimes keep
+    the batch_id ↔ content mapping guaranteed rather than
+    mtime-incidental."""
+    return _stage_single_file_batches(
+        root,
+        [
+            day2.select("vec_id", "embedding").filter(
+                ((F.col("vec_id") / mod).cast("long") % 3) == i
+            )
+            for i in range(3)
+        ],
+    )
 
 
 def stream_ann_ingest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,25 +760,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
 
-    import glob as _glob
-    import shutil as _shutil
-
-    stage = os.path.join(root, "src")
-    os.makedirs(stage, exist_ok=True)
-    for i, b in enumerate(batches):
-        tmp = os.path.join(root, f"tmp{i}")
-        b.coalesce(1).write.parquet(tmp)
-        dst = os.path.join(stage, f"b{i}.parquet")
-        _shutil.move(
-            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst
-        )
-        # FileStreamSource orders staged files by mtime; shutil.move
-        # preserves the temp part-files' timestamps, so an ms-tie
-        # between b0/b1/b2 could reorder micro-batches and make this
-        # order-dependent CDC state diverge from the closed-form
-        # oracle. Stamp strictly increasing mtimes so batch order is
-        # guaranteed, not incidental.
-        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    stage = _stage_single_file_batches(root, batches)
     table_root = os.path.join(root, "table")
 
     def _sink(batch_df, batch_id):
@@ -792,6 +825,9 @@ def dq_checks_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (c("value") <= 0),
     }
     with _phase("dq_checks_incremental", "build_read_plan"):
+        # Same negative result as logtable_ivm (r13): scratch-
+        # materializing the change feeds measured SLOWER min-of-2
+        # (3.21s -> 4.30s) despite the smaller final plan; reverted.
         return incremental_row_checks(
             snapshot(spark, root, "event_id", as_of=0),
             [
@@ -905,23 +941,12 @@ def stream_dedup_admitted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _scratch(spark, "dedup_ingest", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = os.path.join(root, "src")
-    os.makedirs(src, exist_ok=True)
     with _phase("stream_dedup_admitted", "stage_src"):
-        for i in range(3):
-            part_dir = os.path.join(root, f"tmp{i}")
-            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
-                part_dir
-            )
-            pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
-            dst = os.path.join(src, f"part-{i}.parquet")
-            shutil.copyfile(os.path.join(part_dir, pf), dst)
-            # FileStreamSource orders by mtime with filesystem-listing order
-            # as the tie-break; copyfile stamps "now" at millisecond
-            # granularity, so back-to-back copies could tie and reorder the
-            # 0->1->2 batch sequence the oracle's three-round unroll pins.
-            # Stamp strictly increasing mtimes explicitly.
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        src = _stage_single_file_batches(
+            root,
+            [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)],
+            name_of=lambda i: f"part-{i}.parquet",
+        )
     stream_in = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)
@@ -1034,20 +1059,12 @@ def stream_dedup_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _scratch(spark, "dedup_maintained", sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    src = os.path.join(root, "src")
-    os.makedirs(src, exist_ok=True)
     with _phase("stream_dedup_maintained", "stage_src"):
-        for i in range(4):
-            part_dir = os.path.join(root, f"tmp{i}")
-            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.parquet(
-                part_dir
-            )
-            pf = [f for f in os.listdir(part_dir) if f.endswith(".parquet")][0]
-            dst = os.path.join(src, f"part-{i}.parquet")
-            shutil.copyfile(os.path.join(part_dir, pf), dst)
-            # strictly increasing mtimes pin the 0->1->2->3 batch order
-            # (see stream_dedup_admitted)
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        src = _stage_single_file_batches(
+            root,
+            [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)],
+            name_of=lambda i: f"part-{i}.parquet",
+        )
     stream_in = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

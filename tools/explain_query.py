@@ -1,8 +1,10 @@
 """Dump the `.explain("formatted")` physical plan of declared queries to
-plans/r12/<query>_<suffix>.txt — the judge-facing before/after evidence.
+plans/<round>/<query>_<suffix>.txt — the judge-facing before/after
+evidence.
 
 Run: python tools/explain_query.py <suffix> <query> [query ...]
-Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01).
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01),
+     SPARK_GRAFT_PLAN_DIR (default r13 — the round subdir under plans/).
 """
 
 from __future__ import annotations
@@ -30,7 +32,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry.queries()
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    outdir = os.path.join(here, "plans", "r12")
+    outdir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r13")
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)

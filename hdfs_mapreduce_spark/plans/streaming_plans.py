@@ -118,34 +118,28 @@ def _stage_single_file_batches(
     import glob as _glob
     import shutil as _shutil
 
-    from pyspark import InheritableThread
+    from hdfs_mapreduce_spark.functions.driverpool import run_concurrently
 
     stage = os.path.join(root, "src")
     os.makedirs(stage, exist_ok=True)
-    errs: list[BaseException] = []
 
     def _one(i: int, part: DataFrame) -> None:
-        try:
-            tmp = os.path.join(root, f"tmp{i}")
-            part.coalesce(1).write.parquet(tmp)
-            dst = os.path.join(stage, name_of(i))
-            _shutil.move(
-                _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst
-            )
-            os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
-        except BaseException as exc:  # re-raised on the caller
-            errs.append(exc)
+        tmp = os.path.join(root, f"tmp{i}")
+        part.coalesce(1).write.parquet(tmp)
+        dst = os.path.join(stage, name_of(i))
+        _shutil.move(
+            _glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst
+        )
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    threads = [
-        InheritableThread(target=_one, args=(i, p))
-        for i, p in enumerate(parts)
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    if errs:
-        raise errs[0]
+    # shared bounded pool, never per-use threads: py4j pinned mode leaks
+    # one parked JVM thread per exited Python thread (driverpool.py)
+    run_concurrently(
+        [
+            (lambda i=i, p=p: _one(i, p))
+            for i, p in enumerate(parts)
+        ]
+    )
     return stage
 
 

@@ -312,8 +312,10 @@ def dedup_ingest_batch(
         )
         # The two state writes are independent jobs over the checkpointed
         # relations (different output dirs, no shared mutable state), so
-        # they are submitted CONCURRENTLY (guide §2.6: actions are only
-        # sequential because the driver calls them sequentially) — each
+        # they are submitted CONCURRENTLY on the shared bounded driver
+        # pool (guide §2.6; functions/driverpool.py explains why a
+        # persistent pool, never per-use threads — py4j pinned mode
+        # leaks one parked JVM thread per exited Python thread). Each
         # write's driver-side analysis/codegen overlaps the other's
         # executor work. Crash semantics are unchanged: either dir may
         # exist without the other after a mid-batch crash, exactly as
@@ -326,28 +328,20 @@ def dedup_ingest_batch(
                 "doc",
                 "left_anti",
             )
-            from pyspark import InheritableThread
+            from hdfs_mapreduce_spark.functions.driverpool import (
+                run_concurrently,
+            )
 
-            errs: list[BaseException] = []
-
-            def _write_accepted() -> None:
-                try:
-                    survivors.write.mode("overwrite").parquet(
+            run_concurrently(
+                [
+                    lambda: survivors.write.mode("overwrite").parquet(
                         hfs.join(accepted_dir, f"batch_id={batch_id}")
-                    )
-                except BaseException as exc:  # re-raised on the caller
-                    errs.append(exc)
-
-            t = InheritableThread(target=_write_accepted)
-            t.start()
-            try:
-                sketch_out.write.mode("overwrite").parquet(
-                    hfs.join(sketch_dir, f"batch_id={batch_id}")
-                )
-            finally:
-                t.join()
-            if errs:
-                raise errs[0]
+                    ),
+                    lambda: sketch_out.write.mode("overwrite").parquet(
+                        hfs.join(sketch_dir, f"batch_id={batch_id}")
+                    ),
+                ]
+            )
     finally:
         janitor.free_all()
 
